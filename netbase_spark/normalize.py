@@ -1,0 +1,76 @@
+"""Name normalization shared by the engine, the oracle, and the alias table.
+
+The reference compares names case-, underscore- and dash-insensitively:
+``eq(..., ignoreCase, ignoreUnderscore)`` via ``equalsFuzzy``/``normChar``
+(src/util.cpp:311-337) and hashes them the same way (``wordhash``,
+src/util.cpp:632-648, "a_b-c==AbC").  We normalize to a canonical
+readable key instead of a hash: lowercase, ``_``/``-`` -> space,
+collapse whitespace, strip quotes/space (getAbstract trims quotes,
+src/netbase.cpp:1447-1455).
+
+Both a plain-Python function (used by the oracle and inside pandas UDFs)
+and a Column-expression builder (used in JVM-side plans) are provided —
+they MUST stay equivalent; tests/test_normalize.py checks that.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WS = re.compile(r"[\s_\-]+")
+_QUOTES = re.compile(r'^["\'\s]+|["\'\s]+$')
+
+
+def norm_name(s: str | None) -> str | None:
+    """lowercase; _/-/whitespace runs -> single space; trim quotes/space."""
+    if s is None:
+        return None
+    s = _QUOTES.sub("", s)
+    s = _WS.sub(" ", s).strip()
+    return s.lower()
+
+
+def seo_slug(s: str | None) -> str | None:
+    """SEO slug alias (generateSEOUrl, src/netbase.cpp:2555-2593):
+    normalized name with spaces -> '-' and non-alnum dropped."""
+    n = norm_name(s)
+    if n is None:
+        return None
+    n = re.sub(r"[^a-z0-9 ]+", "", n)
+    n = re.sub(r" +", "-", n.strip())
+    return n or None
+
+
+def de_camel(s: str | None) -> str | None:
+    """CamelCase -> spaced words (deCamel, src/import.cpp:422-438)."""
+    if s is None:
+        return None
+    return re.sub(r"(?<=[a-z0-9])(?=[A-Z])", " ", s)
+
+
+def is_number_token(s: str) -> bool:
+    """atoi(start) truthiness used by findEntites' "no numbers hack"
+    (src/query.cpp:2026): leading integer != 0 rejects the span."""
+    m = re.match(r"^[+-]?\d+", s.strip())
+    return bool(m) and int(m.group(0)) != 0
+
+
+# --- Column-expression versions (JVM-side, codegen'd) ----------------------
+
+def norm_name_col(col):
+    """Column equivalent of :func:`norm_name`."""
+    from pyspark.sql import functions as F
+
+    c = F.regexp_replace(col, r'^["\'\s]+|["\'\s]+$', "")
+    c = F.regexp_replace(c, r"[\s_\-]+", " ")
+    return F.lower(F.trim(c))
+
+
+def seo_slug_col(col):
+    """Column equivalent of :func:`seo_slug` (returns '' for empty)."""
+    from pyspark.sql import functions as F
+
+    c = norm_name_col(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]+", "")
+    c = F.regexp_replace(F.trim(c), r" +", "-")
+    return c

@@ -1,0 +1,196 @@
+"""Built-in relation (predicate) registry.
+
+The reference engine hardcodes negative integer ids for its built-in
+relations (reference: src/relations.hpp:196-269) and canonicalizes
+incoming predicate names onto them at import time
+(``getRelation``, src/relations.cpp:479-592; ``rdfOwl``,
+src/import.cpp:1051-1091).  We keep the same ids so triple sets are
+comparable, and expose the canonicalization as a plain dict suitable
+for broadcasting.
+"""
+
+from __future__ import annotations
+
+# --- core relation ids (reference: src/relations.hpp:196-225) -------------
+SUPER_CLASS = -1  # hypernym
+SUB_CLASS = -2  # hyponym
+TYPE = -3
+INSTANCE = -4
+PART = -11
+PART_OF = -12
+MEMBER = -13
+OWNER = -14
+SUBSTANCE = -15
+ENTAILMENT = -21
+CAUSE = -23
+ANTONYM = -30
+SYNONYM = -32
+LABEL = -38  # src/relations.hpp:259
+LABELED = -39
+SIMILAR = -40
+ATTRIBUTE = -60
+SEE = -50
+DERIVES = -80
+DERIVED = -81
+TRANSLATION = -139
+
+# --- meta kinds (reference: src/relations.hpp:126-164) --------------------
+KIND_ABSTRACT = -102  # a *word*: groups senses/instances
+KIND_CLASS = -103
+KIND_ENTITY = -104
+KIND_PERSON = -106
+KIND_NUMBER = -123
+KIND_STRING = -126
+KIND_DATE = -127
+
+# --- extension relations ---------------------------------------------------
+# The reference materializes these as named relation Nodes created at init
+# (``the(location)`` etc., src/relations.cpp:265-419) without stable header
+# ids; we allocate stable ids in a reserved block so the oracle and the
+# engine agree.
+LOCATION = -301  # dissect " in/am/at " rule target (src/netbase.cpp:1060)
+NEAR = -302  # dissect " bei " rule (src/netbase.cpp:1089)
+NUMBER = -303  # dissect "N. X" rule (src/netbase.cpp:1146)
+FROM = -304  # dissect " from " rule (src/netbase.cpp:1072)
+FOR = -305  # dissect " for/für " rule (src/netbase.cpp:1080)
+OF = -306
+DATE = -307
+RANGE = -308
+DOMAIN = -309
+MENTIONED_IN = -310  # EL output edge: (entity, MENTIONED_IN, doc_id)
+
+REL_NAMES: dict[int, str] = {
+    SUPER_CLASS: "SuperClass",
+    SUB_CLASS: "SubClass",
+    TYPE: "Type",
+    INSTANCE: "Instance",
+    PART: "Part",
+    PART_OF: "PartOf",
+    MEMBER: "Member",
+    OWNER: "Owner",
+    SUBSTANCE: "Substance",
+    ENTAILMENT: "Entailment",
+    CAUSE: "Cause",
+    ANTONYM: "Antonym",
+    SYNONYM: "Synonym",
+    LABEL: "Label",
+    LABELED: "Labeled",
+    SIMILAR: "Similar",
+    ATTRIBUTE: "Attribute",
+    SEE: "See",
+    DERIVES: "Derives",
+    DERIVED: "Derived",
+    TRANSLATION: "Translation",
+    LOCATION: "location",
+    NEAR: "near",
+    NUMBER: "Number",
+    FROM: "from",
+    FOR: "for",
+    OF: "of",
+    DATE: "Date",
+    RANGE: "Range",
+    DOMAIN: "Domain",
+    MENTIONED_IN: "MentionedIn",
+}
+
+REL_IDS: dict[str, int] = {v: k for k, v in REL_NAMES.items()}
+
+
+# --- predicate canonicalization (reference: src/relations.cpp:479-592) ----
+# name (case/underscore-insensitive, see normalize.norm_name) -> relation id
+PREDICATE_CANON: dict[str, int] = {
+    "instance": INSTANCE,
+    "contains": PART,
+    "broader": SUPER_CLASS,
+    "broader topic": SUPER_CLASS,
+    "narrower": SUB_CLASS,
+    "narrower topic": SUB_CLASS,
+    "unterklasse von": SUPER_CLASS,
+    "type": TYPE,
+    "has type": TYPE,
+    "is": TYPE,
+    "ist": TYPE,
+    "has": MEMBER,
+    "of": OWNER,
+    "containedby": PART_OF,
+    "partof": PART_OF,
+    "part": PART,
+    "besteht aus": PART,
+    "by": OWNER,
+    "property": ATTRIBUTE,
+    "inverseof": ANTONYM,
+    "reverse property": ANTONYM,
+    "label": LABEL,
+    "range": RANGE,
+    "domain": DOMAIN,
+    "antonym": ANTONYM,
+    "see": SEE,
+    "seealso": SEE,
+    "see also": SEE,
+    "also see": SEE,
+    "also": SEE,
+    "similar": SIMILAR,
+    "ist ein(e)": TYPE,
+    "typ": TYPE,
+    "art": TYPE,
+    "subclassof": SUPER_CLASS,
+    # wikidata P-ids (src/relations.cpp:525-581)
+    "p1696": ANTONYM,
+    "p31": TYPE,
+    "p361": PART_OF,
+    "p527": PART,
+    "p461": ANTONYM,
+    "p585": DATE,
+    "p642": OF,
+    "p279": SUPER_CLASS,
+    "p523": PART,
+    "p460": SYNONYM,
+    # rdf/rdfs/owl vocabulary (rdfOwl, src/import.cpp:1051-1091)
+    "rdf:type": TYPE,
+    "rdfs:label": LABEL,
+    "rdfs:subclassof": SUPER_CLASS,
+    "rdfs:seealso": SEE,
+    "owl:sameas": SYNONYM,
+    "owl:equivalentclass": SYNONYM,
+    "owl:inverseof": ANTONYM,
+}
+
+# Predicates whose edges feed canonicalization (union-find merge classes):
+# Synonym -32, Label -38, Labeled -39, plus P460/owl:sameAs which canon to
+# SYNONYM anyway (reference merges via mergeNode, src/netbase.cpp:2610-2638).
+SAMEAS_CLASS_RELS = frozenset({SYNONYM, LABEL, LABELED})
+
+# External-ID predicates dropped at import (dropBadPredicate,
+# src/import.cpp:1757-1786).
+DROP_PREDICATES = frozenset(
+    {
+        "p352", "p637", "p705", "p536", "p213", "p214", "p646", "p508",
+        "p910", "p1566", "p268", "p950", "p349", "p1006", "p269", "p409",
+        "p1017", "p691", "p906", "p1005", "p949", "p734", "p1207",
+    }
+)
+
+# Inverse-pair rewrites used by reverse pattern matching
+# (findStatement, src/netbase.cpp:1734-1762).
+INVERSE_PAIRS: dict[int, int] = {
+    INSTANCE: TYPE,
+    TYPE: INSTANCE,
+    SUB_CLASS: SUPER_CLASS,
+    SUPER_CLASS: SUB_CLASS,
+    PART: PART_OF,
+    PART_OF: PART,
+    DERIVES: DERIVED,
+    DERIVED: DERIVES,
+}
+
+# Symmetric relations (match in either direction).
+SYMMETRIC_RELS = frozenset({SYNONYM, ANTONYM, SIMILAR, TRANSLATION})
+
+
+def rel_name(rel_id: int) -> str:
+    return REL_NAMES.get(rel_id, str(rel_id))
+
+
+def canon_predicate(name_norm: str) -> int | None:
+    """Canonical relation id for a normalized predicate name, else None."""
+    return PREDICATE_CANON.get(name_norm)
