@@ -1,0 +1,74 @@
+"""Gazetteer (alias table) construction — the Ahash / label-index analog.
+
+Reference: ``importWikiLabels`` builds a name->node hash index from label
+dumps (src/import.cpp:1313-1435); ``buildSeoIndex`` adds slug aliases
+(src/netbase.cpp:2555-2593); ``getThe``'s candidate prior is degree rank
+(src/util.cpp:918-929 sortNodes).
+
+Spark-first design: the alias table is a plain DataFrame
+``(name_norm, key, source, prior)``.  It is small relative to the doc
+corpus (labels of a KG, ~10^7-10^8 rows at full WikiData scale) and is
+broadcast to executors for mention scanning; at 100 TB doc scale the
+broadcast is the right trade because the doc side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from netbase_spark.normalize import norm_name_col, seo_slug_col
+
+
+def build_alias_table(labels: DataFrame, with_seo: bool = True) -> DataFrame:
+    """labels(key, label, label_type, lang) -> aliases(name_norm, key, source, prior).
+
+    prior = number of label rows per key (the oracle's degree prior).
+    Label clamping at ~50 chars mirrors importLabels (src/import.cpp:1516-1528).
+    """
+    prior = labels.groupBy("key").agg(F.count(F.lit(1)).alias("prior"))
+
+    base = labels.select(
+        norm_name_col(F.col("label")).alias("name_norm"),
+        "key",
+        F.col("label_type").alias("source"),
+    ).where(F.length("name_norm") > 0)
+
+    rows = base
+    if with_seo:
+        seo = labels.select(
+            seo_slug_col(F.col("label")).alias("name_norm"),
+            "key",
+            F.lit("seo").alias("source"),
+        ).where(F.length("name_norm") > 0)
+        rows = base.unionByName(seo)
+
+    return (
+        rows.dropDuplicates(["name_norm", "key"])
+        .join(prior, "key", "left")
+        .select("name_norm", "key", "source", "prior")
+    )
+
+
+def best_entity_per_alias(aliases: DataFrame) -> DataFrame:
+    """Rank-1 candidate per alias: (prior desc, key asc) — getThe's
+    THE-instance selection (src/netbase.cpp:2276-2341) with the degree
+    prior standing in for first-Instance order.
+
+    Returns (name_norm, key, prior). Window, no shuffle beyond the
+    groupBy key; at scale this is a tiny dimension output.
+    """
+    w = Window.partitionBy("name_norm").orderBy(F.col("prior").desc(), F.col("key").asc())
+    return (
+        aliases.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def alias_keys_local(aliases: DataFrame) -> list[str]:
+    """Collect the distinct normalized alias names for broadcast into the
+    mention-scan UDF.  At full scale, replace with a serialized
+    Aho-Corasick automaton / bloom-filter pre-pass; the collect here is
+    bounded by gazetteer size, never by corpus size."""
+    return [r[0] for r in aliases.select("name_norm").distinct().collect()]

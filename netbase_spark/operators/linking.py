@@ -1,0 +1,43 @@
+"""Entity-link candidate selection: mentions -> linked entities.
+
+Reference: ``getThe`` resolves a word to THE instance via the first
+Instance statement (src/netbase.cpp:2276-2341); our ranking replaces
+physical insert order with an explicit (prior desc, key asc) rank — the
+degree prior of ``sortNodes`` (src/util.cpp:918-929).
+
+Spark-first: rank-1-per-alias is computed once on the (small) alias
+table and broadcast-joined to the mention stream — the 10^12-doc side
+never shuffles for linking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from netbase_spark.operators.gazetteer import best_entity_per_alias
+from netbase_spark.relations import MENTIONED_IN
+
+
+def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """mentions(doc_id, alias_key) x aliases -> triples
+    (subj=entity, rel=MENTIONED_IN, obj=doc_id, rule='mention', doc_id).
+
+    One mention edge per (doc, alias) — duplicates of the same alias in
+    a doc collapse, matching the oracle's seen-alias semantics.
+    """
+    best = best_entity_per_alias(aliases).select(
+        F.col("name_norm").alias("alias_key"), F.col("key").alias("entity")
+    )
+    return (
+        mentions.select("doc_id", "alias_key")
+        .dropDuplicates(["doc_id", "alias_key"])
+        .join(F.broadcast(best), "alias_key")
+        .select(
+            F.col("entity").alias("subj"),
+            F.lit(MENTIONED_IN).alias("rel"),
+            F.col("doc_id").alias("obj"),
+            F.lit("mention").alias("rule"),
+            F.col("doc_id"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Gazetteer mention detection over interleaved documents.
+
+Reference: ``findEntites`` sliding-window hash probes + minimal stemming
++ blacklist + longest-match filter (src/query.cpp:1980-2063, 1912-1942).
+
+Spark-first design: the document side NEVER shuffles — the scan is a
+``mapInPandas`` over doc partitions with the (small) alias set broadcast
+in the task closure.  Text assembly per doc (ordered concat of
+kind='text' spans) happens JVM-side with array functions so only the
+final string crosses into Arrow.  The per-batch scan uses the same rule
+module as the oracle (single source of truth for semantics); its probe
+structure is an O(1) set keyed by normalized span — the direct analog of
+the reference's wordhash index.  TODO(round2): swap the window probe for
+a serialized Aho-Corasick automaton cached per executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from netbase_spark.schemas import MENTIONS_SCHEMA
+
+
+def doc_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, text): ordered space-join of text spans — JVM-side."""
+    spans_sorted = F.array_sort(
+        F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    txt = F.array_join(
+        F.transform(spans_sorted, lambda s: F.coalesce(s["text"], F.lit(""))), " "
+    )
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def detect_mentions(
+    docs: DataFrame,
+    alias_names: list[str],
+    blacklist: set[str],
+    german: bool = False,
+) -> DataFrame:
+    """docs(doc_id, spans) -> mentions(doc_id, alias_key, start_word, n_words).
+
+    Longest-match filtering (filterCandidates) is applied per document
+    inside the batch, exactly as the reference does per query string.
+    """
+    import pandas as pd
+
+    alias_tuple = tuple(sorted(alias_names))
+    blacklist_f = frozenset(blacklist)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Build the probe set once per task, not per batch/row.
+        from netbase_spark.oracle.rules import filter_candidates, find_mentions
+
+        alias_set = set(alias_tuple)
+        lookup = lambda nn: nn if nn and nn in alias_set else None  # noqa: E731
+        for pdf in batches:
+            out_doc, out_key, out_start, out_n = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cands = filter_candidates(
+                    find_mentions(text or "", lookup, blacklist_f, german)
+                )
+                for key, i, n in cands:
+                    out_doc.append(doc_id)
+                    out_key.append(key)
+                    out_start.append(i)
+                    out_n.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "alias_key": out_key,
+                    "start_word": pd.Series(out_start, dtype="int32"),
+                    "n_words": pd.Series(out_n, dtype="int32"),
+                }
+            )
+
+    return doc_text(docs).mapInPandas(scan, schema=MENTIONS_SCHEMA)

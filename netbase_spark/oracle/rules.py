@@ -355,11 +355,18 @@ def oracle_triples(
             _emit(out, nn, INSTANCE, k, "alias")
 
     # 2. dissect pass over primary labels (doDissectAbstracts,
-    # src/netbase.cpp:1472-1473)
-    dissected: set[str] = set()
+    # src/netbase.cpp:1472-1473).  Exactly one primary label per key is
+    # dissected — the lexicographic min — so the result is independent of
+    # input order (the reference relies on first-seen order; we pin it).
+    primary: dict[str, str] = {}
     for row in labels:
         if row.get("label_type", "label") == "label":
-            dissect_name(row["label"], row["key"], out, dissected)
+            k = row["key"]
+            if k not in primary or row["label"] < primary[k]:
+                primary[k] = row["label"]
+    dissected: set[str] = set()
+    for k in sorted(primary):
+        dissect_name(primary[k], k, out, dissected)
 
     # 3. entity linking over text spans
     prior = defaultdict(int)

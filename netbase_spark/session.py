@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the sandbox (local[N]) while keeping
+cluster-ready defaults (AQE, Arrow, sensible shuffle partitioning)."""
+
+from __future__ import annotations
+
+import os
+
+
+def get_spark(
+    app: str = "netbase_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+    extra: dict | None = None,
+):
+    from pyspark.sql import SparkSession
+
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = int(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

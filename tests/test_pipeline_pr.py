@@ -1,0 +1,101 @@
+"""End-to-end: Spark pipeline triple set vs the reference-rule oracle.
+
+This is the P/R >= 0.95 gate from BASELINE.md, plus the per-row
+span-sequence invariant from input_hint and checkpoint-resume behavior.
+"""
+
+import pytest
+
+from netbase_spark.data.fixtures import (
+    blacklist_fixture,
+    labels_fixture,
+    raw_synonym_edges,
+    synonym_pairs,
+)
+from netbase_spark.data.synth import docs_df, docs_local
+from netbase_spark.oracle.rules import oracle_triples
+from netbase_spark.plans.pipeline import Pipeline
+from netbase_spark.schemas import LABELS_SCHEMA
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    labels = labels_fixture()
+    labels_df = spark.createDataFrame(
+        [(r["key"], r["label"], r["label_type"], r["lang"]) for r in labels],
+        LABELS_SCHEMA,
+    )
+    syn_df = spark.createDataFrame(
+        [(s, r, o, "raw", None) for s, r, o in raw_synonym_edges()],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    docs = docs_df(spark, N_DOCS, seed=42, partitions=8)
+    pipe = Pipeline(spark, out, resume=True)
+    triples = pipe.run(docs, labels_df, blacklist_fixture(), raw_triples=syn_df)
+    got = {(r.subj, r.rel, r.obj) for r in triples.collect()}
+    expected = oracle_triples(
+        labels, docs_local(N_DOCS, seed=42), blacklist_fixture(), synonym_pairs()
+    )
+    return out, got, expected, pipe
+
+
+def test_precision_recall(built):
+    _, got, expected, _ = built
+    assert got, "pipeline emitted no triples"
+    tp = len(got & expected)
+    precision = tp / len(got)
+    recall = tp / len(expected)
+    print(f"P={precision:.4f} R={recall:.4f} got={len(got)} expected={len(expected)}")
+    if precision < 1.0:
+        print("false positives sample:", sorted(got - expected)[:10])
+    if recall < 1.0:
+        print("false negatives sample:", sorted(expected - got)[:10])
+    assert precision >= 0.95
+    assert recall >= 0.95
+
+
+def test_span_sequence_invariant(spark):
+    """input_hint per-row invariant: the distributed corpus preserves
+    (kind, text, media_ref, order) exactly vs the pure-python generator."""
+    rows = {r.doc_id: r.spans for r in docs_df(spark, 40, seed=7).collect()}
+    local = docs_local(40, seed=7)
+    assert len(rows) == 40
+    for d in local:
+        got = [(s.kind, s.text, s.media_ref, s.offset) for s in rows[d["doc_id"]]]
+        want = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]
+        ]
+        assert got == want, f"span sequence mismatch in doc {d['doc_id']}"
+
+
+def test_resume_skips_stages(spark, built):
+    out, got, _, _ = built
+    labels = labels_fixture()
+    labels_df = spark.createDataFrame(
+        [(r["key"], r["label"], r["label_type"], r["lang"]) for r in labels],
+        LABELS_SCHEMA,
+    )
+    syn_df = spark.createDataFrame(
+        [(s, r, o, "raw", None) for s, r, o in raw_synonym_edges()],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    docs = docs_df(spark, N_DOCS, seed=42)
+    pipe2 = Pipeline(spark, out, resume=True)
+    triples2 = pipe2.run(docs, labels_df, blacklist_fixture(), raw_triples=syn_df)
+    assert all(m["resumed"] for m in pipe2.metrics), pipe2.metrics
+    got2 = {(r.subj, r.rel, r.obj) for r in triples2.collect()}
+    assert got2 == got
+
+
+def test_canonicalization_merged(built):
+    _, got, _, _ = built
+    merged_away = {k for pair in synonym_pairs() for k in pair} - {
+        min(k for pair in synonym_pairs() for k in pair)
+    }
+    # the lexicographically-max synonym key must not survive as subj
+    hi = max(k for pair in synonym_pairs() for k in pair)
+    assert not any(s == hi for s, _, _ in got)
+    del merged_away
