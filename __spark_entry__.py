@@ -1,38 +1,763 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a KG-construction / training-data operator
+from SURVEY.md §2 expressed Spark-first, with a DuckDB-equivalent SQL
+oracle in ``oracle_sql()``.  Shared derivations (the "contract" both
+sides implement):
+
+- ``labels``: gazetteer rows from the five name-bearing testdata tables,
+  keyed ``P<partkey> | N<nationkey> | R<regionkey> | S<suppkey> |
+  C<custkey>``.
+- ``enriched docs``: documents.text with two deterministically chosen
+  part names appended (``doc_id*7 % n_part`` and ``doc_id*13+5 % n_part``,
+  the second pluralized when ``doc_id%3=0``) — gives the mention scanner
+  real multi-word gazetteer hits, plural stemming, and blacklist cases.
+- blacklist for the scan: {"old rod"}.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared Spark-side derivations
+# ---------------------------------------------------------------------------
+
+SCAN_BLACKLIST = {"old rod"}
+
+NORM_SQL = (
+    "lower(trim(regexp_replace(regexp_replace({c}, '^[\"''\\s]+|[\"''\\s]+$', '', 'g'),"
+    " '[\\s_\\-]+', ' ', 'g')))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def src(tbl, key_col, prefix, label_col, source):
+        return _t(spark, sf_dir, tbl).select(
+            F.concat(F.lit(prefix), F.col(key_col).cast("string")).alias("key"),
+            F.col(label_col).alias("label"),
+            F.lit(source).alias("label_type"),
+            F.lit("en").alias("lang"),
+        )
+
+    return (
+        src("part", "p_partkey", "P", "p_name", "part")
+        .unionByName(src("nation", "n_nationkey", "N", "n_name", "nation"))
+        .unionByName(src("region", "r_regionkey", "R", "r_name", "region"))
+        .unionByName(src("supplier", "s_suppkey", "S", "s_name", "supplier"))
+        .unionByName(src("customer", "c_custkey", "C", "c_name", "customer"))
+    )
+
+
+def _enriched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    n = part.count()
+    p1 = part.select(
+        F.col("p_partkey").alias("k1"), F.col("p_name").alias("pn1")
+    )
+    p2 = part.select(
+        F.col("p_partkey").alias("k2"), F.col("p_name").alias("pn2")
+    )
+    return (
+        docs.join(F.broadcast(p1), (F.col("doc_id") * 7) % n == F.col("k1"))
+        .join(F.broadcast(p2), (F.col("doc_id") * 13 + 5) % n == F.col("k2"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.col("pn1"),
+                F.lit(" "),
+                F.col("pn2"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("s")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+
+
+ENRICHED_SQL = """
+enriched AS (
+    SELECT d.doc_id,
+           d.text || ' ' || p1.p_name || ' ' || p2.p_name ||
+           (CASE WHEN d.doc_id % 3 = 0 THEN 's' ELSE '' END) AS text
+    FROM documents d
+    JOIN part p1 ON p1.p_partkey = (d.doc_id * 7) % (SELECT count(*) FROM part)
+    JOIN part p2 ON p2.p_partkey = (d.doc_id * 13 + 5) % (SELECT count(*) FROM part)
+)
+"""
+
+LABELS_SQL = """
+labels AS (
+    SELECT 'P' || CAST(p_partkey AS VARCHAR) AS key, p_name AS label, 'part' AS label_type FROM part
+    UNION ALL SELECT 'N' || CAST(n_nationkey AS VARCHAR), n_name, 'nation' FROM nation
+    UNION ALL SELECT 'R' || CAST(r_regionkey AS VARCHAR), r_name, 'region' FROM region
+    UNION ALL SELECT 'S' || CAST(s_suppkey AS VARCHAR), s_name, 'supplier' FROM supplier
+    UNION ALL SELECT 'C' || CAST(c_custkey AS VARCHAR), c_name, 'customer' FROM customer
+)
+"""
+
+# SQL fragment for the bigram mention scan over the enriched docs
+MENTIONS_SQL = (
+    ENRICHED_SQL
+    + """,
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM enriched),
+bigrams AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bg
+    FROM toks
+),
+matches AS (
+    SELECT DISTINCT b.doc_id, p.p_name AS alias
+    FROM bigrams b
+    JOIN (SELECT DISTINCT p_name FROM part) p
+      ON b.bg = p.p_name
+      OR (b.bg LIKE '%s' AND substr(b.bg, 1, length(b.bg) - 1) = p.p_name)
+    WHERE p.p_name <> 'old rod'
+),
+mentions AS (
+    SELECT m.doc_id, m.alias FROM matches m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM matches m2
+        WHERE m2.doc_id = m.doc_id AND m2.alias <> m.alias
+          AND contains(m2.alias, m.alias)
+    )
+)
+"""
+)
+
+
+def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real engine scan (findEntites semantics) over the enriched docs."""
+    from netbase_spark.operators.mentions import detect_mentions_text
+
+    part_names = [
+        r[0]
+        for r in _t(spark, sf_dir, "part").select("p_name").distinct().collect()
+    ]
+    m = detect_mentions_text(
+        _enriched_docs(spark, sf_dir), part_names, SCAN_BLACKLIST
+    )
+    return m.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("alias_key").alias("alias"),
+    ).dropDuplicates(["doc_id", "alias"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_alias_table(spark, sf_dir):
+    """Gazetteer build (importWikiLabels analog, SURVEY.md §2.1/§2.2)."""
+    from netbase_spark.operators.gazetteer import build_alias_table
+
+    return build_alias_table(_labels_df(spark, sf_dir), with_seo=False)
+
+
+def q_best_alias(spark, sf_dir):
+    """Rank-1 entity per alias — getThe prior selection (SURVEY.md §2.3)."""
+    from netbase_spark.operators.gazetteer import (
+        best_entity_per_alias,
+        build_alias_table,
+    )
+
+    return best_entity_per_alias(
+        build_alias_table(_labels_df(spark, sf_dir), with_seo=False)
+    ).select("name_norm", "key", "prior")
+
+
+def q_dissect_part_names(spark, sf_dir):
+    """dissectWord/dissectParent over part names (SURVEY.md §2.2)."""
+    from netbase_spark.operators.extraction import dissect_triples
+
+    labels = (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("key"),
+            F.col("p_name").alias("label"),
+            F.lit("label").alias("label_type"),
+        )
+    )
+    return dissect_triples(labels).select("subj", "rel", "obj", "rule")
+
+
+def q_dissect_paren_names(spark, sf_dir):
+    """Paren rule coverage: dissect over 'name (type)' labels."""
+    from netbase_spark.operators.extraction import dissect_triples
+
+    labels = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("key"),
+        F.concat(
+            F.col("p_name"), F.lit(" ("), F.lower(F.col("p_type")), F.lit(")")
+        ).alias("label"),
+        F.lit("label").alias("label_type"),
+    )
+    return dissect_triples(labels).select("subj", "rel", "obj", "rule")
+
+
+def q_mention_scan(spark, sf_dir):
+    """Gazetteer mention detection (findEntites) over enriched docs."""
+    return _mentions_df(spark, sf_dir)
+
+
+def q_entity_link(spark, sf_dir):
+    """Mentions joined to rank-1 candidate entity (prior desc, key asc)."""
+    part = _t(spark, sf_dir, "part")
+    best = (
+        part.groupBy("p_name")
+        .agg(
+            F.min(F.concat(F.lit("P"), F.col("p_partkey").cast("string"))).alias(
+                "entity"
+            )
+        )
+        .withColumnRenamed("p_name", "alias")
+    )
+    return _mentions_df(spark, sf_dir).join(F.broadcast(best), "alias").select(
+        "doc_id", "entity"
+    )
+
+
+def q_mention_counts(spark, sf_dir):
+    """Two-stage salted aggregation of mention counts per entity —
+    the hub-skew pattern from north_rule (equivalent to a plain count)."""
+    linked = q_entity_link(spark, sf_dir)
+    salted = linked.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    partial = salted.groupBy("entity", "salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("entity").agg(F.sum("c").alias("n_docs"))
+
+
+def q_cc_chain(spark, sf_dir):
+    """Union-find connected components (mergeNode analog, SURVEY.md §2.4)
+    over deterministic chain edges between part keys."""
+    from netbase_spark.operators.canonicalize import connected_components
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    edges = (
+        part.where(F.col("p_partkey") % 10 != 9)
+        .select(
+            F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("P"), (F.col("p_partkey") + 1).cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return connected_components(edges)
+
+
+def q_degree_rank(spark, sf_dir):
+    """Degree ranking prior (sortNodes, SURVEY.md §2.5) with salted
+    two-stage aggregation; top-20 nodes."""
+    from netbase_spark.operators.materialize import node_degrees
+
+    triples = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("ordered").alias("rel"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("obj"),
+    )
+    return (
+        node_degrees(triples)
+        .orderBy(F.col("degree").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+def q_facets(spark, sf_dir):
+    """Facet counting: top-3 values per predicate, count>1
+    (findFacet/renderResults, SURVEY.md §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    melted = orders.selectExpr(
+        "stack(2, 'orderstatus', o_orderstatus, 'orderpriority', o_orderpriority) AS (pred, val)"
+    )
+    counts = melted.groupBy("pred", "val").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("pred").orderBy(F.col("n").desc(), F.col("val").asc())
+    return (
+        counts.where(F.col("n") > 1)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("pred", "val", "n", "rank")
+    )
+
+
+def q_isa_closure(spark, sf_dir):
+    """Transitive closure (isA4/allInstances analog, SURVEY.md §2.5):
+    supplier -> nation -> region ancestry via iterative driver-loop joins."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = supplier.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("anc"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("anc"),
+        )
+    )
+    closure = edges
+    frontier = edges
+    for _ in range(4):  # fixpoint loop; depth 2 here, bounded like maxRecursions
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.anc") == F.col("e.node"))
+            .select(F.col("f.node").alias("node"), F.col("e.anc").alias("anc"))
+            .exceptAll(closure)
+        )
+        if nxt.isEmpty():
+            break
+        closure = closure.unionByName(nxt).distinct()
+        frontier = nxt
+    return closure.dropDuplicates(["node", "anc"])
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (training-data op)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+def _shingles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("shingle"),
+        F.lead("tok", 2).over(w).alias("ok"),
+    ).where(F.col("ok").isNotNull())
+    return sh.select("doc_id", "shingle").distinct()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection: 3-token-shingle Jaccard >= 0.5 pairs."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jac_e4", F.expr("(10000 * inter) div uni"))
+        .where(F.col("jac_e4") >= 2000)
+        .select("a", "b", "inter", "uni", "jac_e4")
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 4 md5-derived hash functions,
+    2 bands of 2 rows; candidate pairs share a band."""
+    sh = _shingles(spark, sf_dir)
+    hashed = sh
+    for i in range(4):
+        hashed = hashed.withColumn(
+            f"h{i}",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"s{i}") for i in range(4)]
+    )
+    pairs = None
+    for band, cols in enumerate((("s0", "s1"), ("s2", "s3"))):
+        l = sigs.select(F.col("doc_id").alias("a"), *cols)
+        r = sigs.select(F.col("doc_id").alias("b"), *cols)
+        p = l.join(r, list(cols)).where(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector
+    (similarity-search baseline).  Scores as e4-scaled ints."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = joined.select(
+        "vec_id",
+        F.floor(dot / (norm(F.col("embedding")) * norm(F.col("qv"))) * 10000)
+        .cast("long")
+        .alias("sim_e4"),
+    )
+    return scored.orderBy(F.col("sim_e4").desc(), F.col("vec_id").asc()).limit(10)
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID by stopword hits (training-data op)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    en = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "is", "of")))
+    de = F.size(F.filter(toks, lambda t: t.isin("der", "die", "das", "und", "ist")))
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        F.when(en > de, "en").when(de > en, "de").otherwise("unk").alias("lang_guess"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token counts, stopword ratio, mean token length."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "value")))
+    n_chars = F.length(F.regexp_replace("text", " ", ""))
+    mean_len = F.expr(
+        "(100 * length(regexp_replace(text, ' ', ''))) div size(split(text, ' '))"
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        n_chars.alias("n_chars"),
+        mean_len.alias("mean_len_e2"),
+    )
+
+
+def q_token_fingerprint(spark, sf_dir):
+    """Token counting + document fingerprint (md5 of normalized text)."""
+    from netbase_spark.normalize import norm_name_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+            "n_word_tokens"
+        ),
+        F.md5(norm_name_col(F.col("text"))).alias("fp"),
+    )
+
+
+def q_spans_flat(spark, sf_dir):
+    """input_hint-shaped interleaved span derivation from documents,
+    flattened: (doc_id, span_idx, kind, text, media_ref, offset)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    text_span = docs.select(
+        "doc_id",
+        F.lit(0).alias("span_idx"),
+        F.lit("text").alias("kind"),
+        F.col("text").alias("span_text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit(1).alias("span_idx"),
+        F.lit("image").alias("kind"),
+        F.lit("").alias("span_text"),
+        F.concat(
+            F.lit("commons/"), F.md5(F.col("doc_id").cast("string")), F.lit(".jpg")
+        ).alias("media_ref"),
+        (F.length("text") + 1).cast("int").alias("offset"),
+    )
+    return text_span.unionByName(media_span)
+
+
+def q_kg_pipeline_synth(spark, sf_dir):
+    """Full KG construction on the synthetic interleaved corpus
+    (north_rule pipeline; no SQL oracle — graded rows-only)."""
+    from netbase_spark.plans.synth_pipeline import construct
+
+    return construct(spark, 150, seed=42, partitions=8).select(
+        "subj", "rel", "obj", "rule"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: gazetteer mention detection + entity linking over the
+    sf0.001 corpus (enriched docs), returning linked mention edges."""
+    return q_entity_link(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "alias_table": q_alias_table,
+        "best_alias": q_best_alias,
+        "dissect_part_names": q_dissect_part_names,
+        "dissect_paren_names": q_dissect_paren_names,
+        "mention_scan": q_mention_scan,
+        "entity_link": q_entity_link,
+        "mention_counts": q_mention_counts,
+        "cc_chain": q_cc_chain,
+        "degree_rank": q_degree_rank,
+        "facets": q_facets,
+        "isa_closure": q_isa_closure,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "ann_cosine": q_ann_cosine,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_fingerprint": q_token_fingerprint,
+        "spans_flat": q_spans_flat,
+        "kg_pipeline_synth": q_kg_pipeline_synth,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_label = NORM_SQL.format(c="label")
+    return {
+        "alias_table": f"""
+            WITH {LABELS_SQL.strip()}
+            SELECT {norm_label} AS name_norm, key, label_type AS source,
+                   CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS prior
+            FROM labels
+            WHERE length({norm_label}) > 0
+        """,
+        "best_alias": f"""
+            WITH {LABELS_SQL.strip()},
+            aliases AS (
+                SELECT {norm_label} AS name_norm, key,
+                       CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS prior
+                FROM labels WHERE length({norm_label}) > 0
+            )
+            SELECT name_norm, key, prior FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY name_norm ORDER BY prior DESC, key ASC) AS rn
+                FROM aliases
+            ) WHERE rn = 1
+        """,
+        "dissect_part_names": """
+            SELECT DISTINCT split_part(p_name, ' ', 2) AS subj,
+                   CAST(-4 AS INT) AS rel,
+                   'P' || CAST(p_partkey AS VARCHAR) AS obj,
+                   'head' AS rule
+            FROM part
+            WHERE length(p_name) - strpos(p_name, ' ') >= 2
+              AND strpos(p_name, ' ') > 0
+        """,
+        "dissect_paren_names": """
+            WITH t AS (
+                SELECT p_name AS pname, lower(p_type) AS ptype,
+                       'P' || CAST(p_partkey AS VARCHAR) AS key
+                FROM part
+            ), e AS (
+                SELECT pname AS subj, -4 AS rel, key AS obj, 'paren' AS rule FROM t
+                UNION ALL SELECT ptype, -4, pname, 'paren' FROM t
+                UNION ALL SELECT key, -4, ptype, 'paren' FROM t
+                UNION ALL SELECT split_part(pname, ' ', 2), -4, key, 'head' FROM t
+            )
+            SELECT subj, CAST(rel AS INT) AS rel, obj, min(rule) AS rule
+            FROM e GROUP BY subj, rel, obj
+        """,
+        "mention_scan": f"""
+            WITH {MENTIONS_SQL.strip()}
+            SELECT doc_id, alias FROM mentions
+        """,
+        "entity_link": f"""
+            WITH {MENTIONS_SQL.strip()},
+            best AS (
+                SELECT p_name AS alias,
+                       min('P' || CAST(p_partkey AS VARCHAR)) AS entity
+                FROM part GROUP BY p_name
+            )
+            SELECT m.doc_id, b.entity FROM mentions m JOIN best b USING (alias)
+        """,
+        "mention_counts": f"""
+            WITH {MENTIONS_SQL.strip()},
+            best AS (
+                SELECT p_name AS alias,
+                       min('P' || CAST(p_partkey AS VARCHAR)) AS entity
+                FROM part GROUP BY p_name
+            )
+            SELECT b.entity, CAST(count(*) AS BIGINT) AS n_docs
+            FROM mentions m JOIN best b USING (alias)
+            GROUP BY b.entity
+        """,
+        "cc_chain": """
+            SELECT 'P' || CAST(p_partkey AS VARCHAR) AS node,
+                   'P' || CAST(p_partkey - (p_partkey % 10) AS VARCHAR) AS rep
+            FROM part
+            WHERE p_partkey % 10 <> 0
+        """,
+        "degree_rank": """
+            WITH triples AS (
+                SELECT 'C' || CAST(o_custkey AS VARCHAR) AS subj,
+                       'O' || CAST(o_orderkey AS VARCHAR) AS obj
+                FROM orders
+            ), nodes AS (
+                SELECT subj AS node FROM triples
+                UNION ALL SELECT obj FROM triples
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM nodes GROUP BY node
+            ORDER BY degree DESC, node ASC LIMIT 20
+        """,
+        "facets": """
+            WITH melted AS (
+                SELECT 'orderstatus' AS pred, o_orderstatus AS val FROM orders
+                UNION ALL SELECT 'orderpriority', o_orderpriority FROM orders
+            ), counts AS (
+                SELECT pred, val, CAST(count(*) AS BIGINT) AS n
+                FROM melted GROUP BY pred, val
+            )
+            SELECT pred, val, n, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY pred ORDER BY n DESC, val ASC) AS rank
+                FROM counts WHERE n > 1
+            ) WHERE rank <= 3
+        """,
+        "isa_closure": """
+            WITH RECURSIVE edges AS (
+                SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node,
+                       'N' || CAST(s_nationkey AS VARCHAR) AS anc
+                FROM supplier
+                UNION ALL
+                SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+                       'R' || CAST(n_regionkey AS VARCHAR)
+                FROM nation
+            ), closure AS (
+                SELECT node, anc FROM edges
+                UNION
+                SELECT c.node, e.anc FROM closure c JOIN edges e ON c.anc = e.node
+            )
+            SELECT DISTINCT node, anc FROM closure
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": """
+            WITH lists AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), sh0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+                FROM lists
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM sh0
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b, inter,
+                   CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+                   CAST((10000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jac_e4
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE (10000 * inter) // (sa.sz + sb.sz - inter) >= 2000
+        """,
+        "minhash_lsh": """
+            WITH lists AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), sh0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+                FROM lists
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM sh0
+            ), sigs AS (
+                SELECT doc_id,
+                       min(('0x' || substr(md5('0:' || shingle), 1, 8))::BIGINT) AS s0,
+                       min(('0x' || substr(md5('1:' || shingle), 1, 8))::BIGINT) AS s1,
+                       min(('0x' || substr(md5('2:' || shingle), 1, 8))::BIGINT) AS s2,
+                       min(('0x' || substr(md5('3:' || shingle), 1, 8))::BIGINT) AS s3
+                FROM sh GROUP BY doc_id
+            )
+            SELECT DISTINCT a, b FROM (
+                SELECT l.doc_id AS a, r.doc_id AS b
+                FROM sigs l JOIN sigs r ON l.s0 = r.s0 AND l.s1 = r.s1 AND l.doc_id < r.doc_id
+                UNION ALL
+                SELECT l.doc_id, r.doc_id
+                FROM sigs l JOIN sigs r ON l.s2 = r.s2 AND l.s3 = r.s3 AND l.doc_id < r.doc_id
+            )
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(floor(list_cosine_similarity(embedding, qv) * 10000) AS BIGINT) AS sim_e4
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY sim_e4 DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text,' '),
+                        t -> t IN ('the','a','and','is','of'))) AS INT) AS en_hits,
+                   CAST(len(list_filter(string_split(text,' '),
+                        t -> t IN ('der','die','das','und','ist'))) AS INT) AS de_hits,
+                   CASE WHEN len(list_filter(string_split(text,' '),
+                             t -> t IN ('the','a','and','is','of'))) >
+                             len(list_filter(string_split(text,' '),
+                             t -> t IN ('der','die','das','und','ist'))) THEN 'en'
+                        WHEN len(list_filter(string_split(text,' '),
+                             t -> t IN ('der','die','das','und','ist'))) >
+                             len(list_filter(string_split(text,' '),
+                             t -> t IN ('the','a','and','is','of'))) THEN 'de'
+                        ELSE 'unk' END AS lang_guess
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text,' '),
+                        t -> t IN ('the','a','and','of','value'))) AS INT) AS n_stop,
+                   CAST(length(replace(text, ' ', '')) AS INT) AS n_chars,
+                   CAST((100 * length(replace(text, ' ', ''))) // len(string_split(text, ' ')) AS BIGINT) AS mean_len_e2
+            FROM documents
+        """,
+        "token_fingerprint": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_word_tokens,
+                   md5({NORM_SQL.format(c="text")}) AS fp
+            FROM documents
+        """,
+        "spans_flat": """
+            SELECT doc_id, 0 AS span_idx, 'text' AS kind, text AS span_text,
+                   CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'image', '',
+                   'commons/' || md5(CAST(doc_id AS VARCHAR)) || '.jpg',
+                   CAST(length(text) + 1 AS INT)
+            FROM documents WHERE doc_id % 2 = 0
+        """,
+    }

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG-
+construction throughput job (triples/sec).  Prints ONE JSON line.
+
+Modes:
+  python bench.py                    # full headline suite + pipeline
+  python bench.py --pipeline-only    # just construction throughput
+  python bench.py --cpus 8           # override parallelism
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "alias_table",
+    "best_alias",
+    "dissect_part_names",
+    "dissect_paren_names",
+    "mention_scan",
+    "entity_link",
+    "mention_counts",
+    "cc_chain",
+    "degree_rank",
+    "facets",
+    "isa_closure",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "ann_cosine",
+    "lang_id",
+    "text_quality",
+    "token_fingerprint",
+    "spans_flat",
+]
+
+
+def force(df):
+    """Materialize every column (count() lets Catalyst prune)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000")))
+    args = ap.parse_args()
+
+    import __spark_entry__ as em
+    from netbase_spark.plans.synth_pipeline import construct
+    from netbase_spark.session import get_spark
+
+    cpus = int(args.cpus)
+    spark = get_spark(
+        app=f"bench_local{cpus}",
+        cpus=cpus,
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    times: dict[str, float] = {}
+    if not args.pipeline_only:
+        qs = em.queries()
+        for name in HEADLINE:
+            t0 = time.time()
+            force(qs[name](spark, args.sf_dir))
+            times[name] = round(time.time() - t0, 3)
+
+    # construction throughput: docs -> canonical triples
+    t0 = time.time()
+    triples = construct(spark, args.docs, seed=42, partitions=cpus * 2)
+    n_triples = triples.count()
+    pipe_sec = time.time() - t0
+    tps = n_triples / pipe_sec if pipe_sec > 0 else 0.0
+    times["kg_pipeline"] = round(pipe_sec, 3)
+
+    result = {
+        "metric": "kg_construct_headline_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "cpus": cpus,
+        "pipeline": {
+            "n_docs": args.docs,
+            "triples": int(n_triples),
+            "sec": round(pipe_sec, 3),
+            "triples_per_sec": round(tps, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,8 @@ def dissect_triples(labels: DataFrame, german: bool = False) -> DataFrame:
 
     return (
         distinct.mapInPandas(run, schema=DISSECT_SCHEMA)
-        .dropDuplicates(["subj", "rel", "obj"])
+        # deterministic rule tag when several rules emit the same triple
+        .groupBy("subj", "rel", "obj")
+        .agg(F.min("rule").alias("rule"))
         .withColumn("doc_id", F.lit(None).cast("string"))
     )

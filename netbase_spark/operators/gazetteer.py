@@ -44,7 +44,10 @@ def build_alias_table(labels: DataFrame, with_seo: bool = True) -> DataFrame:
         rows = base.unionByName(seo)
 
     return (
-        rows.dropDuplicates(["name_norm", "key"])
+        # min(source) keeps the row deterministic when label and seo forms
+        # collide on the same (name_norm, key)
+        rows.groupBy("name_norm", "key")
+        .agg(F.min("source").alias("source"))
         .join(prior, "key", "left")
         .select("name_norm", "key", "source", "prior")
     )

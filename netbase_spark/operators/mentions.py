@@ -44,7 +44,17 @@ def detect_mentions(
     blacklist: set[str],
     german: bool = False,
 ) -> DataFrame:
-    """docs(doc_id, spans) -> mentions(doc_id, alias_key, start_word, n_words).
+    """docs(doc_id, spans) -> mentions(doc_id, alias_key, start_word, n_words)."""
+    return detect_mentions_text(doc_text(docs), alias_names, blacklist, german)
+
+
+def detect_mentions_text(
+    texts: DataFrame,
+    alias_names: list[str],
+    blacklist: set[str],
+    german: bool = False,
+) -> DataFrame:
+    """texts(doc_id, text) -> mentions(doc_id, alias_key, start_word, n_words).
 
     Longest-match filtering (filterCandidates) is applied per document
     inside the batch, exactly as the reference does per query string.
@@ -80,4 +90,6 @@ def detect_mentions(
                 }
             )
 
-    return doc_text(docs).mapInPandas(scan, schema=MENTIONS_SCHEMA)
+    return texts.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInPandas(scan, schema=MENTIONS_SCHEMA)
