@@ -509,7 +509,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from contract_ext import EXT_QUERIES
+
+    return EXT_QUERIES | {
         "alias_table": q_alias_table,
         "best_alias": q_best_alias,
         "dissect_part_names": q_dissect_part_names,
@@ -534,8 +536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from contract_ext import EXT_ORACLES
+
     norm_label = NORM_SQL.format(c="label")
-    return {
+    return EXT_ORACLES | {
         "alias_table": f"""
             WITH {LABELS_SQL.strip()}
             SELECT {norm_label} AS name_norm, key, label_type AS source,

@@ -39,6 +39,23 @@ HEADLINE = [
     "text_quality",
     "token_fingerprint",
     "spans_flat",
+    "n3_parse",
+    "csv_melt",
+    "facts_member",
+    "export_names",
+    "pattern_match",
+    "filter_string",
+    "bfs_depths",
+    "set_ops_page",
+    "class_fallback",
+    "typed_values",
+    "simhash",
+    "simhash_pairs",
+    "embed_neardup",
+    "ann_bucketed",
+    "media_features",
+    "windowed_events",
+    "sessionize",
 ]
 
 

@@ -1,0 +1,94 @@
+"""The reference's string filter mini-language compiled to Column trees.
+
+Reference: ``filter(NodeVector, cchar* matches)`` evaluates ``a=b``,
+``a!=b``, ``a~b`` (approximately), ``a>b``, ``a<b`` and bare-word
+membership over result vectors (src/query.cpp:629-723); ``parseFilter``
+splits query filter strings on "," / " and " into patterns
+(src/query.cpp:398-470, 472-517); And composes sequentially, Or unions,
+Not excludes (src/query.cpp:735-795).
+
+Spark-first: each leaf compiles to a Column predicate over a wide
+property row (one column per predicate — the ``collectFieldsAndFacets``
+projection shape), so the whole filter tree stays inside whole-stage
+codegen and pushes down to the scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OP_RE = re.compile(r"^\s*([\w .]+?)\s*(!=|>=|<=|=|>|<|~)\s*(.+?)\s*$")
+APPROX_PCT = 0.1  # `~` tolerance: |a-b| <= 10% of b (isAproxymately analog)
+
+
+def _leaf(expr: str) -> Column:
+    m = _OP_RE.match(expr)
+    if not m:
+        # bare word: membership — any column mention (findMatch/findMember);
+        # here: match against the `name` column
+        w = expr.strip().strip('"')
+        return F.lower(F.col("name")).contains(w.lower())
+    field, op, raw = m.groups()
+    field = field.strip().replace(" ", "_")
+    col = F.col(field)
+    is_num = re.fullmatch(r"-?\d+(\.\d+)?", raw) or raw.startswith("#")
+    val = raw.lstrip("#")
+    if is_num:
+        col = col.cast("double")
+        v: Column | float = float(val)
+    else:
+        v = val.strip('"')
+    if op == "=":
+        # case/underscore-insensitive eq for strings (util.cpp:325-343)
+        if is_num:
+            return col == v
+        return F.lower(F.regexp_replace(col, "_", " ")) == str(v).lower().replace("_", " ")
+    if op == "!=":
+        return ~(col == v) if is_num else ~(
+            F.lower(F.regexp_replace(col, "_", " ")) == str(v).lower().replace("_", " ")
+        )
+    if op == ">":
+        return col > v
+    if op == "<":
+        return col < v
+    if op == ">=":
+        return col >= v
+    if op == "<=":
+        return col <= v
+    if op == "~":
+        return F.abs(col - v) <= F.lit(abs(float(val)) * APPROX_PCT)
+    raise ValueError(f"unsupported op {op!r}")
+
+
+def compile_filter(s: str) -> Column:
+    """Filter string -> one Column predicate.
+
+    Split semantics follow parseFilter: " or " makes a union (|);
+    "," and " and " compose sequentially (&); a leading "not " on a
+    term negates it (exclude).
+    """
+    ors = re.split(r"\s+or\s+", s, flags=re.I)
+    out: Column | None = None
+    for branch in ors:
+        terms = re.split(r",|\s+and\s+", branch, flags=re.I)
+        b: Column | None = None
+        for t in terms:
+            t = t.strip()
+            if not t:
+                continue
+            neg = t.lower().startswith("not ")
+            leaf = _leaf(t[4:] if neg else t)
+            leaf = ~leaf if neg else leaf
+            b = leaf if b is None else (b & leaf)
+        if b is not None:
+            out = b if out is None else (out | b)
+    if out is None:
+        raise ValueError(f"empty filter {s!r}")
+    return out
+
+
+def apply_filter(df: DataFrame, s: str) -> DataFrame:
+    return df.where(compile_filter(s))

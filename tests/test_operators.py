@@ -1,0 +1,197 @@
+"""Unit tests for sources, query ops, functions, and training-data
+operators (the oracle-vs-Spark equivalence is checked separately by the
+driver contract; these pin the operator semantics on tiny inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from netbase_spark.relations import INSTANCE, MEMBER, SEE, SYNONYM, TYPE
+
+
+def test_n3_parse_resolution(spark):
+    from netbase_spark.sources.n3 import parse_nt_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("<http://www.wikidata.org/entity/Q42> <http://www.wikidata.org/prop/P31> <http://www.wikidata.org/entity/Q5> .",),
+            ('<http://ex.org/Berlin> <http://ex.org/label> "Berlin City"@en .',),
+            ("<http://ex.org/A_B> <http://ex.org/x#isPart> <http://ex.org/C_D> .",),
+            ("garbage line",),
+            ('<http://ex.org/Q1> <http://www.wikidata.org/prop/P646> "/m/0x" .',),
+        ],
+        "value string",
+    )
+    rows = {tuple(r) for r in parse_nt_lines(lines).collect()}
+    assert rows == {
+        ("Q42", "P31", "Q5"),
+        ("Berlin", "label", "Berlin City"),
+        ("A B", "isPart", "C D"),
+    }
+
+
+def test_melt_typed(spark):
+    from netbase_spark.sources.tabular import melt
+
+    df = spark.createDataFrame([(1, "x", 2.5), (2, None, 7.0)], "id int, a string, b double")
+    out = melt(df, F.concat(F.lit("R"), F.col("id")), ["a", "b"])
+    rows = {(r.subj, r.pred, r.obj_text, r.obj_num) for r in out.collect()}
+    assert ("R1", "a", "x", None) in rows
+    assert ("R1", "b", "2.5", 2.5) in rows
+    assert ("R2", "b", "7.0", 7.0) in rows
+    assert len(rows) == 3  # null cell dropped
+
+
+def test_import_facts_member_heuristic(spark):
+    from netbase_spark.sources.tabular import import_facts
+
+    pairs = spark.createDataFrame(
+        [("hand", "left hand"), ("hand", "foot")], "s string, o string"
+    )
+    rows = {(r.subj, r.rel, r.obj) for r in import_facts(pairs, SEE).collect()}
+    assert ("hand", MEMBER, "left hand") in rows
+    assert ("hand", SEE, "foot") in rows
+
+
+def test_find_statements_inverse_and_symmetric(spark):
+    from netbase_spark.operators.query_ops import find_statements
+
+    triples = spark.createDataFrame(
+        [
+            ("a", INSTANCE, "animal"),
+            ("plant", TYPE, "fern"),   # reverse form of (fern, Instance, plant)
+            ("big", SYNONYM, "large"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    inst = {tuple(r) for r in find_statements(triples, rel=INSTANCE).collect()}
+    assert inst == {("a", INSTANCE, "animal"), ("fern", INSTANCE, "plant")}
+    syn = {tuple(r) for r in find_statements(triples, rel=SYNONYM, subj="large").collect()}
+    assert syn == {("large", SYNONYM, "big")}
+
+
+def test_filter_lang(spark):
+    from netbase_spark.functions.filter_lang import apply_filter
+
+    df = spark.createDataFrame(
+        [("Berlin", 3600000.0), ("kiel", 250000.0), ("Munich_X", 1500000.0)],
+        "name string, population double",
+    )
+    assert apply_filter(df, "population>1000000").count() == 2
+    assert apply_filter(df, "name=munich x").count() == 1  # case/underscore-insensitive
+    assert apply_filter(df, "population~250000").count() == 1
+    assert apply_filter(df, "population>1000000, not name=berlin").count() == 1
+    assert apply_filter(df, "population<300000 or name=Berlin").count() == 2
+
+
+def test_typed_literal_units(spark):
+    from netbase_spark.functions.values import parse_typed_literal
+
+    df = spark.createDataFrame(
+        [('"4.5"^^<km>',), ('"2020-01-02"^^<http://www.w3.org/2001/XMLSchema#date>',), ('"hello"@de',), ("42",)],
+        "lit string",
+    )
+    rows = {r.lit: r.v.asDict() for r in df.select("lit", parse_typed_literal(F.col("lit")).alias("v")).collect()}
+    assert rows['"4.5"^^<km>']["num"] == 4500.0
+    assert rows['"4.5"^^<km>']["unit"] == "m"
+    assert rows['"2020-01-02"^^<http://www.w3.org/2001/XMLSchema#date>']["kind"] == "date"
+    assert rows['"hello"@de']["lang"] == "de"
+    assert rows["42"]["num"] == 42.0  # bare numeric autoparse
+
+
+def test_bfs_shortest_path(spark):
+    from netbase_spark.operators.query_ops import shortest_path_length
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], "src string, dst string"
+    )
+    assert shortest_path_length(edges, "a", "d") == 2
+    assert shortest_path_length(edges, "a", "a") == 0
+    assert shortest_path_length(edges, "d", "a") is None
+
+
+def test_class_of_priority(spark):
+    from netbase_spark.operators.query_ops import class_of
+    from netbase_spark.relations import SUPER_CLASS
+
+    nodes = spark.createDataFrame([("x",), ("y",), ("z",)], "node string")
+    triples = spark.createDataFrame(
+        [("x", TYPE, "t1"), ("x", SUPER_CLASS, "s1"), ("y", TYPE, "t2")],
+        "subj string, rel int, obj string",
+    )
+    got = dict(class_of(nodes, triples, [SUPER_CLASS, TYPE]).collect())
+    assert got == {"x": "s1", "y": "t2", "z": "Entity"}
+
+
+def test_simhash_similar_docs_close(spark):
+    from netbase_spark.operators.dedup import simhash, simhash_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (3, "completely different words about spark catalyst optimizer and shuffle plans"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ham = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham < ham_far
+    cands = {(r.a, r.b) for r in simhash_candidates(simhash(docs)).collect()}
+    assert (1, 2) in cands
+
+
+def test_media_decode_schema(spark):
+    from netbase_spark.operators.media import decode_media, media_spans
+    from netbase_spark.data.synth import docs_df
+
+    docs = docs_df(spark, 40, seed=7)
+    media = media_spans(docs)
+    feats = decode_media(media.select("doc_id", "kind", "media_ref"))
+    rows = feats.collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.kind == "image":
+            assert r.width is not None and 0 <= r.width < 4096
+            assert r.duration_ms is None
+        else:
+            assert r.duration_ms is not None
+        assert len(r.content_fp) == 32
+
+
+def test_ann_bucketed_subset_of_bruteforce_order(spark):
+    from netbase_spark.operators.dedup import ann_lsh_buckets
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(100)
+    b = ann_lsh_buckets(emb, n_planes=4).collect()
+    assert len(b) == 100
+    assert all(0 <= r.bucket < 16 for r in b)
+
+
+def test_sessionize_gap(spark):
+    import datetime as dt
+
+    from netbase_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 1.0),
+            (1, t0 + dt.timedelta(minutes=10), 2.0),
+            (1, t0 + dt.timedelta(minutes=50), 4.0),   # > 30 min gap -> new session
+            (2, t0, 8.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = sessionize(ev, gap_minutes=30).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    sess1 = sorted(per_user[1], key=lambda r: r.session_start)
+    assert sess1[0].n_events == 2 and sess1[0].sum_value == 3.0
+    assert sess1[1].n_events == 1 and sess1[1].sum_value == 4.0
