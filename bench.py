@@ -48,6 +48,7 @@ HEADLINE = [
     "bfs_depths",
     "set_ops_page",
     "class_fallback",
+    "topics_guarded",
     "typed_values",
     "simhash",
     "simhash_pairs",

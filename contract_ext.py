@@ -336,6 +336,38 @@ ORACLE_TYPED = """
 """
 
 
+def q_topics_guarded(spark, sf_dir):
+    """getTopic BFS with hub guards: furthest ancestor, never entering
+    drop-listed hubs (filterWikiType) and halting at stop-listed good
+    classes (stopAtGoodWiki) — SURVEY.md §2.3."""
+    from netbase_spark.operators.query_ops import topic_of
+
+    nation = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    edges = sup.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+        )
+    )
+    nodes = sup.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return topic_of(nodes, edges, stop=("N5",), drop=("R1",))
+
+
+ORACLE_TOPICS = """
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node,
+           CASE WHEN s_nationkey = 5 THEN 'N5'
+                WHEN n_regionkey = 1 THEN 'N' || CAST(s_nationkey AS VARCHAR)
+                ELSE 'R' || CAST(n_regionkey AS VARCHAR) END AS topic
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------
@@ -537,6 +569,7 @@ EXT_QUERIES = {
     "bfs_depths": q_bfs_depths,
     "set_ops_page": q_set_ops_page,
     "class_fallback": q_class_fallback,
+    "topics_guarded": q_topics_guarded,
     "typed_values": q_typed_values,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -557,6 +590,7 @@ EXT_ORACLES = {
     "bfs_depths": ORACLE_BFS,
     "set_ops_page": ORACLE_SET_PAGE,
     "class_fallback": ORACLE_CLASS,
+    "topics_guarded": ORACLE_TOPICS,
     "typed_values": ORACLE_TYPED,
     "simhash": ORACLE_SIMHASH,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,

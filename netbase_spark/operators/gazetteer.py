@@ -53,6 +53,41 @@ def build_alias_table(labels: DataFrame, with_seo: bool = True) -> DataFrame:
     )
 
 
+def prefix_alias_rows(labels: DataFrame, k: int = 2) -> DataFrame:
+    """``addSubword`` analog (src/import.cpp:740-802): the first ``k``
+    words of multi-word labels become extra alias rows (product-title
+    prefix gazetteer entries).  Pure JVM split/slice — no UDF."""
+    toks = F.split(norm_name_col(F.col("label")), " ")
+    prefix = F.array_join(F.slice(toks, 1, k), " ")
+    return (
+        labels.where(F.size(toks) > k)
+        .select(
+            prefix.alias("name_norm"),
+            "key",
+            F.lit("prefix").alias("source"),
+        )
+        .where(F.length("name_norm") > 0)
+        .dropDuplicates(["name_norm", "key"])
+    )
+
+
+def category_alias_rows(labels: DataFrame, col: str = "label") -> DataFrame:
+    """``addSubCategories`` analog: split category paths on '/' into one
+    alias row per segment."""
+    return (
+        labels.select(
+            F.explode(F.split(F.col(col), "/")).alias("seg"), "key"
+        )
+        .select(
+            norm_name_col(F.col("seg")).alias("name_norm"),
+            "key",
+            F.lit("category").alias("source"),
+        )
+        .where(F.length("name_norm") > 0)
+        .dropDuplicates(["name_norm", "key"])
+    )
+
+
 def best_entity_per_alias(aliases: DataFrame) -> DataFrame:
     """Rank-1 candidate per alias: (prior desc, key asc) — getThe's
     THE-instance selection (src/netbase.cpp:2276-2341) with the degree

@@ -153,6 +153,51 @@ def shortest_path_length(
     return None if hit is None else int(hit)
 
 
+def topic_of(
+    nodes: DataFrame,
+    edges: DataFrame,
+    stop: tuple[str, ...] = (),
+    drop: tuple[str, ...] = (),
+    max_depth: int = 10,
+) -> DataFrame:
+    """``getTopic``/``getFurthest`` with hub guards (src/query.cpp:
+    2171-2179, 1511-1564): BFS upward to the furthest ancestor, never
+    entering DROP-listed hub classes (``filterWikiType``) and halting at
+    STOP-listed good classes (``stopAtGoodWiki``).  Returns
+    (node, topic).  The guard lists are exactly the reference's manual
+    answer to hub-entity skew — broadcast into the join filters here.
+    """
+    e = edges.select(F.col("src"), F.col("dst"))
+    if drop:
+        e = e.where(~F.col("dst").isin(list(drop)))
+    cur = nodes.select(
+        F.col("node").alias("start"), F.col("node").alias("cur"), F.lit(0).alias("depth")
+    ).localCheckpoint()
+    seen = cur
+    frontier = cur
+    for d in range(1, max_depth + 1):
+        if stop:
+            frontier = frontier.where(~F.col("cur").isin(list(stop)))
+        nxt = (
+            frontier.join(e, frontier["cur"] == e["src"])
+            .select("start", F.col("dst").alias("cur"), F.lit(d).alias("depth"))
+            .dropDuplicates(["start", "cur"])
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt)
+        frontier = nxt
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("start").orderBy(F.col("depth").desc(), F.col("cur").asc())
+    return (
+        seen.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("start").alias("node"), F.col("cur").alias("topic"))
+    )
+
+
 def merge_vectors(a: DataFrame, b: DataFrame) -> DataFrame:
     """Dedup union (``mergeVectors``)."""
     return a.unionByName(b).distinct()

@@ -53,6 +53,25 @@ def test_import_facts_member_heuristic(spark):
     assert ("hand", SEE, "foot") in rows
 
 
+def test_prefix_and_category_aliases(spark):
+    from netbase_spark.operators.gazetteer import (
+        category_alias_rows,
+        prefix_alias_rows,
+    )
+
+    labels = spark.createDataFrame(
+        [("K1", "Apple iPhone 12 Pro Max"), ("K2", "Shoes")],
+        "key string, label string",
+    )
+    pre = {(r.name_norm, r.key) for r in prefix_alias_rows(labels, k=2).collect()}
+    assert pre == {("apple iphone", "K1")}  # short labels skipped
+    cats = spark.createDataFrame(
+        [("K3", "Electronics/Phones/Accessories")], "key string, label string"
+    )
+    got = {r.name_norm for r in category_alias_rows(cats).collect()}
+    assert got == {"electronics", "phones", "accessories"}
+
+
 def test_find_statements_inverse_and_symmetric(spark):
     from netbase_spark.operators.query_ops import find_statements
 
