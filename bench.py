@@ -65,6 +65,14 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def clear_persisted(spark):
+    """Unpersist anything a query left pinned (iterative operators keep
+    their final iteration persisted) so queries are timed independently."""
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -74,6 +82,7 @@ def main():
     args = ap.parse_args()
 
     import __spark_entry__ as em
+    from pyspark.sql import functions as F
     from netbase_spark.plans.synth_pipeline import construct
     from netbase_spark.session import get_spark
 
@@ -90,6 +99,11 @@ def main():
     except ValueError:
         sf_val = sf
 
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).select(F.md5(F.col("id").cast("string"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     times: dict[str, float] = {}
     if not args.pipeline_only:
         qs = em.queries()
@@ -97,6 +111,8 @@ def main():
             t0 = time.time()
             force(qs[name](spark, args.sf_dir))
             times[name] = round(time.time() - t0, 3)
+            print(f"[bench] {name}: {times[name]}s", file=sys.stderr, flush=True)
+            clear_persisted(spark)
 
     # construction throughput: docs -> canonical triples
     t0 = time.time()

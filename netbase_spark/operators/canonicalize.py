@@ -20,22 +20,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """localCheckpoint an iteration result and remember which RDD blocks
+    it created.
+
+    Both halves matter, measured:
+    - lineage MUST be cut (plain persist leaves the pointer-jumping
+      self-join doubling the logical plan every round — by iteration 3
+      the driver spends minutes in analysis);
+    - superseded checkpoints MUST be freed (unbounded checkpoint blocks
+      poison every later query in the session with GC pressure).
+    """
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint()  # eager: materializes and truncates lineage
+    out._pin_ids = _persistent_ids(spark) - before  # type: ignore[attr-defined]
+    return out
+
+
+def _unpin(df: DataFrame) -> None:
+    """Free a superseded _pin'd iteration (safe only once nothing will
+    read it again — its lineage was truncated, there is no recompute)."""
+    ids = getattr(df, "_pin_ids", None)
+    if not ids:
+        return
+    m = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for k in m.keySet().toArray():
+        if int(k) in ids:
+            m.get(k).unpersist(False)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(src, dst) undirected -> mapping(node, rep) for non-trivial
     components only (node != rep)."""
-    sym = (
+    sym = _pin(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     # start: rep = min(self, direct neighbors)
-    mapping = (
+    mapping = _pin(
         sym.groupBy("a")
         .agg(F.least(F.min("b"), F.first("a")).alias("rep"))
         .select(F.col("a").alias("node"), "rep")
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -51,22 +84,25 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         # pointer jumping: rep := rep(rep)
         m2 = merged.select(F.col("node").alias("n2"), F.col("rep").alias("rep2"))
-        jumped = (
+        jumped = _pin(
             merged.join(m2, merged["rep"] == m2["n2"], "left")
             .select("node", F.coalesce("rep2", "rep").alias("rep"))
-            .localCheckpoint()
         )
-        changed = (
-            jumped.alias("j")
-            .join(mapping.alias("m"), "node")
-            .where(F.col("j.rep") != F.col("m.rep"))
-            .limit(1)
-            .count()
-        )
+        # convergence check: order-insensitive signature of (node, rep) —
+        # one scan of the checkpointed result, no join
+        sig = jumped.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod-bounded so the sum cannot overflow long (ANSI mode)
+            F.sum(F.pmod(F.xxhash64("node", "rep"), F.lit(1 << 30))).alias("h"),
+        ).collect()[0]
+        prev_sig = getattr(mapping, "_cc_sig", None)
+        jumped._cc_sig = (sig["n"], sig["h"])  # type: ignore[attr-defined]
+        _unpin(mapping)
         mapping = jumped
-        if changed == 0:
+        if prev_sig is not None and prev_sig == (sig["n"], sig["h"]):
             break
 
+    _unpin(sym)
     return mapping.where(F.col("node") != F.col("rep"))
 
 

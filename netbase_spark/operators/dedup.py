@@ -105,14 +105,25 @@ def cosine_neardup_pairs(
     """All pairs with cosine >= threshold (e4-scaled int for stable
     comparison).  Brute-force O(n^2) baseline — correct reference for
     the LSH variants; at scale use ann_lsh_buckets + within-bucket scan.
+
+    Norms are computed once per VECTOR (n of them), not once per pair
+    (n^2) — 3x less arithmetic on the quadratic path.
     """
-    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    withn = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+    )
+    # the cartesian runs as BroadcastNestedLoopJoin whose parallelism is
+    # the LEFT side's partition count — repartition it or a small input
+    # file degenerates to a single task
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = withn.repartition(par).select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = withn.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
     sim = F.floor(
-        _dot(F.col("va"), F.col("vb"))
-        / (_norm(F.col("va")) * _norm(F.col("vb")))
-        * 10000
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 10000
     ).cast("long")
     return (
         pairs.select("a", "b", sim.alias("sim_e4"))

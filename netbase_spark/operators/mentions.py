@@ -70,6 +70,10 @@ def detect_mentions_text(
 
         alias_set = set(alias_tuple)
         lookup = lambda nn: nn if nn and nn in alias_set else None  # noqa: E731
+        # NOTE: window growth must stay at the reference's MAX_WORDS —
+        # capping at the longest alias token count is NOT safe because
+        # punctuation-produced empty tokens collapse at normalization
+        # (a 3-token window can match a 2-token alias).
         for pdf in batches:
             out_doc, out_key, out_start, out_n = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):

@@ -114,26 +114,34 @@ def bfs_distances(
     """Multi-source BFS: edges(src, dst), sources(node) ->
     (node, root, depth) minimal hop count from each source.
 
-    Driver loop of frontier joins; each level localCheckpoints to cut
-    lineage (Catalyst has no recursion).  ``getFurthest``/``findPath``
+    Driver loop of frontier joins (Catalyst has no recursion); each
+    level persists + materializes, superseded levels unpersist (bounded
+    executor memory over long traversals).  ``getFurthest``/``findPath``
     are wrappers over these distances.
     """
-    visited = sources.select(
-        F.col("node"), F.col("node").alias("root"), F.lit(0).alias("depth")
-    ).localCheckpoint()
+    from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    visited = _pin(
+        sources.select(
+            F.col("node"), F.col("node").alias("root"), F.lit(0).alias("depth")
+        )
+    )
     frontier = visited
     for d in range(1, max_depth + 1):
-        nxt = (
+        nxt = _pin(
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"), "root", F.lit(d).alias("depth"))
-            .join(visited.select("node", "root").withColumn("_v", F.lit(1)),
-                  ["node", "root"], "left_anti")
+            .join(visited.select("node", "root"), ["node", "root"], "left_anti")
             .dropDuplicates(["node", "root"])
-            .localCheckpoint()
         )
         if nxt.isEmpty():
+            _unpin(nxt)
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        new_visited = _pin(visited.unionByName(nxt))
+        if frontier is not visited:
+            _unpin(frontier)
+        _unpin(visited)
+        visited = new_visited
         frontier = nxt
     return visited
 
@@ -167,26 +175,36 @@ def topic_of(
     (node, topic).  The guard lists are exactly the reference's manual
     answer to hub-entity skew — broadcast into the join filters here.
     """
+    from netbase_spark.operators.canonicalize import _pin, _unpin
+
     e = edges.select(F.col("src"), F.col("dst"))
     if drop:
         e = e.where(~F.col("dst").isin(list(drop)))
-    cur = nodes.select(
-        F.col("node").alias("start"), F.col("node").alias("cur"), F.lit(0).alias("depth")
-    ).localCheckpoint()
+    cur = _pin(
+        nodes.select(
+            F.col("node").alias("start"), F.col("node").alias("cur"),
+            F.lit(0).alias("depth"),
+        )
+    )
     seen = cur
     frontier = cur
     for d in range(1, max_depth + 1):
+        probe = frontier
         if stop:
-            frontier = frontier.where(~F.col("cur").isin(list(stop)))
-        nxt = (
-            frontier.join(e, frontier["cur"] == e["src"])
+            probe = probe.where(~F.col("cur").isin(list(stop)))
+        nxt = _pin(
+            probe.join(e, probe["cur"] == e["src"])
             .select("start", F.col("dst").alias("cur"), F.lit(d).alias("depth"))
             .dropDuplicates(["start", "cur"])
-            .localCheckpoint()
         )
         if nxt.isEmpty():
+            _unpin(nxt)
             break
-        seen = seen.unionByName(nxt)
+        new_seen = _pin(seen.unionByName(nxt))
+        if frontier is not seen:
+            _unpin(frontier)
+        _unpin(seen)
+        seen = new_seen
         frontier = nxt
     from pyspark.sql import Window
 

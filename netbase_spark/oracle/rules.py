@@ -270,21 +270,24 @@ def find_mentions(
     alias_lookup,
     blacklist: set[str],
     german: bool = False,
+    max_words: int = MAX_WORDS,
 ) -> list[tuple[str, int, int]]:
     """Gazetteer sliding-window scan (findEntites, src/query.cpp:1980-2063).
 
     ``alias_lookup(name_norm)`` returns a matched-alias key or None.
     Returns [(alias_key, start_word, n_words)] before longest-match
-    filtering.
+    filtering.  ``max_words`` may be capped at the longest alias token
+    count (semantics-identical: longer spans can never match).
     """
     q = text.translate(_PUNCT)
     words = [w for w in q.split(" ")]
     found: list[tuple[str, int, int]] = []
     n = len(words)
+    max_words = min(max_words, MAX_WORDS)
     for i in range(n):
         if not words[i]:
             continue
-        for j in range(i + 1, min(i + 1 + MAX_WORDS, n + 1)):
+        for j in range(i + 1, min(i + 1 + max_words, n + 1)):
             span = " ".join(words[i:j])
             if len(span) < MIN_CHARS:
                 continue
