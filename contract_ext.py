@@ -559,7 +559,31 @@ ORACLE_SESSIONIZE = """
 """
 
 
+def q_query_lang(spark, sf_dir):
+    """The reference's NL-ish query language end-to-end (fixQuery ->
+    parseQuery -> filter compile -> projection, SURVEY.md §2.6): "list
+    of customers with ..." rewrites to select-from-where, plural table
+    name resolves via singular retry, `=` compares case/underscore-
+    insensitively (src/query.cpp:22-57, 472-517)."""
+    from netbase_spark.functions.query_lang import run_query
+
+    tables = {"customer": _t(spark, sf_dir, "customer")}
+    out = run_query(
+        "list of customers with c_acctbal>9000 and c_mktsegment=BUILDING", tables
+    )
+    # stable contract projection (the NL form selects *)
+    return out.select("c_custkey", "c_acctbal")
+
+
+ORACLE_QUERY_LANG = """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > 9000
+      AND lower(replace(c_mktsegment, '_', ' ')) = 'building'
+"""
+
+
 EXT_QUERIES = {
+    "query_lang": q_query_lang,
     "n3_parse": q_n3_parse,
     "csv_melt": q_csv_melt,
     "facts_member": q_facts_member,
@@ -581,6 +605,7 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    "query_lang": ORACLE_QUERY_LANG,
     "n3_parse": ORACLE_N3,
     "csv_melt": ORACLE_CSV_MELT,
     "facts_member": ORACLE_FACTS,

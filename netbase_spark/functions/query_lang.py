@@ -1,0 +1,152 @@
+"""The reference's query-language surface compiled onto DataFrames.
+
+Reference: ``fixQuery`` rewrites NL-ish phrasings into SQL-ish form
+("types of X" / "list of X" / "all X" / "show X" -> ``select * from X``;
+" with / which / who / that " -> " where "; plural strip)
+(src/query.cpp:22-57); ``parseQuery`` splits ``select F from T where M``
+via ``cut_to`` and parses the filter list (src/query.cpp:472-517);
+``evaluate_sql`` is the sscanf select/from/where path
+(src/query.cpp:531-575); ``query(Query&)`` = instances-of-keyword ->
+sequential filters -> projection (src/query.cpp:299-319).
+
+Spark-first: the parse produces (fields, table, where); execution is a
+plain DataFrame plan — scan -> Column-compiled filter (filter_lang) ->
+projection — so Catalyst gets full pushdown/pruning.  Two table shapes:
+
+- ``run_query`` over WIDE tables (one column per property): the
+  ``collectFieldsAndFacets`` projection shape, directly SQL-checkable.
+- ``run_graph_query`` over the TRIPLE table: keyword -> Instance edges
+  -> pivot requested predicates wide -> same filter path (the
+  ``allInstances`` + ``filter`` composition of the reference).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netbase_spark.functions.filter_lang import compile_filter
+from netbase_spark.relations import INSTANCE
+
+_NL_PREFIXES = re.compile(
+    r"^\s*(types of|list of|all|show|every)\s+", flags=re.I
+)
+_WHERE_WORDS = re.compile(r"\s+(with|which|who|that)\s+", flags=re.I)
+
+
+def fix_query(s: str) -> str:
+    """NL -> SQL-ish rewrite (src/query.cpp:22-57)."""
+    s = s.strip()
+    if not re.match(r"^\s*select\b", s, flags=re.I):
+        s = _NL_PREFIXES.sub("", s)
+        s = _WHERE_WORDS.sub(" where ", s, count=1)
+        if re.search(r"\s+where\s+", s, flags=re.I):
+            head, tail = re.split(r"\s+where\s+", s, maxsplit=1, flags=re.I)
+            s = f"select * from {head.strip()} where {tail.strip()}"
+        else:
+            s = f"select * from {s}"
+    return s
+
+
+@dataclass
+class ParsedQuery:
+    fields: list[str]  # ["*"] for all
+    table: str
+    where: str | None  # raw filter string for filter_lang
+
+
+def parse_query(s: str) -> ParsedQuery:
+    """``select F from T [where M]`` split (src/query.cpp:472-517)."""
+    s = fix_query(s)
+    m = re.match(
+        r"^\s*select\s+(.+?)\s+from\s+(\S+)(?:\s+where\s+(.+))?\s*$",
+        s,
+        flags=re.I,
+    )
+    if not m:
+        raise ValueError(f"unparseable query {s!r}")
+    fields_raw, table, where = m.groups()
+    fields = [f.strip().replace(" ", "_") for f in fields_raw.split(",")]
+    return ParsedQuery(fields=fields, table=table.strip(), where=where)
+
+
+def _singular(word: str) -> str:
+    """Plural strip retry (src/query.cpp:42-47; '…s' not 'ss'/'ns',
+    src/netbase.cpp:951; '-ies' -> '-y' for the lookup retry)."""
+    if word.endswith("ies") and len(word) > 3:
+        return word[:-3] + "y"
+    if word.endswith("s") and not word.endswith(("ss", "ns")):
+        return word[:-1]
+    return word
+
+
+def run_query(
+    q: str, tables: dict[str, DataFrame], limit: int | None = None
+) -> DataFrame:
+    """Execute over wide tables: resolve table name (plural retry),
+    compile the filter string, project fields."""
+    p = parse_query(q)
+    name = p.table.lower()
+    df = tables.get(name)
+    if df is None:
+        df = tables.get(_singular(name))
+    if df is None:
+        raise KeyError(f"unknown table {p.table!r}")
+    if p.where:
+        df = df.where(compile_filter(p.where))
+    if p.fields != ["*"]:
+        df = df.select(*p.fields)
+    if limit:
+        df = df.limit(limit)
+    return df
+
+
+def run_graph_query(
+    q: str,
+    triples: DataFrame,
+    limit: int | None = None,
+) -> DataFrame:
+    """Execute over the triple table: ``from T`` selects Instance-of-T
+    subjects (``allInstances`` one-hop; closure composes upstream via
+    isa_closure), requested predicate columns pivot wide, then the same
+    filter path.  Pivot values are min-aggregated for determinism (the
+    reference takes the first statement in chain order)."""
+    p = parse_query(q)
+    keyword = p.table.replace("_", " ").lower()
+    insts = (
+        triples.where(F.col("rel") == INSTANCE)
+        .where(F.lower(F.col("subj")) == keyword)
+        .select(F.col("obj").alias("node"))
+        .distinct()
+    )
+    # property predicates used by fields + filter
+    preds = {f for f in p.fields if f != "*"}
+    if p.where:
+        preds |= {
+            m.group(1).strip().replace(" ", "_")
+            for m in re.finditer(r"([\w .]+?)\s*(?:!=|>=|<=|=|>|<|~)", p.where)
+        }
+    props = (
+        insts.join(triples, insts["node"] == triples["subj"])
+        .where(F.col("rel").cast("string").isin([str(x) for x in preds]))
+        .groupBy("node")
+        .pivot("rel", list(preds))
+        .agg(F.min("obj"))
+    )
+    out = insts.join(props, "node", "left").withColumnRenamed("node", "name")
+    if p.where:
+        out = out.where(compile_filter(p.where))
+    if p.fields != ["*"]:
+        out = out.select("name", *p.fields)
+    if limit:
+        out = out.limit(limit)
+    return out
+
+
+def evaluate_sql(spark: SparkSession, s: str) -> DataFrame:
+    """ANSI passthrough (``evaluate_sql``, src/query.cpp:531-575):
+    anything already valid SQL goes straight to Catalyst."""
+    return spark.sql(s)

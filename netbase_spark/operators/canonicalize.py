@@ -55,9 +55,52 @@ def _unpin(df: DataFrame) -> None:
             m.get(k).unpersist(False)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 200_000
+) -> DataFrame:
     """edges(src, dst) undirected -> mapping(node, rep) for non-trivial
-    components only (node != rep)."""
+    components only (node != rep).
+
+    Size-adaptive: below ``driver_threshold`` edges the component solve
+    runs as plain union-find on the driver (the reference's ``mergeNode``
+    is O(E α); scheduling 25 distributed rounds for a dimension-sized
+    edge set costs orders of magnitude more than computing it) — same
+    min-rep output, verified equal to the distributed path by tests.
+    Above it, iterative min-label propagation with pointer jumping.
+    sameAs-class edge sets are label-table-sized, not corpus-sized, so
+    the driver path is the common case even at 10^12 docs; the
+    distributed loop is the guarantee it stays correct when it isn't.
+    """
+    if driver_threshold and edges.limit(driver_threshold + 1).count() <= driver_threshold:
+        pairs = [
+            (r[0], r[1])
+            for r in edges.select("src", "dst").collect()
+            if r[0] is not None and r[1] is not None
+        ]
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-key representative == the distributed min-label result
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        rows = [(n, r) for n, r in rows if n != r]
+        schema = "node string, rep string"
+        f = edges.schema["src"].dataType.simpleString()
+        if f != "string":
+            schema = f"node {f}, rep {f}"
+        return edges.sparkSession.createDataFrame(rows, schema)
+
     sym = _pin(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))

@@ -106,28 +106,47 @@ def cosine_neardup_pairs(
     comparison).  Brute-force O(n^2) baseline — correct reference for
     the LSH variants; at scale use ann_lsh_buckets + within-bucket scan.
 
-    Norms are computed once per VECTOR (n of them), not once per pair
-    (n^2) — 3x less arithmetic on the quadratic path.
+    Physical plan: BLOCK MATRIX PRODUCT — the right side is broadcast as
+    one numpy matrix, the left side streams through ``mapInPandas`` in
+    Arrow batches, and each task computes an (batch x n) similarity
+    block with one BLAS gemm.  No per-pair expression eval: the old
+    crossJoin + higher-order-function dot was interpreted per element
+    (no codegen for lambda HOFs) and ~100x slower.  At 10^12 scale the
+    broadcast side tiles: loop this operator over right-side tiles that
+    fit executor memory (the LSH bucket path is the real scale answer;
+    this is the within-bucket/within-tile kernel).
     """
-    withn = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("n"),
-    )
-    # the cartesian runs as BroadcastNestedLoopJoin whose parallelism is
-    # the LEFT side's partition count — repartition it or a small input
-    # file degenerates to a single task
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    thr = int(threshold_e4)
+
+    def block(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            e4 = np.floor(sims * 10000).astype(np.int64)
+            keep = (e4 >= thr) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a": a_ids[ai], "b": b_ids[bj], "sim_e4": e4[ai, bj]}
+            )
+
     par = emb.sparkSession.sparkContext.defaultParallelism
-    a = withn.repartition(par).select(
-        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b = withn.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
-    sim = F.floor(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 10000
-    ).cast("long")
     return (
-        pairs.select("a", "b", sim.alias("sim_e4"))
-        .where(F.col("sim_e4") >= threshold_e4)
+        emb.repartition(par)
+        .mapInPandas(block, schema="a long, b long, sim_e4 long")
     )
 
 
@@ -170,8 +189,6 @@ def ann_topk_bucketed(
     """Top-k cosine within the query's LSH bucket (the scale path; the
     brute-force baseline in the entry contract is its correctness
     reference at small n)."""
-    from pyspark.sql import Window
-
     buckets = ann_lsh_buckets(emb, n_planes)
     with_b = emb.join(buckets, "vec_id")
     qb = with_b.where(F.col("vec_id") == query_id).select(
@@ -186,9 +203,6 @@ def ann_topk_bucketed(
         * 10000
     ).cast("long")
     scored = cands.select("vec_id", sim.alias("sim_e4"))
-    w = Window.orderBy(F.col("sim_e4").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-    )
+    # global top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heap + driver merge), NOT a single-partition global Window sort
+    return scored.orderBy(F.col("sim_e4").desc(), F.col("vec_id").asc()).limit(k)

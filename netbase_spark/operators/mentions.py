@@ -66,9 +66,14 @@ def detect_mentions_text(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Build the probe set once per task, not per batch/row.
-        from netbase_spark.oracle.rules import filter_candidates, find_mentions
+        from netbase_spark.oracle.rules import (
+            filter_candidates,
+            find_mentions,
+            first_token_index,
+        )
 
         alias_set = set(alias_tuple)
+        ftoks = first_token_index(alias_set)
         lookup = lambda nn: nn if nn and nn in alias_set else None  # noqa: E731
         # NOTE: window growth must stay at the reference's MAX_WORDS —
         # capping at the longest alias token count is NOT safe because
@@ -78,7 +83,10 @@ def detect_mentions_text(
             out_doc, out_key, out_start, out_n = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 cands = filter_candidates(
-                    find_mentions(text or "", lookup, blacklist_f, german)
+                    find_mentions(
+                        text or "", lookup, blacklist_f, german,
+                        first_tokens=ftoks,
+                    )
                 )
                 for key, i, n in cands:
                     out_doc.append(doc_id)

@@ -265,12 +265,32 @@ MIN_CHARS = 2  # src/query.cpp:2000
 _PUNCT = str.maketrans({c: " " for c in ".?!()%"})  # src/query.cpp:1982-1987
 
 
+def first_token_index(alias_names) -> frozenset[str]:
+    """Prefilter set for :func:`find_mentions`: the first normalized
+    token of every alias (plus quote-stripped variants).  A window at
+    position ``i`` can only match some alias if the normalized first
+    word at ``i`` is in this set (single-word spans additionally via the
+    trailing-s/-e stem) — everything else skips the expensive per-span
+    normalization.  Pure optimization: may falsely PASS (the full probe
+    then rejects) but never falsely rejects."""
+    toks: set[str] = set()
+    for a in alias_names:
+        if not a:
+            continue
+        t = a.split(" ", 1)[0]
+        toks.add(t)
+        toks.add(t.strip("\"'"))
+    toks.discard("")
+    return frozenset(toks)
+
+
 def find_mentions(
     text: str,
     alias_lookup,
     blacklist: set[str],
     german: bool = False,
     max_words: int = MAX_WORDS,
+    first_tokens: frozenset[str] | None = None,
 ) -> list[tuple[str, int, int]]:
     """Gazetteer sliding-window scan (findEntites, src/query.cpp:1980-2063).
 
@@ -278,6 +298,8 @@ def find_mentions(
     Returns [(alias_key, start_word, n_words)] before longest-match
     filtering.  ``max_words`` may be capped at the longest alias token
     count (semantics-identical: longer spans can never match).
+    ``first_tokens`` (from :func:`first_token_index`) skips start
+    positions that cannot begin any alias.
     """
     q = text.translate(_PUNCT)
     words = [w for w in q.split(" ")]
@@ -287,6 +309,19 @@ def find_mentions(
     for i in range(n):
         if not words[i]:
             continue
+        if first_tokens is not None:
+            t0 = norm_name(words[i]) or ""
+            t0 = t0.split(" ", 1)[0]
+            # empty-normalizing tokens (pure punctuation) fall through:
+            # the span's normalized form then starts at a LATER word
+            if t0:
+                passes = t0 in first_tokens or (
+                    t0.endswith("s") and t0[:-1] in first_tokens
+                )
+                if not passes and german and t0.endswith("e"):
+                    passes = t0[:-1] in first_tokens
+                if not passes:
+                    continue
         for j in range(i + 1, min(i + 1 + max_words, n + 1)):
             span = " ".join(words[i:j])
             if len(span) < MIN_CHARS:
@@ -381,11 +416,14 @@ def oracle_triples(
             return nn
         return None
 
+    ftoks = first_token_index(alias.keys())
     for doc in docs:
         text = " ".join(
             sp["text"] for sp in doc["spans"] if sp["kind"] == "text" and sp["text"]
         )
-        cands = filter_candidates(find_mentions(text, lookup, blacklist))
+        cands = filter_candidates(
+            find_mentions(text, lookup, blacklist, first_tokens=ftoks)
+        )
         seen_alias = set()
         for alias_key, _i, _n in cands:
             if alias_key in seen_alias:

@@ -37,7 +37,9 @@ def construct(spark: SparkSession, n_docs: int, seed: int = 42,
         LABELS_SCHEMA,
     )
     docs = docs_df(spark, n_docs, seed=seed, partitions=partitions)
-    aliases = build_alias_table(labels_df, with_seo=False)
+    # aliases is read twice (name collect + the link join) — persist, or
+    # the window/groupBy chain re-executes inside the raw-union plan
+    aliases = build_alias_table(labels_df, with_seo=False).persist()
     alias_names = [
         r["name_norm"] for r in aliases.select("name_norm").distinct().collect()
     ]
@@ -53,5 +55,10 @@ def construct(spark: SparkSession, n_docs: int, seed: int = 42,
             )
         )
     )
+    # raw is consumed by sameas_edges/CC AND the final rewrite — persist
+    # eagerly (a lazy persist under CC's limit() probe only caches the
+    # partitions the probe touches; the rest would re-run the scan chain)
+    raw = raw.persist()
+    raw.count()
     mapping = connected_components(sameas_edges(raw))
     return rewrite_triples(raw, mapping)
