@@ -19,20 +19,26 @@ from netbase_spark.operators.gazetteer import best_entity_per_alias
 from netbase_spark.relations import MENTIONED_IN
 
 
-def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+def link_mentions(
+    mentions: DataFrame, aliases: DataFrame, already_distinct: bool = False
+) -> DataFrame:
     """mentions(doc_id, alias_key) x aliases -> triples
     (subj=entity, rel=MENTIONED_IN, obj=doc_id, rule='mention', doc_id).
 
     One mention edge per (doc, alias) — duplicates of the same alias in
-    a doc collapse, matching the oracle's seen-alias semantics.
+    a doc collapse, matching the oracle's seen-alias semantics.  Pass
+    ``already_distinct=True`` when the scan ran with
+    ``distinct_per_doc`` — then linking is shuffle-free on the doc side
+    (broadcast join only).
     """
     best = best_entity_per_alias(aliases).select(
         F.col("name_norm").alias("alias_key"), F.col("key").alias("entity")
     )
+    m = mentions.select("doc_id", "alias_key")
+    if not already_distinct:
+        m = m.dropDuplicates(["doc_id", "alias_key"])
     return (
-        mentions.select("doc_id", "alias_key")
-        .dropDuplicates(["doc_id", "alias_key"])
-        .join(F.broadcast(best), "alias_key")
+        m.join(F.broadcast(best), "alias_key")
         .select(
             F.col("entity").alias("subj"),
             F.lit(MENTIONED_IN).alias("rel"),

@@ -43,9 +43,12 @@ def detect_mentions(
     alias_names: list[str],
     blacklist: set[str],
     german: bool = False,
+    distinct_per_doc: bool = False,
 ) -> DataFrame:
     """docs(doc_id, spans) -> mentions(doc_id, alias_key, start_word, n_words)."""
-    return detect_mentions_text(doc_text(docs), alias_names, blacklist, german)
+    return detect_mentions_text(
+        doc_text(docs), alias_names, blacklist, german, distinct_per_doc
+    )
 
 
 def detect_mentions_text(
@@ -53,11 +56,18 @@ def detect_mentions_text(
     alias_names: list[str],
     blacklist: set[str],
     german: bool = False,
+    distinct_per_doc: bool = False,
 ) -> DataFrame:
     """texts(doc_id, text) -> mentions(doc_id, alias_key, start_word, n_words).
 
     Longest-match filtering (filterCandidates) is applied per document
     inside the batch, exactly as the reference does per query string.
+
+    ``distinct_per_doc`` dedupes (doc, alias) INSIDE the scan (first
+    occurrence kept) — the linking path needs only distinct pairs, and
+    deduping here instead of a downstream ``dropDuplicates`` removes the
+    only shuffle on the doc side (a doc's mentions all live in its own
+    scan batch, so per-doc dedup IS global dedup).
     """
     import pandas as pd
 
@@ -88,6 +98,12 @@ def detect_mentions_text(
                         first_tokens=ftoks,
                     )
                 )
+                if distinct_per_doc:
+                    seen: set[str] = set()
+                    cands = [
+                        c for c in cands
+                        if c[0] not in seen and not seen.add(c[0])
+                    ]
                 for key, i, n in cands:
                     out_doc.append(doc_id)
                     out_key.append(key)
@@ -105,3 +121,74 @@ def detect_mentions_text(
     return texts.select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     ).mapInPandas(scan, schema=MENTIONS_SCHEMA)
+
+
+def scan_mention_triples(
+    docs: DataFrame,
+    alias_to_entity: dict[str, str],
+    blacklist: set[str],
+    german: bool = False,
+) -> DataFrame:
+    """Fused scan -> link -> canonicalize for the construction hot path:
+    ``alias_to_entity`` maps each gazetteer surface form to its FINAL
+    entity (rank-1 prior selection composed with the union-find
+    canonical map — both label-side-only computations, so they exist
+    before any document is read).  Emits canonical mention triples
+    (subj=entity, rel=MENTIONED_IN, obj=doc_id, rule, doc_id), deduped
+    per doc on the final entity.
+
+    Equivalent to detect_mentions + link_mentions + rewrite on the
+    mention side (mention triples are per-doc-unique by construction:
+    obj is the doc id), but the doc side needs NO join and NO shuffle —
+    one mapInPandas over doc partitions, everything else broadcast.
+    """
+    import pandas as pd
+
+    from netbase_spark.relations import MENTIONED_IN
+    from netbase_spark.schemas import TRIPLES_SCHEMA
+
+    items = tuple(sorted(alias_to_entity.items()))
+    blacklist_f = frozenset(blacklist)
+
+    def scan(batches):
+        from netbase_spark.oracle.rules import (
+            filter_candidates,
+            find_mentions,
+            first_token_index,
+        )
+
+        amap = dict(items)
+        ftoks = first_token_index(amap.keys())
+        lookup = lambda nn: nn if nn and nn in amap else None  # noqa: E731
+        for pdf in batches:
+            out_s, out_o = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cands = filter_candidates(
+                    find_mentions(
+                        text or "", lookup, blacklist_f, german,
+                        first_tokens=ftoks,
+                    )
+                )
+                seen: set[str] = set()
+                for key, _i, _n in cands:
+                    ent = amap[key]
+                    if ent not in seen:
+                        seen.add(ent)
+                        out_s.append(ent)
+                        out_o.append(doc_id)
+            n = len(out_s)
+            yield pd.DataFrame(
+                {
+                    "subj": out_s,
+                    "rel": pd.Series([MENTIONED_IN] * n, dtype="int32"),
+                    "obj": out_o,
+                    "rule": ["mention"] * n,
+                    "doc_id": out_o,
+                }
+            )
+
+    return (
+        doc_text(docs)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .mapInPandas(scan, schema=TRIPLES_SCHEMA)
+    )

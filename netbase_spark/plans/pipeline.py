@@ -91,10 +91,13 @@ class Pipeline:
 
         mentions = self._stage(
             "mentions",
-            lambda: detect_mentions(docs, alias_names, blacklist, german),
+            lambda: detect_mentions(
+                docs, alias_names, blacklist, german, distinct_per_doc=True
+            ),
         )
         mention_triples = self._stage(
-            "mention_triples", lambda: link_mentions(mentions, scan_aliases)
+            "mention_triples",
+            lambda: link_mentions(mentions, scan_aliases, already_distinct=True),
         )
         extract = self._stage(
             "extract_triples",

@@ -7,16 +7,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def materialize_corpus(
+    spark: SparkSession, n_docs: int, seed: int = 42,
+    partitions: int | None = None, path: str | None = None,
+) -> str:
+    """Write the synthetic corpus to parquet once (idempotent per
+    (n_docs, seed)) and return the path.  The input contract is an
+    Iceberg-style TABLE of documents — corpus synthesis is test
+    scaffolding, not a construction stage, so benchmarks read from here
+    instead of regenerating docs through Arrow on every run."""
+    import os
+
+    from netbase_spark.data.synth import docs_df
+
+    path = path or f"/tmp/netbase_corpus/docs_{n_docs}_{seed}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs_df(spark, n_docs, seed=seed, partitions=partitions).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def construct(spark: SparkSession, n_docs: int, seed: int = 42,
               partitions: int | None = None) -> DataFrame:
-    """Synthesize docs and run the full construction; returns the
-    canonical triple DataFrame (no writes — callers persist/count)."""
+    """Synthesize docs in-flight and run the full construction (tests);
+    benchmarks use materialize_corpus + construct_from instead."""
+    from netbase_spark.data.synth import docs_df
+
+    return construct_from(
+        spark, docs_df(spark, n_docs, seed=seed, partitions=partitions)
+    )
+
+
+def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Run the full construction over a docs DataFrame (the input_hint
+    table shape); returns the canonical triple DataFrame (no writes —
+    callers persist/count)."""
     from netbase_spark.data.fixtures import (
         blacklist_fixture,
         labels_fixture,
         raw_synonym_edges,
     )
-    from netbase_spark.data.synth import docs_df
     from netbase_spark.operators.canonicalize import (
         connected_components,
         rewrite_triples,
@@ -26,9 +57,11 @@ def construct(spark: SparkSession, n_docs: int, seed: int = 42,
         alias_instance_edges,
         dissect_triples,
     )
-    from netbase_spark.operators.gazetteer import build_alias_table
-    from netbase_spark.operators.linking import link_mentions
-    from netbase_spark.operators.mentions import detect_mentions
+    from netbase_spark.operators.gazetteer import (
+        best_entity_per_alias,
+        build_alias_table,
+    )
+    from netbase_spark.operators.mentions import scan_mention_triples
     from netbase_spark.schemas import LABELS_SCHEMA
 
     labels = labels_fixture()
@@ -36,17 +69,16 @@ def construct(spark: SparkSession, n_docs: int, seed: int = 42,
         [(r["key"], r["label"], r["label_type"], r["lang"]) for r in labels],
         LABELS_SCHEMA,
     )
-    docs = docs_df(spark, n_docs, seed=seed, partitions=partitions)
-    # aliases is read twice (name collect + the link join) — persist, or
-    # the window/groupBy chain re-executes inside the raw-union plan
-    aliases = build_alias_table(labels_df, with_seo=False).persist()
-    alias_names = [
-        r["name_norm"] for r in aliases.select("name_norm").distinct().collect()
-    ]
-    mentions = detect_mentions(docs, alias_names, blacklist_fixture())
-    raw = (
-        link_mentions(mentions, aliases)
-        .unionByName(dissect_triples(labels_df))
+    aliases = build_alias_table(labels_df, with_seo=False)
+    # sameAs-class merge edges come from the LABEL side only (dissect
+    # rules + synonym fixtures); the doc side emits MENTIONED_IN edges
+    # exclusively.  So candidate selection AND canonicalization both
+    # resolve before any document is read: compose alias -> rank-1
+    # entity -> canonical rep into one broadcast map and run the
+    # 10^12-doc side through a single fused mapInPandas — no join, no
+    # shuffle, no corpus-sized materialization anywhere on the doc side.
+    label_side = (
+        dissect_triples(labels_df)
         .unionByName(alias_instance_edges(labels_df))
         .unionByName(
             spark.createDataFrame(
@@ -54,11 +86,15 @@ def construct(spark: SparkSession, n_docs: int, seed: int = 42,
                 "subj string, rel int, obj string, rule string, doc_id string",
             )
         )
+        .persist()
     )
-    # raw is consumed by sameas_edges/CC AND the final rewrite — persist
-    # eagerly (a lazy persist under CC's limit() probe only caches the
-    # partitions the probe touches; the rest would re-run the scan chain)
-    raw = raw.persist()
-    raw.count()
-    mapping = connected_components(sameas_edges(raw))
-    return rewrite_triples(raw, mapping)
+    mapping = connected_components(sameas_edges(label_side))
+    rep = {r["node"]: r["rep"] for r in mapping.collect()}
+    alias_to_entity = {
+        r["name_norm"]: rep.get(r["key"], r["key"])
+        for r in best_entity_per_alias(aliases).collect()
+    }
+    mention_triples = scan_mention_triples(
+        docs, alias_to_entity, blacklist_fixture()
+    )
+    return mention_triples.unionByName(rewrite_triples(label_side, mapping))

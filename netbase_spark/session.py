@@ -29,6 +29,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m advisory coalesces sandbox-sized shuffles to fewer
+        # partitions than cores — post-shuffle stages then stop scaling
+        # with parallelism; 16m keeps them wide without hurting at scale
+        # (AQE still respects parallelismFirst)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -99,3 +99,19 @@ def test_canonicalization_merged(built):
     hi = max(k for pair in synonym_pairs() for k in pair)
     assert not any(s == hi for s, _, _ in got)
     del merged_away
+
+
+def test_construct_fused_matches_oracle(spark):
+    """The fused single-pass construction (scan with precomposed
+    alias->canonical-entity map, shuffle-free doc side) must emit exactly
+    the oracle triple set — same gate as the staged Pipeline."""
+    from netbase_spark.plans.synth_pipeline import construct
+
+    n = 300
+    out = construct(spark, n, seed=42, partitions=8)
+    got = {(r.subj, r.rel, r.obj) for r in out.collect()}
+    expected = oracle_triples(
+        labels_fixture(), docs_local(n, seed=42), blacklist_fixture(),
+        synonym_pairs(),
+    )
+    assert got == expected
