@@ -57,6 +57,8 @@ HEADLINE = [
     "media_features",
     "windowed_events",
     "sessionize",
+    "query_lang",
+    "adjacency",
 ]
 
 

@@ -582,8 +582,36 @@ ORACLE_QUERY_LANG = """
 """
 
 
+def q_adjacency(spark, sf_dir):
+    """Adjacency-table materialization (both traversal directions of
+    every triple — the statement-chain replacement, SURVEY.md §2.4 /
+    north_rule 'adjacency tables'), over (nation, PartOf, region)
+    triples derived from testdata."""
+    from netbase_spark.operators.materialize import adjacency
+    from netbase_spark.relations import PART_OF
+
+    tri = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit(PART_OF).cast("int").alias("rel"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    return adjacency(tri)
+
+
+ORACLE_ADJACENCY = """
+    SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS node, 'out' AS dir,
+           'R' || CAST(n_regionkey AS VARCHAR) AS nbr, CAST(-12 AS INT) AS rel
+    FROM nation
+    UNION ALL
+    SELECT 'R' || CAST(n_regionkey AS VARCHAR), 'in',
+           'N' || CAST(n_nationkey AS VARCHAR), CAST(-12 AS INT)
+    FROM nation
+"""
+
+
 EXT_QUERIES = {
     "query_lang": q_query_lang,
+    "adjacency": q_adjacency,
     "n3_parse": q_n3_parse,
     "csv_melt": q_csv_melt,
     "facts_member": q_facts_member,
@@ -606,6 +634,7 @@ EXT_QUERIES = {
 
 EXT_ORACLES = {
     "query_lang": ORACLE_QUERY_LANG,
+    "adjacency": ORACLE_ADJACENCY,
     "n3_parse": ORACLE_N3,
     "csv_melt": ORACLE_CSV_MELT,
     "facts_member": ORACLE_FACTS,
