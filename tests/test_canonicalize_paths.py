@@ -1,0 +1,59 @@
+"""Equivalence of the two union-find implementations (driver-local vs
+distributed min-label + pointer jumping) and of salted vs plain degree
+aggregation — the claims the operator docstrings make."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from netbase_spark.operators.canonicalize import connected_components
+from netbase_spark.operators.materialize import node_degrees
+
+
+def _random_edges(seed: int, n_nodes: int, n_edges: int) -> list[tuple[str, str]]:
+    rng = random.Random(seed)
+    return [
+        (f"n{rng.randrange(n_nodes)}", f"n{rng.randrange(n_nodes)}")
+        for _ in range(n_edges)
+    ]
+
+
+def test_driver_and_distributed_cc_agree(spark):
+    edges = spark.createDataFrame(
+        _random_edges(7, 120, 150), "src string, dst string"
+    )
+    driver = connected_components(edges)  # under threshold -> driver path
+    dist = connected_components(edges, driver_threshold=0)  # force distributed
+    d = {(r["node"], r["rep"]) for r in driver.collect()}
+    s = {(r["node"], r["rep"]) for r in dist.collect()}
+    assert d == s and len(d) > 0
+
+
+def test_driver_cc_chain_and_star(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("x", "z"), ("q", "q")],
+        "src string, dst string",
+    )
+    got = {(r["node"], r["rep"]) for r in connected_components(edges).collect()}
+    assert got == {
+        ("b", "a"), ("c", "a"), ("d", "a"),
+        ("y", "x"), ("z", "x"),
+    }
+
+
+def test_salted_degrees_equal_plain_groupby(spark):
+    tri = spark.createDataFrame(
+        [(f"s{i % 7}", -301, f"o{i % 3}") for i in range(200)],
+        "subj string, rel int, obj string",
+    )
+    salted = {(r["node"], r["degree"]) for r in node_degrees(tri, salt_buckets=8).collect()}
+    plain_df = (
+        tri.select(F.col("subj").alias("node"))
+        .unionAll(tri.select(F.col("obj").alias("node")))
+        .groupBy("node")
+        .count()
+    )
+    plain = {(r["node"], r["count"]) for r in plain_df.collect()}
+    assert salted == plain
