@@ -57,3 +57,24 @@ def test_salted_degrees_equal_plain_groupby(spark):
     )
     plain = {(r["node"], r["count"]) for r in plain_df.collect()}
     assert salted == plain
+
+
+def test_triples_by_rel_partition_pruning(spark, tmp_path):
+    """write_triples partitions by rel so predicate lookups prune
+    partitions — the Instance-gap ordering analog (netbase.cpp:468-481):
+    a Type-edge scan must not read mention partitions."""
+    from netbase_spark.operators.materialize import write_triples
+
+    tri = spark.createDataFrame(
+        [("a", -4, "b", "r", None), ("c", -301, "d", "m", "1")] * 50,
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    path = str(tmp_path / "triples_by_rel")
+    write_triples(tri, path)
+    back = spark.read.parquet(path).where("rel = -4")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(rel" in plan or "rel#" in plan
+    # the pruned read returns only the Type partition's rows
+    assert back.count() == 50
+    files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
+    assert all("rel=-4" in f for f in files)
