@@ -364,28 +364,69 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+# contract parameterization for MinHash (sandbox-sized; the operator
+# defaults to 128 hashes / 16 bands x 8 rows for real scale)
+MINHASH_N, MINHASH_BANDS, MINHASH_ROWS = 16, 4, 4
+
+
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: 4 hash functions from disjoint
-    8-hex-digit slices of ONE md5 per shingle (4x less hashing than
-    independent salted md5s), 2 bands of 2 rows; candidate pairs share
-    a band."""
-    sh = _shingles(spark, sf_dir).withColumn("_md5", F.md5("shingle"))
-    hashed = sh
-    for i in range(4):
-        hashed = hashed.withColumn(
-            f"h{i}",
-            F.conv(F.substring("_md5", 1 + 8 * i, 8), 16, 10).cast("long"),
-        )
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"s{i}") for i in range(4)]
+    """MinHash+LSH near-dup candidates via the parameterized operators
+    (netbase_spark.operators.dedup.minhash_signatures/minhash_lsh_pairs):
+    each md5 yields four 32-bit hash slices, bands hash to one md5 band
+    key, hot bands are bucket-capped."""
+    from netbase_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
     )
-    pairs = None
-    for band, cols in enumerate((("s0", "s1"), ("s2", "s3"))):
-        l = sigs.select(F.col("doc_id").alias("a"), *cols)
-        r = sigs.select(F.col("doc_id").alias("b"), *cols)
-        p = l.join(r, list(cols)).where(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+
+    sigs = minhash_signatures(_shingles(spark, sf_dir), n_hashes=MINHASH_N)
+    return minhash_lsh_pairs(
+        sigs, bands=MINHASH_BANDS, rows_per_band=MINHASH_ROWS
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB oracle generated from the same (n_hashes, bands, rows)
+    parameters as q_minhash_lsh."""
+    mins = ",\n                       ".join(
+        f"min(('0x' || substr(md5(CAST({k // 4} AS VARCHAR) || ':' || shingle),"
+        f" {1 + 8 * (k % 4)}, 8))::BIGINT) AS s{k}"
+        for k in range(MINHASH_N)
+    )
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        key = " || ',' || ".join(
+            f"CAST(s{b * MINHASH_ROWS + r} AS VARCHAR)"
+            for r in range(MINHASH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS bv FROM sigs"
+        )
+    bands = "\n                UNION ALL ".join(band_selects)
+    return f"""
+            WITH lists AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), sh0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+                FROM lists
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM sh0
+            ), sigs AS (
+                SELECT doc_id,
+                       {mins}
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                {bands}
+            ), kept AS (
+                SELECT doc_id, band, bv FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= 2000
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM kept l JOIN kept r
+              ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+    """
 
 
 def q_ann_cosine(spark, sf_dir):
@@ -684,32 +725,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE (10000 * inter) // (sa.sz + sb.sz - inter) >= 2000
         """,
-        "minhash_lsh": """
-            WITH lists AS (
-                SELECT doc_id, string_split(text, ' ') AS l FROM documents
-            ), sh0 AS (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, len(l) - 1),
-                              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
-                FROM lists
-            ), sh AS (
-                SELECT DISTINCT doc_id, shingle FROM sh0
-            ), sigs AS (
-                SELECT doc_id,
-                       min(('0x' || substr(md5(shingle), 1, 8))::BIGINT) AS s0,
-                       min(('0x' || substr(md5(shingle), 9, 8))::BIGINT) AS s1,
-                       min(('0x' || substr(md5(shingle), 17, 8))::BIGINT) AS s2,
-                       min(('0x' || substr(md5(shingle), 25, 8))::BIGINT) AS s3
-                FROM sh GROUP BY doc_id
-            )
-            SELECT DISTINCT a, b FROM (
-                SELECT l.doc_id AS a, r.doc_id AS b
-                FROM sigs l JOIN sigs r ON l.s0 = r.s0 AND l.s1 = r.s1 AND l.doc_id < r.doc_id
-                UNION ALL
-                SELECT l.doc_id, r.doc_id
-                FROM sigs l JOIN sigs r ON l.s2 = r.s2 AND l.s3 = r.s3 AND l.doc_id < r.doc_id
-            )
-        """,
+        "minhash_lsh": _minhash_oracle_sql(),
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

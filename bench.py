@@ -122,7 +122,15 @@ def main():
         # measure construction throughput in a FRESH process: 37 queries
         # of accumulated JVM state (codegen classes, GC debt, shuffle
         # dirs) degrade a same-session pipeline run up to 20x and would
-        # measure session history, not the pipeline
+        # measure session history, not the pipeline.
+        #
+        # CRITICAL: stop the parent session FIRST.  Leaving the parent's
+        # local[32] JVM alive while the child runs its own local[32]
+        # oversubscribes the 32-core host 2:1 (plus Arrow workers) and
+        # was the main cause of the round-1 driver-measured throughput
+        # being ~7x below this harness's own number.
+        spark.stop()
+
         import subprocess
 
         sub = subprocess.run(
@@ -131,8 +139,15 @@ def main():
              "--docs", str(args.docs)],
             capture_output=True, text=True, timeout=3600,
         )
-        line = [l for l in sub.stdout.strip().splitlines() if l.startswith("{")][-1]
-        sub_result = json.loads(line)
+        json_lines = [
+            l for l in sub.stdout.strip().splitlines() if l.startswith("{")
+        ]
+        if sub.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"pipeline-only child failed (rc={sub.returncode}); "
+                f"stderr tail:\n{sub.stderr[-4000:]}"
+            )
+        sub_result = json.loads(json_lines[-1])
         times["kg_pipeline"] = sub_result["queries"]["kg_pipeline"]
         result = {
             "metric": "kg_construct_headline_sec",

@@ -380,30 +380,39 @@ _SIMHASH_SQL_CORE = """
     ), bits AS (
         SELECT doc_id, i,
                SUM(CASE WHEN (('0x' || substr(md5(tok), 1, 8))::BIGINT >> i) & 1 = 1
-                        THEN 1 ELSE -1 END) AS s
+                        THEN 1 ELSE -1 END) AS slo,
+               SUM(CASE WHEN (('0x' || substr(md5(tok), 9, 8))::BIGINT >> i) & 1 = 1
+                        THEN 1 ELSE -1 END) AS shi
         FROM toks CROSS JOIN range(32) t(i)
         GROUP BY doc_id, i
     ), sigs AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash
+               CAST(SUM(CASE WHEN shi > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash_hi,
+               CAST(SUM(CASE WHEN slo > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash_lo
         FROM bits GROUP BY doc_id
     )
 """
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash document signatures (near-dup fingerprinting)."""
+    """64-bit SimHash document signatures, carried as two 32-bit halves
+    (signed-overflow-free in both engines)."""
     from netbase_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash(docs)
 
 
-ORACLE_SIMHASH = f"WITH {_SIMHASH_SQL_CORE.strip()} SELECT doc_id, simhash FROM sigs"
+ORACLE_SIMHASH = (
+    f"WITH {_SIMHASH_SQL_CORE.strip()} "
+    "SELECT doc_id, simhash_hi, simhash_lo FROM sigs"
+)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """Banded-LSH candidate pairs over SimHash signatures."""
+    """Banded-LSH candidate pairs over 64-bit SimHash signatures:
+    16-bit bands (65,536 values/band vs the 256 of 8-bit bands that
+    degenerated quadratically at scale) with a bucket-size cap."""
     from netbase_spark.operators.dedup import simhash, simhash_candidates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -413,11 +422,20 @@ def q_simhash_pairs(spark, sf_dir):
 ORACLE_SIMHASH_PAIRS = f"""
     WITH {_SIMHASH_SQL_CORE.strip()},
     bands AS (
-        SELECT doc_id, i AS band, (simhash >> (CAST(i AS INT) * 8)) & 255 AS bv
-        FROM sigs CROSS JOIN range(4) t(i)
+        SELECT doc_id, CAST(i AS INT) AS band,
+               (simhash_lo >> (CAST(i AS INT) * 16)) & 65535 AS bv
+        FROM sigs CROSS JOIN range(2) t(i)
+        UNION ALL
+        SELECT doc_id, CAST(i AS INT) + 2,
+               (simhash_hi >> (CAST(i AS INT) * 16)) & 65535
+        FROM sigs CROSS JOIN range(2) t(i)
+    ),
+    kept AS (
+        SELECT doc_id, band, bv FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= 2000
     )
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+    FROM kept l JOIN kept r ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
 """
 
 

@@ -122,13 +122,20 @@ def run_graph_query(
         .select(F.col("obj").alias("node"))
         .distinct()
     )
-    # property predicates used by fields + filter
+    # property predicates used by fields + filter.  Split the where
+    # string on the SAME or/and/comma separators compile_filter uses,
+    # then take each term's LHS — one finditer over the raw string
+    # mis-captured "1 and b" as an LHS for "a>1 and b=2".
     preds = {f for f in p.fields if f != "*"}
     if p.where:
-        preds |= {
-            m.group(1).strip().replace(" ", "_")
-            for m in re.finditer(r"([\w .]+?)\s*(?:!=|>=|<=|=|>|<|~)", p.where)
-        }
+        for branch in re.split(r"\s+or\s+", p.where, flags=re.I):
+            for term in re.split(r",|\s+and\s+", branch, flags=re.I):
+                term = term.strip()
+                if term.lower().startswith("not "):
+                    term = term[4:]
+                m = re.match(r"^\s*([\w .]+?)\s*(?:!=|>=|<=|=|>|<|~)", term)
+                if m:
+                    preds.add(m.group(1).strip().replace(" ", "_"))
     props = (
         insts.join(triples, insts["node"] == triples["subj"])
         .where(F.col("rel").cast("string").isin([str(x) for x in preds]))

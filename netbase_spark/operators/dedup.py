@@ -1,58 +1,110 @@
 """Deduplication & similarity-search operators for training-data
-pipelines: SimHash, embedding-cosine near-dup, LSH-bucketed ANN.
+pipelines: SimHash, MinHash+LSH, embedding-cosine near-dup, LSH-bucketed
+ANN.
 
-(Exact-hash dedup, 3-gram Jaccard, and MinHash+LSH live in the entry
-contract as direct DataFrame plans; this module holds the operators
-with more structure.)
+(Exact-hash dedup and 3-gram Jaccard live in the entry contract as
+direct DataFrame plans; this module holds the operators with more
+structure.)
 
-Scale notes: every operator here is a pure DataFrame plan — the only
-shuffles are the per-doc aggregations and the bucket joins, both keyed
-well for AQE.  Hash functions are md5/xxhash-derived so the DuckDB
-oracle can reproduce them bit-for-bit.
+Scale notes: every operator here is a pure DataFrame plan plus
+Arrow-batched numpy kernels — the only shuffles are the per-doc
+aggregations and the bucket joins, both keyed well for AQE.  Hash
+functions are md5-derived so the DuckDB oracle can reproduce them
+bit-for-bit.  Banded self-joins are guarded by bucket-size caps
+(oversized buckets are hub/boilerplate artifacts; quadratic blowup
+inside one bucket is the classic LSH failure at 10^9 docs).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SIMHASH_BITS = 32
+# 64-bit signature carried as two 32-bit halves: neither Spark conv()
+# nor DuckDB '0x..'::BIGINT can build a full unsigned 64-bit value
+# without signed overflow, and two ints band-split cleanly.
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_BUCKET_CAP = 2000  # max docs per (band, value) bucket
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash): per-token 32-bit md5-derived hashes, bitwise
-    majority vote.  Shuffle: one explode + groupBy(doc_id) — partial
-    aggregation (map-side combine) keeps the shuffle rows = tokens/doc.
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash_hi, simhash_lo): 64-bit SimHash as two 32-bit
+    halves.  Per-token md5 supplies 64 hash bits (two 8-hex slices);
+    bitwise majority vote per bit.  Shuffle: one explode + groupBy(doc_id)
+    with map-side partial aggregation.
+
+    Reference analog: document fingerprinting for near-dup detection —
+    the reference's md5-based image keys (src/import.cpp:148-282) are
+    the same content-hash discipline.
     """
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).where(F.col("tok") != "")
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    m = F.md5("tok")
+    h_lo = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    half_bits = SIMHASH_BITS // 2
     withbits = toks.select(
         "doc_id",
         *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            F.when(F.shiftright(h_lo, i).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(bits)
+            .alias(f"lo{i}")
+            for i in range(half_bits)
+        ],
+        *[
+            F.when(F.shiftright(h_hi, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"hi{i}")
+            for i in range(half_bits)
         ],
     )
     agg = withbits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
+        *[F.sum(f"lo{i}").alias(f"lo{i}") for i in range(half_bits)],
+        *[F.sum(f"hi{i}").alias(f"hi{i}") for i in range(half_bits)],
     )
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+    def assemble(prefix):
+        sig = None
+        for i in range(half_bits):
+            term = F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            sig = term if sig is None else sig + term
+        return sig.cast("long")
+
+    return agg.select(
+        "doc_id",
+        assemble("hi").alias("simhash_hi"),
+        assemble("lo").alias("simhash_lo"),
+    )
 
 
-def simhash_candidates(sigs: DataFrame, band_bits: int = 8) -> DataFrame:
-    """Near-dup candidate pairs: docs sharing any of the 32/band_bits
-    bands of their simhash (banded LSH over the signature — avoids the
-    quadratic all-pairs hamming scan)."""
-    n_bands = SIMHASH_BITS // band_bits
+def simhash_candidates(
+    sigs: DataFrame,
+    band_bits: int = SIMHASH_BAND_BITS,
+    bucket_cap: int | None = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any of the 64/band_bits
+    bands of their simhash (banded LSH — avoids the quadratic all-pairs
+    hamming scan).
+
+    16-bit bands give 65,536 distinct values per band: at n docs the
+    expected bucket size is n/65,536 per band (vs n/256 for the 8-bit
+    bands this replaced, whose within-band self-join degenerated toward
+    (n/256)^2 pairs at large n).  ``bucket_cap`` drops buckets larger
+    than the cap before the self-join — oversized buckets are
+    boilerplate hubs whose pairs are near-worthless and whose join cost
+    is quadratic; dropping is logged via the returned plan's
+    ``dropped_buckets`` accessible through
+    :func:`simhash_oversized_buckets`.
+    """
+    half_bits = SIMHASH_BITS // 2
+    bands_per_half = half_bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sigs.select(
         "doc_id",
@@ -60,16 +112,26 @@ def simhash_candidates(sigs: DataFrame, band_bits: int = 8) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * band_bits)
+                        F.lit(h * bands_per_half + b).alias("band"),
+                        F.shiftright(col, b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("bv"),
                     )
-                    for b in range(n_bands)
+                    for h, col in enumerate(("simhash_lo", "simhash_hi"))
+                    for b in range(bands_per_half)
                 ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bv")
+    if bucket_cap:
+        sizes = banded.groupBy("band", "bv").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bv"])
+            .where(F.col("_bucket_n") <= bucket_cap)
+            .drop("_bucket_n")
+        )
     l = banded.select(F.col("doc_id").alias("a"), "band", "bv")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bv")
     return (
@@ -80,107 +142,263 @@ def simhash_candidates(sigs: DataFrame, band_bits: int = 8) -> DataFrame:
     )
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def simhash_oversized_buckets(
+    sigs: DataFrame,
+    band_bits: int = SIMHASH_BAND_BITS,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """(band, bv, n) for buckets the candidate join dropped — the
+    no-silent-caps audit for :func:`simhash_candidates`."""
+    half_bits = SIMHASH_BITS // 2
+    bands_per_half = half_bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h * bands_per_half + b).alias("band"),
+                        F.shiftright(col, b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for h, col in enumerate(("simhash_lo", "simhash_hi"))
+                    for b in range(bands_per_half)
+                ]
+            )
+        ).alias("bb"),
+    ).select("bb.band", "bb.bv")
+    return (
+        banded.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > bucket_cap)
     )
 
 
-def _norm(c):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 128, id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """(doc_id, s0..s{n-1}): MinHash signature over a doc's shingle set.
+
+    Hash family: hash k is the (k%4)-th 8-hex slice of
+    md5(concat(k//4, ':', shingle)) — one md5 yields four independent
+    32-bit hashes, so n_hashes costs n_hashes/4 md5 evaluations per
+    shingle (all JVM-side, codegen'd, DuckDB-reproducible).
+    """
+    out = shingles
+    md5s = {}
+    for k in range(n_hashes):
+        salt = k // 4
+        if salt not in md5s:
+            md5s[salt] = F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col(shingle_col))
+            )
+        slice_nr = k % 4
+        out = out.withColumn(
+            f"_h{k}",
+            F.conv(
+                F.substring(md5s[salt], 1 + 8 * slice_nr, 8), 16, 10
+            ).cast("long"),
         )
+    return out.groupBy(F.col(id_col).alias("doc_id")).agg(
+        *[F.min(f"_h{k}").alias(f"s{k}") for k in range(n_hashes)]
     )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    bucket_cap: int | None = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate pairs sharing any band of their MinHash signature.
+
+    Parameterized (bands x rows_per_band must cover the signature):
+    at 10^9 docs use >= 16 bands x 8 rows (128 hashes) — the round-1
+    toy 2x2 parameterization floods candidates at scale.  Bands hash to
+    one md5 band key (not a multi-column equi-join) so the shuffle key
+    is a single string; ``bucket_cap`` guards hot bands exactly like
+    :func:`simhash_candidates`.
+    """
+    band_rows = None
+    for b in range(bands):
+        cols = [
+            F.col(f"s{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        one = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bv"),
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    if bucket_cap:
+        sizes = band_rows.groupBy("band", "bv").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        band_rows = (
+            band_rows.join(sizes, ["band", "bv"])
+            .where(F.col("_bucket_n") <= bucket_cap)
+            .drop("_bucket_n")
+        )
+    l = band_rows.select(F.col("doc_id").alias("a"), "band", "bv")
+    r = band_rows.select(F.col("doc_id").alias("b"), "band", "bv")
+    return (
+        l.join(r, ["band", "bv"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# --- embedding cosine -------------------------------------------------------
 
 
 def cosine_neardup_pairs(
-    emb: DataFrame, threshold_e4: int = 9500, id_col: str = "vec_id",
+    emb: DataFrame,
+    threshold_e4: int = 9500,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tile_rows: int = 100_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (e4-scaled int for stable
     comparison).  Brute-force O(n^2) baseline — correct reference for
-    the LSH variants; at scale use ann_lsh_buckets + within-bucket scan.
+    the LSH variants; at scale ann_lsh_buckets prunes candidates first.
 
-    Physical plan: BLOCK MATRIX PRODUCT — the right side is broadcast as
-    one numpy matrix, the left side streams through ``mapInPandas`` in
-    Arrow batches, and each task computes an (batch x n) similarity
-    block with one BLAS gemm.  No per-pair expression eval: the old
-    crossJoin + higher-order-function dot was interpreted per element
-    (no codegen for lambda HOFs) and ~100x slower.  At 10^12 scale the
-    broadcast side tiles: loop this operator over right-side tiles that
-    fit executor memory (the LSH bucket path is the real scale answer;
-    this is the within-bucket/within-tile kernel).
+    Physical plan: TILED BLOCK MATRIX PRODUCT.  The right side is
+    broadcast one tile (<= ``tile_rows`` rows) at a time; for each tile
+    the left side streams through ``mapInPandas`` in Arrow batches and
+    each task computes a (batch x tile) similarity block with one BLAS
+    gemm.  Driver/executor memory is bounded by the tile, not the
+    table; total work stays O(n^2) as the math demands, but no single
+    collect ever holds more than one tile (round 1 collected the whole
+    table — unbounded driver memory).  Ids stay their native dtype
+    (int or string); pairs are oriented a < b in that dtype's order,
+    matching the SQL oracle's ``a.id < b.id``.
     """
     import numpy as np
     import pandas as pd
 
-    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
-
+    spark = emb.sparkSession
+    n = emb.count()
+    if n == 0:
+        id_t = emb.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"a {id_t}, b {id_t}, sim_e4 long")
+    n_tiles = max(1, math.ceil(n / tile_rows))
+    id_t = emb.schema[id_col].dataType.simpleString()
     thr = int(threshold_e4)
+    par = spark.sparkContext.defaultParallelism
 
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            e4 = np.floor(sims * 10000).astype(np.int64)
-            keep = (e4 >= thr) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"a": a_ids[ai], "b": b_ids[bj], "sim_e4": e4[ai, bj]}
+    def make_block(bc):
+        def block(batches):
+            b_ids, b_mat, b_norms = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a_ids = pdf[id_col].to_numpy()
+                a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+                sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+                e4 = np.floor(sims * 10000).astype(np.int64)
+                keep = (e4 >= thr) & (a_ids[:, None] < b_ids[None, :])
+                ai, bj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"a": a_ids[ai], "b": b_ids[bj], "sim_e4": e4[ai, bj]}
+                )
+
+        return block
+
+    left = emb.select(id_col, vec_col).repartition(par)
+    out = None
+    for t in range(n_tiles):
+        tile = emb
+        if n_tiles > 1:
+            tile = emb.where(
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_tiles))
+                == t
             )
+        rows = tile.select(id_col, vec_col).collect()
+        if not rows:
+            continue
+        b_ids = np.array([r[0] for r in rows])
+        b_mat = np.array([r[1] for r in rows], dtype=np.float64)
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norms))
+        part = left.mapInPandas(
+            make_block(bc), schema=f"a {id_t}, b {id_t}, sim_e4 long"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    return (
-        emb.repartition(par)
-        .mapInPandas(block, schema="a long, b long, sim_e4 long")
-    )
+
+# --- LSH-bucketed ANN -------------------------------------------------------
+
+
+def _plane_weights(n_planes: int, dims: int):
+    """(dims x n_planes) hyperplane weight matrix: weight of plane j at
+    dimension i is md5-derived in [-0.5, 0.5) — deterministic, no RNG,
+    bit-reproducible in SQL.  Computed ONCE here (driver, numpy) — the
+    round-1 version re-derived every weight per ROW via interpreted
+    higher-order md5 expressions, O(n*d*planes) md5 calls and the
+    slowest query in the bench."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((dims, n_planes), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(dims):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:6]
+            w[i, j] = int(h, 16) / float(1 << 24) - 0.5
+    return w
 
 
 def ann_lsh_buckets(
     emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, bucket): sign-random-projection LSH.  Hyperplane h_j weight
-    for dimension i is md5-derived in [-0.5, 0.5) — deterministic and
-    reproducible in SQL, no RNG.  At scale the bucket id prunes the
-    candidate set from O(n^2) to O(sum b_i^2)."""
-    dims = F.transform(
-        F.col(vec_col),
-        lambda x, i: F.struct(x.cast("double").alias("v"), i.alias("i")),
+    """(vec_id, bucket[, embedding]): sign-random-projection LSH.
+    At scale the bucket id prunes the candidate set from O(n^2) to
+    O(sum b_i^2).  One mapInPandas pass: broadcast weight matrix, one
+    BLAS gemm per Arrow batch, sign bits packed into an int."""
+    import numpy as np
+    import pandas as pd
+
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        schema = "vec_id long, bucket int"
+        return emb.sparkSession.createDataFrame([], schema)
+    dims = int(first["d"])
+    bc = emb.sparkSession.sparkContext.broadcast(
+        _plane_weights(n_planes, dims)
     )
-    bucket = None
-    for j in range(n_planes):
-        w = lambda d: (  # noqa: E731
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), d["i"].cast("string"))), 1, 6
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(1 << 24))
-            - F.lit(0.5)
-        )
-        dot_j = F.aggregate(
-            dims, F.lit(0.0), lambda acc, d: acc + d["v"] * w(d)
-        )
-        bit = F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col(id_col).alias("vec_id"), bucket.cast("int").alias("bucket"))
+    bits = [1 << j for j in range(n_planes)]
+
+    def block(batches):
+        w = bc.value
+        bitv = np.array(bits, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dots = mat @ w
+            bucket = ((dots >= 0) * bitv).sum(axis=1).astype(np.int32)
+            out = {"vec_id": pdf[id_col], "bucket": bucket}
+            if keep_vec:
+                out["embedding"] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    id_t = emb.schema[id_col].dataType.simpleString()
+    vec_t = emb.schema[vec_col].dataType.simpleString()
+    schema = f"vec_id {id_t}, bucket int"
+    if keep_vec:
+        schema += f", embedding {vec_t}"
+    return emb.select(id_col, vec_col).mapInPandas(block, schema=schema)
 
 
 def ann_topk_bucketed(
@@ -188,21 +406,40 @@ def ann_topk_bucketed(
 ) -> DataFrame:
     """Top-k cosine within the query's LSH bucket (the scale path; the
     brute-force baseline in the entry contract is its correctness
-    reference at small n)."""
-    buckets = ann_lsh_buckets(emb, n_planes)
-    with_b = emb.join(buckets, "vec_id")
+    reference at small n).  Buckets and the candidate scoring both run
+    as numpy kernels; no join is needed to attach buckets (they are
+    computed alongside the vectors in one pass)."""
+    import numpy as np
+    import pandas as pd
+
+    with_b = ann_lsh_buckets(emb, n_planes, keep_vec=True)
     qb = with_b.where(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
     )
-    cands = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).where(
-        F.col("vec_id") != query_id
+    cands = with_b.join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket")
+    ).where(F.col("vec_id") != query_id)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qv = np.array(pdf["qv"].iloc[0], dtype=np.float64)
+            sims = (mat @ qv) / (
+                np.sqrt((mat * mat).sum(axis=1)) * np.sqrt((qv * qv).sum())
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "sim_e4": np.floor(sims * 10000).astype(np.int64),
+                }
+            )
+
+    id_t = emb.schema["vec_id"].dataType.simpleString()
+    scored = cands.select("vec_id", "embedding", "qv").mapInPandas(
+        score, schema=f"vec_id {id_t}, sim_e4 long"
     )
-    sim = F.floor(
-        _dot(F.col("embedding"), F.col("qv"))
-        / (_norm(F.col("embedding")) * _norm(F.col("qv")))
-        * 10000
-    ).cast("long")
-    scored = cands.select("vec_id", sim.alias("sim_e4"))
     # global top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
     # heap + driver merge), NOT a single-partition global Window sort
     return scored.orderBy(F.col("sim_e4").desc(), F.col("vec_id").asc()).limit(k)

@@ -4,14 +4,24 @@ Reference: ``findEntites`` sliding-window hash probes + minimal stemming
 + blacklist + longest-match filter (src/query.cpp:1980-2063, 1912-1942).
 
 Spark-first design: the document side NEVER shuffles — the scan is a
-``mapInPandas`` over doc partitions with the (small) alias set broadcast
-in the task closure.  Text assembly per doc (ordered concat of
-kind='text' spans) happens JVM-side with array functions so only the
-final string crosses into Arrow.  The per-batch scan uses the same rule
-module as the oracle (single source of truth for semantics); its probe
-structure is an O(1) set keyed by normalized span — the direct analog of
-the reference's wordhash index.  TODO(round2): swap the window probe for
-a serialized Aho-Corasick automaton cached per executor.
+``mapInPandas`` over doc partitions.  Text assembly per doc (ordered
+concat of kind='text' spans) happens JVM-side with array functions so
+only the final string crosses into Arrow.  The per-batch scan uses the
+same rule module as the oracle (single source of truth for semantics).
+
+The gazetteer travels as a ``sc.broadcast`` of (alias structure,
+first-token index): serialized ONCE per executor via the block manager,
+NOT per task closure.  Round 1 embedded the alias map in the UDF
+closure — at the 10^7-10^8-alias WikiData target that re-serializes a
+multi-GB closure with every task and OOMs the driver;
+tests/test_pipeline_pr.py::test_scan_closure_stays_small_at_100k_aliases
+pins the fix.  The probe structure is the automaton role: an O(1)
+hash-set keyed by normalized span (the direct analog of the reference's
+wordhash index) plus the first-token prefix index that skips start
+positions which cannot begin any alias (the Aho-Corasick goto-function
+equivalent for this window-growth grammar; a full AC automaton over
+token streams would change semantics — span-level normalization can
+merge/collapse tokens, so matching must stay span-keyed).
 """
 
 from __future__ import annotations
@@ -38,52 +48,29 @@ def doc_text(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", txt.alias("text"))
 
 
-def detect_mentions(
-    docs: DataFrame,
-    alias_names: list[str],
-    blacklist: set[str],
-    german: bool = False,
-    distinct_per_doc: bool = False,
-) -> DataFrame:
-    """docs(doc_id, spans) -> mentions(doc_id, alias_key, start_word, n_words)."""
-    return detect_mentions_text(
-        doc_text(docs), alias_names, blacklist, german, distinct_per_doc
+def _broadcast_gazetteer(spark, alias_struct, blacklist):
+    """One broadcast per scan: (alias set/map, first-token index,
+    blacklist).  The first-token index is built on the driver so every
+    executor deserializes the finished structure."""
+    from netbase_spark.oracle.rules import first_token_index
+
+    keys = alias_struct.keys() if isinstance(alias_struct, dict) else alias_struct
+    ftoks = first_token_index(keys)
+    return spark.sparkContext.broadcast(
+        (alias_struct, ftoks, frozenset(blacklist))
     )
 
 
-def detect_mentions_text(
-    texts: DataFrame,
-    alias_names: list[str],
-    blacklist: set[str],
-    german: bool = False,
-    distinct_per_doc: bool = False,
-) -> DataFrame:
-    """texts(doc_id, text) -> mentions(doc_id, alias_key, start_word, n_words).
-
-    Longest-match filtering (filterCandidates) is applied per document
-    inside the batch, exactly as the reference does per query string.
-
-    ``distinct_per_doc`` dedupes (doc, alias) INSIDE the scan (first
-    occurrence kept) — the linking path needs only distinct pairs, and
-    deduping here instead of a downstream ``dropDuplicates`` removes the
-    only shuffle on the doc side (a doc's mentions all live in its own
-    scan batch, so per-doc dedup IS global dedup).
-    """
+def _make_mention_scan(bc, german: bool, distinct_per_doc: bool):
+    """Build the mapInPandas scan function.  The returned closure
+    captures ONLY the broadcast handle (asserted small by
+    test_scan_closure_stays_small_at_100k_aliases)."""
     import pandas as pd
 
-    alias_tuple = tuple(sorted(alias_names))
-    blacklist_f = frozenset(blacklist)
-
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Build the probe set once per task, not per batch/row.
-        from netbase_spark.oracle.rules import (
-            filter_candidates,
-            find_mentions,
-            first_token_index,
-        )
+        from netbase_spark.oracle.rules import filter_candidates, find_mentions
 
-        alias_set = set(alias_tuple)
-        ftoks = first_token_index(alias_set)
+        alias_set, ftoks, blacklist_f = bc.value
         lookup = lambda nn: nn if nn and nn in alias_set else None  # noqa: E731
         # NOTE: window growth must stay at the reference's MAX_WORDS —
         # capping at the longest alias token count is NOT safe because
@@ -118,47 +105,60 @@ def detect_mentions_text(
                 }
             )
 
+    return scan
+
+
+def detect_mentions(
+    docs: DataFrame,
+    alias_names: list[str],
+    blacklist: set[str],
+    german: bool = False,
+    distinct_per_doc: bool = False,
+) -> DataFrame:
+    """docs(doc_id, spans) -> mentions(doc_id, alias_key, start_word, n_words)."""
+    return detect_mentions_text(
+        doc_text(docs), alias_names, blacklist, german, distinct_per_doc
+    )
+
+
+def detect_mentions_text(
+    texts: DataFrame,
+    alias_names: list[str],
+    blacklist: set[str],
+    german: bool = False,
+    distinct_per_doc: bool = False,
+) -> DataFrame:
+    """texts(doc_id, text) -> mentions(doc_id, alias_key, start_word, n_words).
+
+    Longest-match filtering (filterCandidates) is applied per document
+    inside the batch, exactly as the reference does per query string.
+
+    ``distinct_per_doc`` dedupes (doc, alias) INSIDE the scan (first
+    occurrence kept) — the linking path needs only distinct pairs, and
+    deduping here instead of a downstream ``dropDuplicates`` removes the
+    only shuffle on the doc side (a doc's mentions all live in its own
+    scan batch, so per-doc dedup IS global dedup).
+    """
+    bc = _broadcast_gazetteer(
+        texts.sparkSession, frozenset(alias_names), blacklist
+    )
+    scan = _make_mention_scan(bc, german, distinct_per_doc)
     return texts.select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     ).mapInPandas(scan, schema=MENTIONS_SCHEMA)
 
 
-def scan_mention_triples(
-    docs: DataFrame,
-    alias_to_entity: dict[str, str],
-    blacklist: set[str],
-    german: bool = False,
-) -> DataFrame:
-    """Fused scan -> link -> canonicalize for the construction hot path:
-    ``alias_to_entity`` maps each gazetteer surface form to its FINAL
-    entity (rank-1 prior selection composed with the union-find
-    canonical map — both label-side-only computations, so they exist
-    before any document is read).  Emits canonical mention triples
-    (subj=entity, rel=MENTIONED_IN, obj=doc_id, rule, doc_id), deduped
-    per doc on the final entity.
-
-    Equivalent to detect_mentions + link_mentions + rewrite on the
-    mention side (mention triples are per-doc-unique by construction:
-    obj is the doc id), but the doc side needs NO join and NO shuffle —
-    one mapInPandas over doc partitions, everything else broadcast.
-    """
+def _make_triple_scan(bc, german: bool = False):
+    """Fused scan->link->canonicalize closure; captures only the
+    broadcast handle (plus the german flag)."""
     import pandas as pd
 
     from netbase_spark.relations import MENTIONED_IN
-    from netbase_spark.schemas import TRIPLES_SCHEMA
-
-    items = tuple(sorted(alias_to_entity.items()))
-    blacklist_f = frozenset(blacklist)
 
     def scan(batches):
-        from netbase_spark.oracle.rules import (
-            filter_candidates,
-            find_mentions,
-            first_token_index,
-        )
+        from netbase_spark.oracle.rules import filter_candidates, find_mentions
 
-        amap = dict(items)
-        ftoks = first_token_index(amap.keys())
+        amap, ftoks, blacklist_f = bc.value
         lookup = lambda nn: nn if nn and nn in amap else None  # noqa: E731
         for pdf in batches:
             out_s, out_o = [], []
@@ -187,6 +187,35 @@ def scan_mention_triples(
                 }
             )
 
+    return scan
+
+
+def scan_mention_triples(
+    docs: DataFrame,
+    alias_to_entity: dict[str, str],
+    blacklist: set[str],
+    german: bool = False,
+) -> DataFrame:
+    """Fused scan -> link -> canonicalize for the construction hot path:
+    ``alias_to_entity`` maps each gazetteer surface form to its FINAL
+    entity (rank-1 prior selection composed with the union-find
+    canonical map — both label-side-only computations, so they exist
+    before any document is read).  Emits canonical mention triples
+    (subj=entity, rel=MENTIONED_IN, obj=doc_id, rule, doc_id), deduped
+    per doc on the final entity.
+
+    Equivalent to detect_mentions + link_mentions + rewrite on the
+    mention side (mention triples are per-doc-unique by construction:
+    obj is the doc id), but the doc side needs NO join and NO shuffle —
+    one mapInPandas over doc partitions, the gazetteer rides a single
+    ``sc.broadcast``.
+    """
+    from netbase_spark.schemas import TRIPLES_SCHEMA
+
+    bc = _broadcast_gazetteer(
+        docs.sparkSession, dict(alias_to_entity), blacklist
+    )
+    scan = _make_triple_scan(bc, german)
     return (
         doc_text(docs)
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")

@@ -315,11 +315,22 @@ def find_mentions(
             # empty-normalizing tokens (pure punctuation) fall through:
             # the span's normalized form then starts at a LATER word
             if t0:
-                passes = t0 in first_tokens or (
-                    t0.endswith("s") and t0[:-1] in first_tokens
-                )
+                # The stem retry must mirror the real probe, which strips
+                # the last RAW char then normalizes (norm_name drops a
+                # now-trailing quote/apostrophe): "Tesla's" stems to
+                # "tesla'" -> "tesla".  Stripping only the normalized
+                # trailing 's' falsely rejected such tokens.
+                passes = t0 in first_tokens
+                if not passes and t0.endswith("s"):
+                    passes = (
+                        t0[:-1] in first_tokens
+                        or t0[:-1].strip("\"'") in first_tokens
+                    )
                 if not passes and german and t0.endswith("e"):
-                    passes = t0[:-1] in first_tokens
+                    passes = (
+                        t0[:-1] in first_tokens
+                        or t0[:-1].strip("\"'") in first_tokens
+                    )
                 if not passes:
                     continue
         for j in range(i + 1, min(i + 1 + max_words, n + 1)):
@@ -416,14 +427,15 @@ def oracle_triples(
             return nn
         return None
 
-    ftoks = first_token_index(alias.keys())
+    # NOTE: the oracle deliberately runs WITHOUT the first_tokens
+    # prefilter — the engine uses it as an optimization, and keeping the
+    # oracle on the unfiltered path means a prefilter bug shows up as a
+    # P/R failure instead of being masked by shared code.
     for doc in docs:
         text = " ".join(
             sp["text"] for sp in doc["spans"] if sp["kind"] == "text" and sp["text"]
         )
-        cands = filter_candidates(
-            find_mentions(text, lookup, blacklist, first_tokens=ftoks)
-        )
+        cands = filter_candidates(find_mentions(text, lookup, blacklist))
         seen_alias = set()
         for alias_key, _i, _n in cands:
             if alias_key in seen_alias:

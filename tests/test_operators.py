@@ -145,20 +145,114 @@ def test_class_of_priority(spark):
 def test_simhash_similar_docs_close(spark):
     from netbase_spark.operators.dedup import simhash, simhash_candidates
 
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while herons wade through shallow water and swallows circle the "
+        "old stone mill whose wheel turns slowly in the current grinding "
+        "grain for the village bakery every single morning without fail"
+    )
     docs = spark.createDataFrame(
         [
-            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
-            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (1, base + " today"),
+            (2, base + " tonight"),
             (3, "completely different words about spark catalyst optimizer and shuffle plans"),
         ],
         "doc_id long, text string",
     )
-    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    sigs = {
+        r.doc_id: (r.simhash_hi << 32) | r.simhash_lo
+        for r in simhash(docs).collect()
+    }
     ham = bin(sigs[1] ^ sigs[2]).count("1")
     ham_far = bin(sigs[1] ^ sigs[3]).count("1")
     assert ham < ham_far
     cands = {(r.a, r.b) for r in simhash_candidates(simhash(docs)).collect()}
     assert (1, 2) in cands
+
+
+def test_simhash_hot_band_bucket_cap(spark):
+    """Skew guard: one hot band value (many near-identical docs) is
+    dropped once the bucket exceeds the cap; the remaining pairs stay."""
+    from netbase_spark.operators.dedup import (
+        simhash,
+        simhash_candidates,
+        simhash_oversized_buckets,
+    )
+
+    # 30 near-identical docs (hot buckets) + 2 similar odd ones
+    rows = [
+        (i, "boilerplate header the same every time on every page footer x")
+        for i in range(30)
+    ]
+    rows += [
+        (100, "rare unique snowflake document about turbine bearings alpha"),
+        (101, "rare unique snowflake document about turbine bearings beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash(docs)
+    uncapped = {(r.a, r.b) for r in simhash_candidates(sigs, bucket_cap=None).collect()}
+    capped = {(r.a, r.b) for r in simhash_candidates(sigs, bucket_cap=10).collect()}
+    # the 30-doc clique (435 pairs/band) is gone, the rare pair survives
+    assert (0, 1) in uncapped and (0, 1) not in capped
+    assert (100, 101) in capped
+    dropped = simhash_oversized_buckets(sigs, bucket_cap=10).collect()
+    assert len(dropped) >= 1 and all(r.n == 30 for r in dropped)
+
+
+def test_minhash_params_and_cap(spark):
+    from netbase_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sh_rows = []
+    for d in (1, 2):  # two docs sharing most shingles
+        for s in ("a b c", "b c d", "c d e", "d e f"):
+            sh_rows.append((d, s))
+    sh_rows.append((2, "x y z"))
+    sh_rows.append((3, "p q r"))  # unrelated doc
+    sh = spark.createDataFrame(sh_rows, "doc_id long, shingle string")
+    sigs = minhash_signatures(sh, n_hashes=8)
+    assert len(sigs.columns) == 9  # doc_id + s0..s7
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(sigs, bands=2, rows_per_band=4).collect()}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+
+def test_cosine_tiling_equals_single_tile(spark):
+    """Tiled broadcast path == single-collect path, ids stay native
+    dtype (string ids exercised)."""
+    from netbase_spark.operators.dedup import cosine_neardup_pairs
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"v{i:03d}", [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    one = {
+        (r.a, r.b, r.sim_e4)
+        for r in cosine_neardup_pairs(emb, 6000, tile_rows=10**9).collect()
+    }
+    tiled = {
+        (r.a, r.b, r.sim_e4)
+        for r in cosine_neardup_pairs(emb, 6000, tile_rows=50).collect()
+    }
+    assert one == tiled and len(one) > 0
+
+
+def test_ann_weight_matrix_matches_md5_reference():
+    """The hoisted plane-weight matrix must equal the md5-per-element
+    definition the SQL oracle uses."""
+    import hashlib
+
+    from netbase_spark.operators.dedup import _plane_weights
+
+    w = _plane_weights(3, 5)
+    for j in range(3):
+        for i in range(5):
+            h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:6], 16)
+            assert w[i, j] == h / float(1 << 24) - 0.5
 
 
 def test_media_decode_schema(spark):

@@ -112,6 +112,65 @@ def test_find_mentions_stemming_blacklist_numbers():
     assert keys == {"widget"}  # plural stemmed; 123 numeric; "the" blacklisted
 
 
+def test_prefilter_never_rejects_apostrophe_stems():
+    # "Tesla's" with alias "tesla": the probe strips the raw last char
+    # then normalizes ("Tesla'" -> "tesla"); the prefilter must pass it.
+    from netbase_spark.oracle.rules import first_token_index
+
+    aliases = {"tesla"}
+
+    def lookup(nn):
+        return nn if nn in aliases else None
+
+    ftoks = first_token_index(aliases)
+    without = find_mentions("Tesla's factory opened", lookup, set())
+    withf = find_mentions(
+        "Tesla's factory opened", lookup, set(), first_tokens=ftoks
+    )
+    assert {k for k, _, _ in without} == {"tesla"}
+    assert without == withf
+
+
+def test_prefilter_equivalence_property():
+    # Property: find_mentions with the prefilter == without, over a
+    # generated mix of aliases/punctuation/stems/quotes.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from netbase_spark.oracle.rules import first_token_index
+
+    aliases = {
+        "tesla", "red widget", "battle of hastings", "kiel", "new york",
+        "o'brien", '"quoted"', "cars",
+    }
+    ftoks = first_token_index(aliases)
+
+    def lookup(nn):
+        return nn if nn in aliases else None
+
+    tokens = st.sampled_from(
+        [
+            "Tesla's", "Tesla", "teslas", "red", "widgets", "widget",
+            "battle", "of", "hastings", "Kiel", "e.V", "new", "york",
+            "O'Briens", "o'brien", '"quoted"s', "cars'", "123", "", "the",
+            "(red)", "very",
+        ]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(tokens, min_size=0, max_size=10))
+    def check(words):
+        text = " ".join(words)
+        for german in (False, True):
+            a = find_mentions(text, lookup, set(), german)
+            b = find_mentions(
+                text, lookup, set(), german, first_tokens=ftoks
+            )
+            assert a == b, (text, german)
+
+    check()
+
+
 def test_oracle_end_to_end_canonicalizes():
     labels = [
         {"key": "Q1", "label": "car", "label_type": "label"},

@@ -101,6 +101,56 @@ def test_canonicalization_merged(built):
     del merged_away
 
 
+def test_scan_closure_stays_small_at_100k_aliases(spark):
+    """The gazetteer must ride sc.broadcast (one block-manager transfer
+    per executor), NOT the task closure: at 10^7-10^8 aliases a
+    closure-shipped map re-serializes gigabytes per task.  Pin it by
+    measuring the pickled size of the scan closure itself with a
+    100k-alias gazetteer — broadcast handles pickle to ~KB."""
+    import itertools
+
+    from pyspark.serializers import CloudPickleSerializer
+
+    from netbase_spark.operators.mentions import (
+        _broadcast_gazetteer,
+        _make_mention_scan,
+        _make_triple_scan,
+        detect_mentions_text,
+    )
+
+    words = [
+        f"{a}{b}{c}"
+        for a, b, c in itertools.product("abcdefghij", repeat=3)
+    ]  # 1000 tokens
+    aliases = {
+        f"{w1} {w2}": f"Q{i}"
+        for i, (w1, w2) in enumerate(itertools.islice(
+            itertools.product(words, words), 100_000
+        ))
+    }
+    assert len(aliases) == 100_000
+    bc = _broadcast_gazetteer(spark, aliases, {"the"})
+    ser = CloudPickleSerializer()
+    for fn in (
+        _make_mention_scan(bc, False, False),
+        _make_triple_scan(bc),
+    ):
+        size = len(ser.dumps(fn))
+        assert size < 100_000, f"scan closure serialized to {size} bytes"
+    # and the scan still finds mentions against the big gazetteer
+    texts = spark.createDataFrame(
+        [("0", "prefix aaa aab words trail"), ("1", "no hits here")],
+        "doc_id string, text string",
+    )
+    got = {
+        (r.doc_id, r.alias_key)
+        for r in detect_mentions_text(
+            texts, list(aliases), {"the"}
+        ).collect()
+    }
+    assert got == {("0", "aaa aab")}
+
+
 def test_construct_fused_matches_oracle(spark):
     """The fused single-pass construction (scan with precomposed
     alias->canonical-entity map, shuffle-free doc side) must emit exactly

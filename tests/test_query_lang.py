@@ -46,6 +46,37 @@ def test_run_query_plural_retry_and_filter(spark):
         run_query("all dragons", {"city": df})
 
 
+def test_run_graph_query_multi_condition_where(spark):
+    # regression: "a>1 and b=2" — the old single-regex LHS extraction
+    # captured "1 and b" as a predicate, so b was never pivoted and the
+    # filter compile failed on a missing column
+    from netbase_spark.relations import INSTANCE
+
+    triples = spark.createDataFrame(
+        [
+            ("city", INSTANCE, "berlin"),
+            ("city", INSTANCE, "kiel"),
+            ("city", INSTANCE, "lyon"),
+            ("berlin", 9001, "3600000"),
+            ("kiel", 9001, "240000"),
+            ("lyon", 9001, "510000"),
+            ("berlin", 9002, "de"),
+            ("kiel", 9002, "de"),
+            ("lyon", 9002, "fr"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    out = run_graph_query(
+        "select 9001 from city where 9001>1000000 and 9002=de", triples
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["name"] == "berlin"
+    out_or = run_graph_query(
+        "select 9001 from city where 9001>1000000 or 9002=fr", triples
+    )
+    assert sorted(r["name"] for r in out_or.collect()) == ["berlin", "lyon"]
+
+
 def test_run_graph_query_instances_and_pivot(spark):
     from netbase_spark.relations import INSTANCE
 
