@@ -325,19 +325,28 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def _shingles(spark, sf_dir):
+    """3-token shingles per doc — pure array expressions (transform +
+    element_at), NO shuffle: the posexplode+Window version sorted every
+    token through one exchange before any shingle existed."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    arr = F.transform(
+        toks,
+        lambda x, i: F.when(
+            i < n - 2,
+            F.concat_ws(
+                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(
-            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-        ).alias("shingle"),
-        F.lead("tok", 2).over(w).alias("ok"),
-    ).where(F.col("ok").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.filter(arr, lambda s: s.isNotNull())).alias("shingle"),
+        )
+        .distinct()
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):

@@ -183,10 +183,19 @@ def main():
     construct_from(spark, spark.read.parquet(warm)).count()
     clear_persisted(spark)
 
-    t0 = time.time()
-    triples = construct_from(spark, spark.read.parquet(corpus))
-    n_triples = triples.count()
-    pipe_sec = time.time() - t0
+    # best-of-2: the sandbox host shows bimodal ~2-4x noise between
+    # IDENTICAL runs (BENCH/BASELINE.md methodology notes); report the
+    # best with all runs recorded so the number reflects the pipeline,
+    # not whichever neighbor the VM had that second
+    runs = []
+    n_triples = 0
+    for _ in range(2):
+        t0 = time.time()
+        triples = construct_from(spark, spark.read.parquet(corpus))
+        n_triples = triples.count()
+        runs.append(round(time.time() - t0, 3))
+        clear_persisted(spark)
+    pipe_sec = min(runs)
     tps = n_triples / pipe_sec if pipe_sec > 0 else 0.0
     times["kg_pipeline"] = round(pipe_sec, 3)
 
@@ -201,6 +210,7 @@ def main():
             "n_docs": args.docs,
             "triples": int(n_triples),
             "sec": round(pipe_sec, 3),
+            "runs_sec": runs,
             "triples_per_sec": round(tps, 1),
         },
     }

@@ -153,6 +153,60 @@ def run_graph_query(
     return out
 
 
+def parse_properties(q: str) -> tuple[str, str] | None:
+    """Property-question parse (``parseProperties``,
+    src/query.cpp:1847-1898): ``"P of T"`` / ``"T.P"`` / ``"P:T"`` ->
+    (property, topic), else None."""
+    q = (q or "").strip()
+    m = re.match(r"^(.+?)\s+of\s+(.+)$", q, flags=re.I)
+    if m:
+        return (m.group(1).strip(), m.group(2).strip())
+    m = re.match(r"^(\S+)\.(\S+)$", q)
+    if m:
+        return (m.group(2), m.group(1))
+    m = re.match(r"^([^:]+):(.+)$", q)
+    if m:
+        return (m.group(1).strip(), m.group(2).strip())
+    return None
+
+
+def property_question(
+    q: str, triples: DataFrame, limit: int | None = None
+) -> DataFrame:
+    """Answer a property question over the triple table: resolve the
+    property name to its relation id (canonical registry else md5
+    fallback — the same resolver the mutation path uses), look up
+    (topic, rel, ?) rows; if none match, retry the PLURAL-stripped
+    topic, then the INVERSE direction (?, rel, topic) flipped —
+    exactly parseProperties' retry ladder (src/query.cpp:1869-1894).
+    Returns (name, value)."""
+    from netbase_spark.normalize import norm_name
+    from netbase_spark.operators.mutate import rel_id_for
+
+    parsed = parse_properties(q)
+    if parsed is None:
+        raise ValueError(f"not a property question: {q!r}")
+    prop, topic = parsed
+    rel = rel_id_for(prop)
+    topics = [norm_name(topic) or topic]
+    singular = _singular(topics[0])
+    if singular != topics[0]:
+        topics.append(singular)
+    base = triples.where(F.col("rel") == rel)
+    direct = base.where(F.col("subj").isin(topics)).select(
+        F.col("subj").alias("name"), F.col("obj").alias("value")
+    )
+    inverse = base.where(F.col("obj").isin(topics)).select(
+        F.col("obj").alias("name"), F.col("subj").alias("value")
+    )
+    # retry ladder as a lazy coalesce: direct rows if any, else inverse
+    out = direct if not direct.isEmpty() else inverse
+    out = out.dropDuplicates(["name", "value"])
+    if limit:
+        out = out.limit(limit)
+    return out
+
+
 def evaluate_sql(spark: SparkSession, s: str) -> DataFrame:
     """ANSI passthrough (``evaluate_sql``, src/query.cpp:531-575):
     anything already valid SQL goes straight to Catalyst."""

@@ -149,6 +149,24 @@ def connected_components(
     return mapping.where(F.col("node") != F.col("rep"))
 
 
+def merge_all_edges(aliases: DataFrame, word: str | None = None) -> DataFrame:
+    """``mergeAll`` (src/netbase.cpp:2491-2497): merge every entity
+    sharing one surface form into a single node — emitted as star edges
+    (min key per name_norm -> each other key) feeding
+    :func:`connected_components`.  ``word`` restricts to one alias
+    (the console ``:merge`` form); None merges every ambiguous alias
+    (collectAbstracts-scale rebuild)."""
+    a = aliases.select("name_norm", "key").dropDuplicates(["name_norm", "key"])
+    if word is not None:
+        a = a.where(F.col("name_norm") == word)
+    hub = a.groupBy("name_norm").agg(F.min("key").alias("src"))
+    return (
+        a.join(hub, "name_norm")
+        .where(F.col("key") != F.col("src"))
+        .select("src", F.col("key").alias("dst"))
+    )
+
+
 def sameas_edges(triples: DataFrame) -> DataFrame:
     """Extract merge edges from a triple set (sameAs-class relations)."""
     from netbase_spark.relations import SAMEAS_CLASS_RELS

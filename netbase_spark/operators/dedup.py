@@ -124,14 +124,20 @@ def simhash_candidates(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bv")
     if bucket_cap:
-        sizes = banded.groupBy("band", "bv").agg(
-            F.count(F.lit(1)).alias("_bucket_n")
-        )
+        # window count, not groupBy+join: one shuffle on (band, bv) and
+        # NO re-scan of the signature subtree (the join form recomputed
+        # the whole simhash aggregation once per reference)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bv")
         banded = (
-            banded.join(sizes, ["band", "bv"])
+            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
             .where(F.col("_bucket_n") <= bucket_cap)
             .drop("_bucket_n")
         )
+    # persist: the self-join reads this subtree twice; it is tiny
+    # (n_docs x n_bands rows of ints) vs the signature computation
+    banded = banded.persist()
     l = banded.select(F.col("doc_id").alias("a"), "band", "bv")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bv")
     return (
@@ -225,27 +231,37 @@ def minhash_lsh_pairs(
     is a single string; ``bucket_cap`` guards hot bands exactly like
     :func:`simhash_candidates`.
     """
-    band_rows = None
-    for b in range(bands):
-        cols = [
-            F.col(f"s{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        one = sigs.select(
-            "doc_id",
+    # ONE pass over sigs: explode an array of (band, bv) structs — a
+    # per-band union would re-run the whole signature aggregation once
+    # per band
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bv"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bv"),
         )
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+        for b in range(bands)
+    ]
+    band_rows = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bv")
     if bucket_cap:
-        sizes = band_rows.groupBy("band", "bv").agg(
-            F.count(F.lit(1)).alias("_bucket_n")
-        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bv")
         band_rows = (
-            band_rows.join(sizes, ["band", "bv"])
+            band_rows.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
             .where(F.col("_bucket_n") <= bucket_cap)
             .drop("_bucket_n")
         )
+    band_rows = band_rows.persist()
     l = band_rows.select(F.col("doc_id").alias("a"), "band", "bv")
     r = band_rows.select(F.col("doc_id").alias("b"), "band", "bv")
     return (
@@ -412,7 +428,9 @@ def ann_topk_bucketed(
     import numpy as np
     import pandas as pd
 
-    with_b = ann_lsh_buckets(emb, n_planes, keep_vec=True)
+    # persist: consumed twice (query-row lookup + candidate join) — one
+    # gemm pass instead of two
+    with_b = ann_lsh_buckets(emb, n_planes, keep_vec=True).persist()
     qb = with_b.where(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
     )

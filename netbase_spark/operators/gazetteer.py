@@ -104,6 +104,44 @@ def best_entity_per_alias(aliases: DataFrame) -> DataFrame:
     )
 
 
+def seo_index(labels: DataFrame, degrees: DataFrame) -> DataFrame:
+    """``buildSeoIndex`` with conflict resolution by degree
+    (src/netbase.cpp:2555-2593, conflict keeps the higher-degree node
+    2564-2569): one alias row per slug — the key with the highest
+    degree wins, ties break on min key.  degrees(node, degree) comes
+    from :func:`netbase_spark.operators.materialize.node_degrees`."""
+    slugs = labels.select(
+        seo_slug_col(F.col("label")).alias("slug"), "key"
+    ).where(F.length("slug") > 0).dropDuplicates(["slug", "key"])
+    d = degrees.select(F.col("node").alias("key"), "degree")
+    w = Window.partitionBy("slug").orderBy(
+        F.col("degree").desc_nulls_last(), F.col("key").asc()
+    )
+    return (
+        slugs.join(F.broadcast(d), "key", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("slug", "key", F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+
+
+def rename_nodes(entities: DataFrame, renames: DataFrame) -> DataFrame:
+    """``setLabel``/``setName`` rename cascade (src/netbase.cpp:
+    2385-2427): entities(key, name) with renames(key, new_name) applied.
+    The abstract-rename cascade to instances is structural in our model:
+    alias rows derive from entity names, so rebuilding the alias table
+    from the renamed entities IS the cascade (collectAbstracts,
+    src/init.cpp:481-525)."""
+    r = F.broadcast(
+        renames.select("key", F.col("new_name").alias("_new_name"))
+    )
+    return (
+        entities.join(r, "key", "left")
+        .withColumn("name", F.coalesce("_new_name", F.col("name")))
+        .drop("_new_name")
+    )
+
+
 def alias_keys_local(aliases: DataFrame) -> list[str]:
     """Collect the distinct normalized alias names for broadcast into the
     mention-scan UDF.  At full scale, replace with a serialized

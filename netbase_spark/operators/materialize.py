@@ -51,6 +51,20 @@ def adjacency(triples: DataFrame) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+def reify(triples: DataFrame) -> DataFrame:
+    """``reify(s)`` (src/netbase.cpp:352-363): a statement-id surrogate
+    usable as a subject FK — md5 of the (subj, rel, obj) key, stable
+    across runs and reproducible in SQL (the reference uses the array
+    slot; dense physical ids don't survive distributed set semantics).
+    Returns the triples with a ``statement_id`` column; provenance or
+    qualifier facts can then be stored as (statement_id, rel, obj)
+    rows in the same table."""
+    sid = F.md5(
+        F.concat_ws("|", F.col("subj"), F.col("rel").cast("string"), F.col("obj"))
+    )
+    return triples.withColumn("statement_id", sid)
+
+
 def write_triples(triples: DataFrame, path: str) -> None:
     """Partitioned triple table: partition by rel (predicate-class
     pruning — the Instance-gap ordering analog, src/netbase.cpp:468-481:

@@ -1,0 +1,193 @@
+"""Mutation path: learn / update / setValue / upsert — the reference's
+insert-and-query loop.
+
+Reference: ``learn(sentence)`` parses a 3-token "s p o" sentence (stop
+words " a " / " the " stripped) or an ``s.p=o`` evaluate form and calls
+``addStatement`` (src/netbase.cpp:2200-2218; src/query.cpp:338-394,
+579-595); ``update(query)`` applies ``UPDATE x SET p=v`` over a
+parseProperties result set (src/query.cpp:1824-1843); ``setValue``
+replaces a property value if different (src/netbase.cpp:2368-2377);
+mutations append to the replay log (``replay()``,
+src/netbase.cpp:2521-2533).  Learning the same fact twice returns the
+SAME statement (``testFactLearning``, src/tests.cpp:1227-1259) — i.e.
+the upsert is idempotent.
+
+Spark-first: sentences parse JVM-side (regexp + array ops, no UDF);
+the upsert is a set-semantics union + dropDuplicates (our storage has
+no physical insert order — SURVEY.md §2.5 Mutation note); setValue is
+an anti-join replace.  Predicates resolve through the canonical
+registry (``getRelation``) with an md5-derived stable id fallback so
+the DuckDB oracle can reproduce ids bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from netbase_spark.normalize import norm_name, norm_name_col
+from netbase_spark.relations import PREDICATE_CANON, canon_predicate
+
+# learned free predicates get a stable md5-slice id in [10^4, 2^30)
+# (positive: never collides with built-in negative relation ids);
+# DuckDB: ('0x' || substr(md5(name), 1, 8))::BIGINT % 1073741824
+_HASH_MOD = 1 << 30
+
+
+def rel_id_for(pred_name: str) -> int:
+    """Relation id for a predicate NAME: canonical registry first
+    (``getRelation``, src/relations.cpp:479-592), else md5-slice."""
+    nn = norm_name(pred_name) or ""
+    canon = canon_predicate(nn)
+    if canon is not None:
+        return canon
+    import hashlib
+
+    return int(hashlib.md5(nn.encode()).hexdigest()[:8], 16) % _HASH_MOD
+
+
+def rel_id_col(pred_name_col: Column) -> Column:
+    """Column twin of :func:`rel_id_for` (MUST stay equivalent; pinned
+    by tests/test_mutate.py)."""
+    nn = norm_name_col(pred_name_col)
+    items = [F.lit(x) for kv in PREDICATE_CANON.items() for x in kv]
+    canon = F.create_map(*items)[nn]
+    hashed = F.pmod(
+        F.conv(F.substring(F.md5(nn), 1, 8), 16, 10).cast("long"),
+        F.lit(_HASH_MOD),
+    )
+    return F.coalesce(canon.cast("long"), hashed).cast("int")
+
+
+def parse_sentence(s: str) -> tuple[str, int, str] | None:
+    """Pure-Python sentence parse (oracle/test twin of
+    :func:`parse_sentences`): ``s.p=o`` or 3 tokens after stop-word
+    strip -> (subj_norm, rel_id, obj_norm), else None."""
+    import re
+
+    s = (s or "").strip()
+    m = re.match(r"^(\S+)\.(\S+?)=(\S+)$", s)
+    if m:
+        subj, pred, obj = m.groups()
+    else:
+        toks = [t for t in s.split(" ") if t and t.lower() not in ("a", "the")]
+        if len(toks) != 3:
+            return None
+        subj, pred, obj = toks
+    sn, on = norm_name(subj), norm_name(obj)
+    if not sn or not on:
+        return None
+    return (sn, rel_id_for(pred), on)
+
+
+def parse_sentences(sentences: DataFrame, col: str = "sentence") -> DataFrame:
+    """sentences(col) -> triples(subj, rel, obj, rule='learn', doc_id)
+    — JVM-side parse, malformed rows dropped."""
+    c = F.trim(F.col(col))
+    dotted = F.regexp_extract(c, r"^(\S+)\.(\S+?)=(\S+)$", 0) != ""
+    d_subj = F.regexp_extract(c, r"^(\S+)\.(\S+?)=(\S+)$", 1)
+    d_pred = F.regexp_extract(c, r"^(\S+)\.(\S+?)=(\S+)$", 2)
+    d_obj = F.regexp_extract(c, r"^(\S+)\.(\S+?)=(\S+)$", 3)
+    toks = F.filter(
+        F.split(c, " "),
+        lambda t: (t != "") & ~F.lower(t).isin("a", "the"),
+    )
+    three = F.size(toks) == 3
+    subj = F.when(dotted, d_subj).when(three, toks[0])
+    pred = F.when(dotted, d_pred).when(three, toks[1])
+    obj = F.when(dotted, d_obj).when(three, toks[2])
+    out = sentences.select(
+        norm_name_col(subj).alias("subj"),
+        rel_id_col(pred).alias("rel"),
+        norm_name_col(obj).alias("obj"),
+        F.lit("learn").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    return out.where(
+        F.col("subj").isNotNull()
+        & F.col("obj").isNotNull()
+        & (F.length("subj") > 0)
+        & (F.length("obj") > 0)
+    )
+
+
+def upsert_triples(base: DataFrame, new: DataFrame) -> DataFrame:
+    """Idempotent MERGE: set-semantics union keyed (subj, rel, obj);
+    an existing fact's row (rule/doc_id provenance) wins over the new
+    duplicate — learning a fact twice is the same statement
+    (src/netbase.cpp:760-767 duplicate check; testFactLearning).
+    One shuffle on the triple key; at Iceberg scale this is the
+    MERGE INTO pattern with the same key."""
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        new.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy("subj", "rel", "obj").orderBy("_src")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+
+
+def learn(triples: DataFrame, sentences: DataFrame, col: str = "sentence") -> DataFrame:
+    """``learn``: parse sentences and upsert the resulting facts."""
+    return upsert_triples(triples, parse_sentences(sentences, col))
+
+
+def set_value(
+    triples: DataFrame, subj: str, pred_name: str, new_obj: str
+) -> DataFrame:
+    """``setValue`` (src/netbase.cpp:2368-2377): replace the value of
+    (subj, rel) if different — single-valued property semantics: any
+    existing (subj, rel, *) rows are dropped, the new fact added."""
+    rel = rel_id_for(pred_name)
+    keep = triples.where(~((F.col("subj") == subj) & (F.col("rel") == rel)))
+    spark = triples.sparkSession
+    row = spark.createDataFrame(
+        [(norm_name(subj) or subj, rel, norm_name(new_obj) or new_obj,
+          "update", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    return keep.unionByName(row.select(*triples.columns))
+
+
+def update_statements(
+    triples: DataFrame, targets: DataFrame, pred_name: str, value: str
+) -> DataFrame:
+    """``update(query)`` (src/query.cpp:1824-1843): for every node in
+    ``targets(node)``, SET pred = value (single-valued replace) — the
+    distributed form of setValue over a parseProperties result set.
+    Anti-join drop + union insert: two narrow shuffles, no collect."""
+    rel = rel_id_for(pred_name)
+    t = F.broadcast(targets.select(F.col("node").alias("subj")))
+    dropped = triples.join(
+        t.withColumn("_r", F.lit(rel)),
+        (triples["subj"] == t["subj"]) & (triples["rel"] == F.col("_r")),
+        "left_anti",
+    )
+    inserts = targets.select(
+        F.col("node").alias("subj"),
+        F.lit(rel).alias("rel"),
+        F.lit(norm_name(value) or value).alias("obj"),
+        F.lit("update").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    return dropped.unionByName(inserts.select(*triples.columns))
+
+
+def append_replay_log(new: DataFrame, path: str) -> None:
+    """Append learned facts to the replay log (``replay()``,
+    src/netbase.cpp:2521-2533; console append src/console.cpp:697-700):
+    an append-only parquet commit — replaying = reading the log and
+    upserting over a snapshot."""
+    new.write.mode("append").parquet(path)
+
+
+def replay(triples: DataFrame, log_path: str) -> DataFrame:
+    """Re-apply the replay log over a triple snapshot."""
+    spark = triples.sparkSession
+    try:
+        log = spark.read.parquet(log_path)
+    except Exception:
+        return triples
+    return upsert_triples(triples, log.select(*triples.columns))

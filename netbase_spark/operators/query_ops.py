@@ -40,6 +40,89 @@ INVERSE_PAIRS = {
 SYMMETRIC_RELS = (SYNONYM, ANTONYM)
 
 
+def isa_closure(triples: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(node, anc): transitive subsumption closure — the materialized
+    replacement for the reference's memoized ``isA4`` recursion
+    (src/query.cpp:2457-2552; memo table ``yetvisitedIsA`` 2466-2470).
+
+    Upward edges per isA4's recursion set:
+    - ``(word, Instance, node)`` -> node's ancestor is word (the
+      abstract/instance model stores the class on the SUBJECT side,
+      src/netbase.cpp:641);
+    - ``(s, Type, o)`` / ``(s, SuperClass, o)`` -> s's ancestor is o;
+    - ``(s, SubClass, o)`` -> o's ancestor is s;
+    - Synonym edges connect both directions.
+
+    Iterative driver-loop frontier joins (Catalyst has no recursion);
+    each level localCheckpoints and frees superseded blocks.
+    """
+    from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    up = (
+        triples.where(F.col("rel") == INSTANCE)
+        .select(F.col("obj").alias("node"), F.col("subj").alias("anc"))
+        .unionByName(
+            triples.where(F.col("rel").isin([TYPE, SUPER_CLASS])).select(
+                F.col("subj").alias("node"), F.col("obj").alias("anc")
+            )
+        )
+        .unionByName(
+            triples.where(F.col("rel") == SUB_CLASS).select(
+                F.col("obj").alias("node"), F.col("subj").alias("anc")
+            )
+        )
+        .unionByName(
+            triples.where(F.col("rel") == SYNONYM)
+            .select(F.col("subj").alias("node"), F.col("obj").alias("anc"))
+            .unionByName(
+                triples.where(F.col("rel") == SYNONYM).select(
+                    F.col("obj").alias("node"), F.col("subj").alias("anc")
+                )
+            )
+        )
+        .where(F.col("node") != F.col("anc"))
+        .dropDuplicates(["node", "anc"])
+    )
+    edges = _pin(up)
+    # explicit column renames, not alias-qualified self-joins: a
+    # localCheckpointed plan self-joined through string aliases trips
+    # Catalyst attribute resolution (NoSuchElementException on exprIds)
+    e2 = edges.select(
+        F.col("node").alias("e_node"), F.col("anc").alias("e_anc")
+    )
+    closure = edges
+    frontier = edges
+    for _ in range(max_iter):
+        nxt = _pin(
+            frontier.join(e2, frontier["anc"] == e2["e_node"])
+            .select(frontier["node"].alias("node"), F.col("e_anc").alias("anc"))
+            .where(F.col("node") != F.col("anc"))
+            .join(closure, ["node", "anc"], "left_anti")
+            .dropDuplicates(["node", "anc"])
+        )
+        if nxt.isEmpty():
+            _unpin(nxt)
+            break
+        new_closure = _pin(closure.unionByName(nxt))
+        if frontier is not closure:
+            _unpin(frontier)
+        if closure is not edges:
+            _unpin(closure)
+        closure = new_closure
+        frontier = nxt
+    return closure
+
+
+def _semantic_keys(spark, term: str, closure: DataFrame, colname: str) -> DataFrame:
+    """{term} ∪ descendants(term) per the closure — the match set for a
+    semantic pattern term (isA4 subsumption, src/netbase.cpp:1764-1785)."""
+    exact = spark.createDataFrame([(term,)], f"{colname} string")
+    desc = closure.where(F.col("anc") == term).select(
+        F.col("node").alias(colname)
+    )
+    return exact.unionByName(desc).distinct()
+
+
 def find_statements(
     triples: DataFrame,
     subj: str | None = None,
@@ -47,20 +130,38 @@ def find_statements(
     obj: str | None = None,
     symmetric: bool = True,
     limit: int | None = None,
+    semantic: bool = False,
+    closure: DataFrame | None = None,
 ) -> DataFrame:
     """Triple-pattern match with wildcard terms (None = Any) and the
     reference's reverse-direction semantics.  Returns (subj, rel, obj)
     in query orientation (reverse matches come back flipped, like the
-    reference's symmetric result handling)."""
+    reference's symmetric result handling).
+
+    ``semantic=True`` probes the materialized ``closure`` (from
+    :func:`isa_closure`) instead of exact term equality: a stored term
+    matches the pattern term if it IS the term or any isA4-descendant of
+    it (src/netbase.cpp:1764-1785 semantic match; src/query.cpp:
+    2457-2552 isA4).  The probe is a broadcast semi-join — the
+    reference's per-call recursion becomes one closure lookup."""
+    spark = triples.sparkSession
+    if semantic and closure is None:
+        closure = isa_closure(triples)
+
+    def term_match(df, col, term):
+        if term is None:
+            return df
+        if not semantic:
+            return df.where(F.col(col) == term)
+        keys = _semantic_keys(spark, term, closure, col)
+        return df.join(F.broadcast(keys), col, "leftsemi")
 
     def base(df, s, r, o):
         out = df
-        if s is not None:
-            out = out.where(F.col("subj") == s)
         if r is not None:
             out = out.where(F.col("rel") == r)
-        if o is not None:
-            out = out.where(F.col("obj") == o)
+        out = term_match(out, "subj", s)
+        out = term_match(out, "obj", o)
         return out.select("subj", "rel", "obj")
 
     result = base(triples, subj, rel, obj)
@@ -213,6 +314,253 @@ def topic_of(
         seen.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(F.col("start").alias("node"), F.col("cur").alias("topic"))
+    )
+
+
+def typed_filter_edges(
+    triples: DataFrame,
+    fwd_rels: frozenset[int],
+    rev_rels: frozenset[int],
+    skip_rels: frozenset[int] = frozenset(),
+) -> DataFrame:
+    """BFS edge set (src, dst) for one per-edge-type filter
+    (src/query.cpp:1228-1475): forward predicates step subject->object,
+    reverse predicates step object->subject, skip predicates are dropped
+    before any match.  The predicate sets are broadcast config — the
+    Spark analog of the reference's hardcoded filter functions."""
+    t = triples
+    if skip_rels:
+        t = t.where(~F.col("rel").isin(list(skip_rels)))
+    fwd = t.where(F.col("rel").isin(list(fwd_rels))).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    rev = t.where(F.col("rel").isin(list(rev_rels))).select(
+        F.col("obj").alias("src"), F.col("subj").alias("dst")
+    )
+    return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def member_edges(triples: DataFrame) -> DataFrame:
+    """``memberFilter`` meronymy step set (src/query.cpp:1266-1336):
+    forward Part/Member/Substance/... plus the upward class climb
+    (reverse Instance/SubClass), so parts inherit through the type
+    hierarchy — has(duck, feather) via duck -> bird -> feather."""
+    from netbase_spark.relations import (
+        MEMBER_FWD_RELS,
+        MEMBER_REV_RELS,
+        MEMBER_SKIP_RELS,
+    )
+
+    return typed_filter_edges(
+        triples, MEMBER_FWD_RELS, MEMBER_REV_RELS, MEMBER_SKIP_RELS
+    )
+
+
+def subclass_edges(triples: DataFrame) -> DataFrame:
+    """``subclassFilter`` step set (src/query.cpp:1228-1250)."""
+    from netbase_spark.relations import SUBCLASS_FWD_RELS, SUBCLASS_REV_RELS
+
+    return typed_filter_edges(triples, SUBCLASS_FWD_RELS, SUBCLASS_REV_RELS)
+
+
+def instance_edges(triples: DataFrame) -> DataFrame:
+    """``instanceFilter`` step set (src/query.cpp:1197-1224): forward
+    Instance, reverse Type/Label."""
+    from netbase_spark.relations import INSTANCE_FWD_RELS, INSTANCE_REV_RELS
+
+    return typed_filter_edges(triples, INSTANCE_FWD_RELS, INSTANCE_REV_RELS)
+
+
+def member_path_exists(
+    triples: DataFrame, src: str, dst: str, max_depth: int = 6
+) -> bool:
+    """``has(x, y)`` / ``memberPath`` (src/query.cpp:1792-1810): BFS over
+    the meronymy step set; True if y is reachable from x."""
+    return (
+        shortest_path_length(member_edges(triples), src, dst, max_depth)
+        is not None
+    )
+
+
+def all_instances(
+    triples: DataFrame,
+    word: str,
+    max_depth: int = 10,
+    include_classes: bool = True,
+) -> DataFrame:
+    """``all_instances2/3`` (src/query.cpp:902-1046): BFS downward from a
+    word/class over instanceFilter edges, optionally expanding classes
+    via subclassFilter first.  Returns (node, depth)."""
+    spark = triples.sparkSession
+    edges = instance_edges(triples)
+    if include_classes:
+        edges = edges.unionByName(subclass_edges(triples)).distinct()
+    sources = spark.createDataFrame([(word,)], "node string")
+    return (
+        bfs_distances(edges, sources, max_depth)
+        .where(F.col("depth") > 0)
+        .select("node", "depth")
+        .dropDuplicates(["node"])
+    )
+
+
+def count_instances(
+    triples: DataFrame, closure: DataFrame | None = None
+) -> DataFrame:
+    """``countInstances`` (src/query.cpp:1174-1187): per class node,
+    direct instance count (one Instance hop) vs transitive count
+    (instances of all isA4 descendants too).  Returns
+    (node, n_direct, n_transitive)."""
+    direct = (
+        triples.where(F.col("rel") == INSTANCE)
+        .groupBy(F.col("subj").alias("node"))
+        .agg(F.count_distinct("obj").alias("n_direct"))
+    )
+    if closure is None:
+        closure = isa_closure(triples)
+    # transitive: every (node, anc) closure row attributes node's direct
+    # instances to anc as well
+    inst = triples.where(F.col("rel") == INSTANCE).select(
+        F.col("subj").alias("cls"), F.col("obj").alias("inst")
+    )
+    via_desc = inst.join(
+        closure.select(F.col("node").alias("cls"), F.col("anc").alias("node")),
+        "cls",
+    ).select("node", "inst")
+    trans = (
+        inst.select(F.col("cls").alias("node"), "inst")
+        .unionByName(via_desc)
+        .groupBy("node")
+        .agg(F.count_distinct("inst").alias("n_transitive"))
+    )
+    return (
+        direct.join(trans, "node", "full")
+        .select(
+            "node",
+            F.coalesce("n_direct", F.lit(0)).alias("n_direct"),
+            F.coalesce("n_transitive", F.lit(0)).alias("n_transitive"),
+        )
+    )
+
+
+def sort_topics(
+    nodes: DataFrame,
+    edges: DataFrame,
+    stop: tuple[str, ...] = (),
+    drop: tuple[str, ...] = (),
+    max_depth: int = 10,
+) -> DataFrame:
+    """``sortTopics`` (src/query.cpp:2105-2124): the ORDERED ancestor
+    list per node — furthest first, self and placeholder entries
+    dropped, halting at STOP-listed classes — not just the single
+    furthest topic.  Returns (node, rank, topic): rank 1 = furthest."""
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst")
+    if drop:
+        e = e.where(~F.col("dst").isin(list(drop)))
+    seen = _topic_bfs(nodes, e, stop, max_depth)
+    w = Window.partitionBy("start").orderBy(
+        F.col("depth").desc(), F.col("cur").asc()
+    )
+    return (
+        seen.where(F.col("depth") > 0)  # drop self (2110)
+        .where(F.col("cur") != "◊")  # placeholder names (2112)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("start").alias("node"), "rank", F.col("cur").alias("topic")
+        )
+    )
+
+
+def _topic_bfs(nodes, e, stop, max_depth):
+    """Shared upward BFS for topic_of/sort_topics: (start, cur, depth)."""
+    from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    cur = _pin(
+        nodes.select(
+            F.col("node").alias("start"), F.col("node").alias("cur"),
+            F.lit(0).alias("depth"),
+        )
+    )
+    seen = cur
+    frontier = cur
+    for d in range(1, max_depth + 1):
+        probe = frontier
+        if stop:
+            probe = probe.where(~F.col("cur").isin(list(stop)))
+        nxt = _pin(
+            probe.join(e, probe["cur"] == e["src"])
+            .select("start", F.col("dst").alias("cur"), F.lit(d).alias("depth"))
+            .dropDuplicates(["start", "cur"])
+        )
+        if nxt.isEmpty():
+            _unpin(nxt)
+            break
+        new_seen = _pin(seen.unionByName(nxt))
+        if frontier is not seen:
+            _unpin(frontier)
+        _unpin(seen)
+        seen = new_seen
+        frontier = nxt
+    return seen
+
+
+# rel-class priority for statement listing (the Instance-gap ordering,
+# src/netbase.cpp:468-481: type/property statements live BEFORE the
+# million-row Instance block so property scans skip instances; our
+# set-semantics storage replaces physical position with this explicit
+# ordering — SURVEY.md §2.5 Mutation note, testInstancesAtEnd
+# src/tests.cpp:565-596)
+def rel_priority_col(rel_col="rel"):
+    from netbase_spark.relations import MENTIONED_IN
+
+    return (
+        F.when(F.col(rel_col).isin([TYPE, SUPER_CLASS, SUB_CLASS]), 0)
+        .when(F.col(rel_col) == INSTANCE, 2)
+        .when(F.col(rel_col) == MENTIONED_IN, 3)
+        .otherwise(1)
+    )
+
+
+def list_statements(triples: DataFrame, node: str) -> DataFrame:
+    """Ordered statement listing for one node: types first, properties
+    next, Instance block last (the reference's physical insert-order
+    invariant, expressed as an explicit sort key)."""
+    mine = triples.where((F.col("subj") == node) | (F.col("obj") == node))
+    return mine.withColumn("rel_prio", rel_priority_col()).orderBy(
+        "rel_prio", "rel", "subj", "obj"
+    )
+
+
+def facet_counts(
+    melted: DataFrame,
+    max_facets: int = 20,
+    min_count: int = 2,
+    pred_col: str = "pred",
+    val_col: str = "val",
+) -> DataFrame:
+    """``findFacet`` + top-maxFacets rendering (src/query.cpp:59-78,
+    129-147, 222-248): per predicate, the value-count histogram ranked
+    by count desc (ties: value asc), values seen fewer than
+    ``min_count`` times dropped (renderResults count>1 filter, 243),
+    top ``max_facets`` kept (maxFacets=20 default, src/netbase.hpp:258).
+    Input is long-form (pred, val) rows; returns (pred, val, n, rank).
+    One aggregation + one per-predicate window — the window partitions
+    by predicate, so no global sort."""
+    from pyspark.sql import Window
+
+    counts = melted.groupBy(pred_col, val_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(pred_col).orderBy(
+        F.col("n").desc(), F.col(val_col).asc()
+    )
+    return (
+        counts.where(F.col("n") >= min_count)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max_facets)
+        .select(pred_col, val_col, "n", "rank")
     )
 
 

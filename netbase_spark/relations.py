@@ -33,6 +33,15 @@ SEE = -50
 DERIVES = -80
 DERIVED = -81
 TRANSLATION = -139
+SUBSTANCE_OWNER = -16  # src/relations.hpp:210
+PERTAINYM = -80  # src/relations.hpp:211 (shares -80 with _derives)
+PLURAL = -131  # src/relations.hpp:169
+DOMAIN_CATEGORY = -91  # src/relations.hpp:219-224
+MEMBER_DOMAIN_CATEGORY = -92
+DOMAIN_REGION = -93
+MEMBER_DOMAIN_REGION = -94
+DOMAIN_USAGE = -95
+MEMBER_DOMAIN_USAGE = -96
 
 # --- meta kinds (reference: src/relations.hpp:126-164) --------------------
 KIND_ABSTRACT = -102  # a *word*: groups senses/instances
@@ -185,6 +194,39 @@ INVERSE_PAIRS: dict[int, int] = {
 
 # Symmetric relations (match in either direction).
 SYMMETRIC_RELS = frozenset({SYNONYM, ANTONYM, SIMILAR, TRANSLATION})
+
+# --- per-edge-type BFS predicate sets (src/query.cpp:1228-1475) ------------
+# memberFilter (src/query.cpp:1266-1336): the meronymy traversal used by
+# has(x, y) / memberPath.  Forward = subject-side step to the object;
+# reverse = object-side step back to the subject (includes the upward
+# Instance/SubClass climb so parts inherit through the type hierarchy).
+# The reference's To/By/UsageContext/Active predicates are init-created
+# nodes without stable header ids (src/relations.cpp:265-419) — extend
+# these frozensets per deployment if those edges exist in the data.
+MEMBER_FWD_RELS = frozenset(
+    {
+        MEMBER, PART, SUBSTANCE, FOR, TYPE, SUPER_CLASS, SYNONYM, PLURAL,
+        MEMBER_DOMAIN_CATEGORY, MEMBER_DOMAIN_REGION, MEMBER_DOMAIN_USAGE,
+    }
+)
+MEMBER_REV_RELS = frozenset(
+    {
+        OWNER, FROM, PART_OF, SUB_CLASS, INSTANCE, SYNONYM, TRANSLATION,
+        PLURAL, DOMAIN_CATEGORY, DOMAIN_REGION, DOMAIN_USAGE,
+    }
+)
+# hard skips before any match (src/query.cpp:1275-1285)
+MEMBER_SKIP_RELS = frozenset({PERTAINYM, DERIVED, ATTRIBUTE, SIMILAR, SEE})
+
+# subclassFilter (src/query.cpp:1228-1250): forward SubClass edges plus
+# reverse SuperClass edges.
+SUBCLASS_FWD_RELS = frozenset({SUB_CLASS})
+SUBCLASS_REV_RELS = frozenset({SUPER_CLASS})
+
+# instanceFilter (src/query.cpp:1197-1224): forward Instance (plus the
+# wiki category predicates, not modeled here), reverse Type/Label.
+INSTANCE_FWD_RELS = frozenset({INSTANCE})
+INSTANCE_REV_RELS = frozenset({TYPE, LABEL})
 
 
 def rel_name(rel_id: int) -> str:

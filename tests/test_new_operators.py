@@ -1,0 +1,292 @@
+"""Unit tests for the round-2 operators: mutation path, XML import,
+wordnet remap, SEO conflict index, mergeAll, facets, property
+questions, reification, instance counting, semantic pattern match."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from netbase_spark.relations import (
+    INSTANCE,
+    MEMBER,
+    PART,
+    SUPER_CLASS,
+    SYNONYM,
+    TYPE,
+)
+
+
+def _tri(spark, rows):
+    return spark.createDataFrame(rows, "subj string, rel int, obj string")
+
+
+def test_rel_id_python_column_equivalence(spark):
+    from netbase_spark.operators.mutate import rel_id_col, rel_id_for
+
+    names = ["loves", "P31", "subClassOf", "owns_a_dog", "see also", "x"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["rid"]
+        for r in df.select("name", rel_id_col(F.col("name")).alias("rid")).collect()
+    }
+    for n in names:
+        assert got[n] == rel_id_for(n), n
+    assert rel_id_for("P31") == TYPE  # canonical registry hit
+    assert rel_id_for("loves") >= 0  # hash fallback positive
+
+
+def test_set_value_and_update(spark):
+    from netbase_spark.operators.mutate import (
+        rel_id_for,
+        set_value,
+        update_statements,
+    )
+
+    pop = rel_id_for("population")
+    base = spark.createDataFrame(
+        [("berlin", pop, "100", "raw", None), ("kiel", pop, "5", "raw", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    out = set_value(base, "berlin", "population", "200")
+    rows = {(r.subj, r.obj) for r in out.where(F.col("rel") == pop).collect()}
+    assert rows == {("berlin", "200"), ("kiel", "5")}
+
+    targets = spark.createDataFrame([("berlin",), ("kiel",)], "node string")
+    out2 = update_statements(base, targets, "population", "42")
+    rows2 = {(r.subj, r.obj) for r in out2.where(F.col("rel") == pop).collect()}
+    assert rows2 == {("berlin", "42"), ("kiel", "42")}
+
+
+def test_replay_log_roundtrip(spark, tmp_path):
+    from netbase_spark.operators.mutate import (
+        append_replay_log,
+        parse_sentences,
+        replay,
+    )
+
+    base = spark.createDataFrame(
+        [("a", TYPE, "b", "raw", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    new = parse_sentences(
+        spark.createDataFrame([("Peter loves Jule",)], "sentence string")
+    )
+    log = str(tmp_path / "replay")
+    append_replay_log(new, log)
+    out = replay(base, log)
+    assert out.count() == 2
+    assert replay(base, str(tmp_path / "missing")).count() == 1
+
+
+def test_xml_member_edges_and_leaves(spark):
+    from netbase_spark.sources.xml import parse_xml_docs
+
+    xml = (
+        "<region><name>EMEA</name><code>7</code>"
+        "<nation><name>France</name><pop>67</pop></nation>"
+        "<nation><name>Kenya</name></nation>"
+        "<nation><pop>9</pop></nation>"
+        "</region>"
+    )
+    docs = spark.createDataFrame([(xml,), ("not xml <",)], "xml string")
+    rows = {tuple(r) for r in parse_xml_docs(docs).collect()}
+    assert ("EMEA", "code", "7") in rows  # leaf triple
+    assert ("EMEA", "member", "France") in rows  # nested Member edge
+    assert ("EMEA", "member", "Kenya") in rows
+    assert ("France", "pop", "67") in rows
+    # unnamed nested element falls back to the tag path subject
+    assert ("EMEA", "member", "region/nation3") in rows
+    assert ("region/nation3", "pop", "9") in rows
+    # malformed doc dropped, name fields not re-emitted as leaves
+    assert not any(p == "name" for _, p, _ in rows)
+
+
+def test_wordnet_remap_and_import(spark):
+    from netbase_spark.sources.wordnet import import_wordnet
+
+    synset_map = spark.createDataFrame(
+        [("W9", "W1")], "old_id string, new_id string"
+    )
+    senses = spark.createDataFrame(
+        [("Duck", "W9"), ("bird", "W2")], "word string, synset_id string"
+    )
+    synsets = spark.createDataFrame(
+        [("W9", "Noun", "a water bird"), ("W2", "Noun", "a feathered animal")],
+        "synset_id string, pos string, gloss string",
+    )
+    lexlinks = spark.createDataFrame(
+        [("W9", SUPER_CLASS, "W2"), ("W9", INSTANCE, "W2"), ("W9", PART, "W9")],
+        "src_id string, rel int, dst_id string",
+    )
+    rows = {(r.subj, r.rel, r.obj) for r in
+            import_wordnet(senses, synsets, lexlinks, synset_map).collect()}
+    assert ("duck", INSTANCE, "W1") in rows  # sense remapped W9->W1
+    assert ("W1", TYPE, "noun") in rows
+    assert ("W1", SUPER_CLASS, "W2") in rows  # lexlink remapped
+    # redundant Instance lexlink skipped; self-loop (W9,Part,W9) dropped
+    assert ("W1", INSTANCE, "W2") not in rows
+    assert not any(s == o for s, _, o in rows)
+
+
+def test_seo_index_degree_conflict(spark):
+    from netbase_spark.operators.gazetteer import seo_index
+
+    labels = spark.createDataFrame(
+        [("Q1", "New York!"), ("Q2", "new-york"), ("Q3", "unique thing")],
+        "key string, label string",
+    )
+    degrees = spark.createDataFrame(
+        [("Q1", 5), ("Q2", 9)], "node string, degree long"
+    )
+    rows = {r.slug: (r.key, r.degree) for r in seo_index(labels, degrees).collect()}
+    assert rows["new-york"] == ("Q2", 9)  # higher degree wins the slug
+    assert rows["unique-thing"] == ("Q3", 0)
+
+
+def test_rename_cascade(spark):
+    from netbase_spark.operators.gazetteer import build_alias_table, rename_nodes
+
+    entities = spark.createDataFrame(
+        [("Q1", "Old Name"), ("Q2", "Stays")], "key string, name string"
+    )
+    renames = spark.createDataFrame([("Q1", "Fresh Name")],
+                                    "key string, new_name string")
+    renamed = rename_nodes(entities, renames)
+    assert dict(renamed.collect()) == {"Q1": "Fresh Name", "Q2": "Stays"}
+    # alias rebuild from renamed entities IS the cascade
+    labels = renamed.select(
+        "key", F.col("name").alias("label"),
+        F.lit("label").alias("label_type"), F.lit("en").alias("lang"),
+    )
+    aliases = {r.name_norm for r in build_alias_table(labels).collect()}
+    assert "fresh name" in aliases and "old name" not in aliases
+
+
+def test_merge_all(spark):
+    from netbase_spark.operators.canonicalize import (
+        connected_components,
+        merge_all_edges,
+    )
+
+    aliases = spark.createDataFrame(
+        [("mercury", "Q1"), ("mercury", "Q2"), ("mercury", "Q3"), ("venus", "Q4")],
+        "name_norm string, key string",
+    )
+    edges = merge_all_edges(aliases, "mercury")
+    mapping = dict(connected_components(edges).collect())
+    assert mapping == {"Q2": "Q1", "Q3": "Q1"}
+    # unrestricted form merges every ambiguous alias, singletons untouched
+    all_edges = merge_all_edges(aliases)
+    assert not any(r.src == "Q4" or r.dst == "Q4" for r in all_edges.collect())
+
+
+def test_facet_counts(spark):
+    from netbase_spark.operators.query_ops import facet_counts
+
+    melted = spark.createDataFrame(
+        [("color", "red"), ("color", "red"), ("color", "blue"),
+         ("color", "blue"), ("color", "green"), ("size", "xl"), ("size", "xl")],
+        "pred string, val string",
+    )
+    rows = {(r.pred, r.val, r.n, r.rank) for r in facet_counts(melted, max_facets=1).collect()}
+    # green (count 1) dropped; rank-1 per predicate only
+    assert rows == {("color", "blue", 2, 1), ("size", "xl", 2, 1)}
+
+
+def test_property_question(spark):
+    from netbase_spark.functions.query_lang import (
+        parse_properties,
+        property_question,
+    )
+    from netbase_spark.operators.mutate import rel_id_for
+
+    assert parse_properties("population of berlin") == ("population", "berlin")
+    assert parse_properties("berlin.population") == ("population", "berlin")
+    assert parse_properties("population:berlin") == ("population", "berlin")
+    assert parse_properties("just words and stuff") is None
+
+    pop = rel_id_for("population")
+    capital = rel_id_for("capital")
+    tri = _tri(spark, [("berlin", pop, "3600000"), ("berlin", capital, "germany")])
+    got = property_question("population of berlin", tri).collect()
+    assert [(r.name, r.value) for r in got] == [("berlin", "3600000")]
+    # plural retry: "cities" resolves via the -ies -> -y singular strip
+    # (note "berlins" would NOT strip: the reference's plural heuristic
+    # rejects ...ns, src/netbase.cpp:951)
+    tri_city = _tri(spark, [("city", pop, "many")])
+    got2 = property_question("population of cities", tri_city).collect()
+    assert [(r.name, r.value) for r in got2] == [("city", "many")]
+    # inverse retry: no (germany, capital, ?) rows -> flipped lookup
+    inv = property_question("capital of germany", tri)
+    assert [(r.name, r.value) for r in inv.collect()] == [("germany", "berlin")]
+
+
+def test_reify_statement_ids(spark):
+    from netbase_spark.operators.materialize import reify
+
+    tri = _tri(spark, [("a", TYPE, "b"), ("c", MEMBER, "d")])
+    out = reify(tri).collect()
+    ids = {r.statement_id for r in out}
+    assert len(ids) == 2 and all(len(i) == 32 for i in ids)
+    # the surrogate is usable as a subject FK: qualifier rows join back
+    import hashlib
+
+    want = hashlib.md5(f"a|{TYPE}|b".encode()).hexdigest()
+    assert want in ids
+
+
+def test_count_instances(spark):
+    from netbase_spark.operators.query_ops import count_instances
+
+    # word-model Instance edges: (class/word, Instance, entity)
+    tri = _tri(
+        spark,
+        [
+            ("animal", INSTANCE, "bird"),
+            ("bird", INSTANCE, "duck"),
+            ("bird", INSTANCE, "goose"),
+        ],
+    )
+    rows = {r.node: (r.n_direct, r.n_transitive) for r in count_instances(tri).collect()}
+    assert rows["bird"] == (2, 2)
+    # animal: direct = {bird}; transitive adds bird's instances
+    assert rows["animal"] == (1, 3)
+
+
+def test_find_statements_semantic(spark):
+    from netbase_spark.operators.query_ops import find_statements, isa_closure
+
+    tri = _tri(
+        spark,
+        [
+            ("skirmish", SUPER_CLASS, "battle"),
+            ("hastings fight", TYPE, "skirmish"),
+            ("towton fight", TYPE, "battle"),
+            ("picnic", TYPE, "outing"),
+        ],
+    )
+    closure = isa_closure(tri)
+    exact = find_statements(tri, rel=TYPE, obj="battle")
+    assert {r.subj for r in exact.collect()} == {"towton fight"}
+    sem = find_statements(tri, rel=TYPE, obj="battle", semantic=True, closure=closure)
+    # "x Type skirmish" matches because skirmish isA battle
+    assert {r.subj for r in sem.collect()} == {"towton fight", "hastings fight"}
+
+
+def test_all_instances_bfs(spark):
+    from netbase_spark.operators.query_ops import all_instances
+
+    from netbase_spark.relations import SUB_CLASS
+
+    tri = _tri(
+        spark,
+        [
+            ("bird", INSTANCE, "duck"),
+            ("bird", SUB_CLASS, "waterfowl"),
+            ("waterfowl", INSTANCE, "goose"),
+            ("duck", SYNONYM, "ente"),
+        ],
+    )
+    got = {r.node for r in all_instances(tri, "bird").collect()}
+    # downward: duck (Instance), waterfowl (SubClass), goose (via waterfowl)
+    assert {"duck", "waterfowl", "goose"} <= got
