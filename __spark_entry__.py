@@ -209,19 +209,27 @@ def q_mention_scan(spark, sf_dir):
 
 
 def q_entity_link(spark, sf_dir):
-    """Mentions joined to rank-1 candidate entity (prior desc, key asc)."""
-    part = _t(spark, sf_dir, "part")
-    best = (
-        part.groupBy("p_name")
-        .agg(
-            F.min(F.concat(F.lit("P"), F.col("p_partkey").cast("string"))).alias(
-                "entity"
-            )
-        )
-        .withColumnRenamed("p_name", "alias")
+    """Mentions joined to rank-1 candidate entity via the PACKAGE
+    operators (operators/linking.py::link_mentions over the gazetteer's
+    best_entity_per_alias): prior desc, key asc — part names repeat with
+    prior 1, so rank-1 is min key, matching the SQL oracle."""
+    from netbase_spark.operators.gazetteer import build_alias_table
+    from netbase_spark.operators.linking import link_mentions
+
+    labels = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("key"),
+        F.col("p_name").alias("label"),
+        F.lit("label").alias("label_type"),
+        F.lit("en").alias("lang"),
     )
-    return _mentions_df(spark, sf_dir).join(F.broadcast(best), "alias").select(
-        "doc_id", "entity"
+    aliases = build_alias_table(labels, with_seo=False)
+    mentions = _mentions_df(spark, sf_dir).select(
+        "doc_id", F.col("alias").alias("alias_key")
+    )
+    linked = link_mentions(mentions, aliases, already_distinct=True)
+    return linked.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("subj").alias("entity"),
     )
 
 
@@ -270,50 +278,46 @@ def q_degree_rank(spark, sf_dir):
 
 
 def q_facets(spark, sf_dir):
-    """Facet counting: top-3 values per predicate, count>1
-    (findFacet/renderResults, SURVEY.md §2.5)."""
+    """Facet counting via the PACKAGE operator
+    (operators/query_ops.py::facet_counts): top-3 values per predicate,
+    count>1 (findFacet/renderResults, SURVEY.md §2.5)."""
+    from netbase_spark.operators.query_ops import facet_counts
+
     orders = _t(spark, sf_dir, "orders")
     melted = orders.selectExpr(
         "stack(2, 'orderstatus', o_orderstatus, 'orderpriority', o_orderpriority) AS (pred, val)"
     )
-    counts = melted.groupBy("pred", "val").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("pred").orderBy(F.col("n").desc(), F.col("val").asc())
-    return (
-        counts.where(F.col("n") > 1)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("pred", "val", "n", "rank")
+    return facet_counts(melted, max_facets=3, min_count=2)
+
+
+def _supplier_type_triples(spark, sf_dir):
+    """(S, Type, N) + (N, Type, R) triples for the subsumption queries."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    from netbase_spark.relations import TYPE
+
+    return supplier.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit(TYPE).alias("rel"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("obj"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit(TYPE).alias("rel"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("obj"),
+        )
     )
 
 
 def q_isa_closure(spark, sf_dir):
-    """Transitive closure (isA4/allInstances analog, SURVEY.md §2.5):
-    supplier -> nation -> region ancestry via iterative driver-loop joins."""
-    supplier = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    edges = supplier.select(
-        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"),
-        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("anc"),
-    ).unionByName(
-        nation.select(
-            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node"),
-            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("anc"),
-        )
+    """Transitive subsumption closure via the PACKAGE operator
+    (operators/query_ops.py::isa_closure) over supplier->nation->region
+    Type triples (isA4 analog, SURVEY.md §2.5)."""
+    from netbase_spark.operators.query_ops import isa_closure
+
+    return isa_closure(_supplier_type_triples(spark, sf_dir)).select(
+        "node", "anc"
     )
-    closure = edges
-    frontier = edges
-    for _ in range(4):  # fixpoint loop; depth 2 here, bounded like maxRecursions
-        nxt = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.anc") == F.col("e.node"))
-            .select(F.col("f.node").alias("node"), F.col("e.anc").alias("anc"))
-            .exceptAll(closure)
-        )
-        if nxt.isEmpty():
-            break
-        closure = closure.unionByName(nxt).distinct()
-        frontier = nxt
-    return closure.dropDuplicates(["node", "anc"])
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -558,8 +562,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from contract_ext import EXT_QUERIES
+    from contract_ext2 import EXT2_QUERIES
 
-    return EXT_QUERIES | {
+    return EXT_QUERIES | EXT2_QUERIES | {
         "alias_table": q_alias_table,
         "best_alias": q_best_alias,
         "dissect_part_names": q_dissect_part_names,
@@ -585,9 +590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from contract_ext import EXT_ORACLES
+    from contract_ext2 import EXT2_ORACLES
 
     norm_label = NORM_SQL.format(c="label")
-    return EXT_ORACLES | {
+    return EXT_ORACLES | EXT2_ORACLES | {
         "alias_table": f"""
             WITH {LABELS_SQL.strip()}
             SELECT {norm_label} AS name_norm, key, label_type AS source,

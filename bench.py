@@ -59,6 +59,20 @@ HEADLINE = [
     "sessionize",
     "query_lang",
     "adjacency",
+    # round-2 operators (contract_ext2)
+    "pattern_semantic",
+    "pattern_subproperty",
+    "learn_roundtrip",
+    "xml_triples",
+    "wordnet_import",
+    "meronymy_bfs",
+    "count_instances",
+    "sort_topics",
+    "find_path",
+    "property_question",
+    "reify_ids",
+    "merge_all",
+    "seo_conflict",
 ]
 
 

@@ -46,6 +46,20 @@ def rel_id_for(pred_name: str) -> int:
     return int(hashlib.md5(nn.encode()).hexdigest()[:8], 16) % _HASH_MOD
 
 
+def sub_predicate_ids(rel: int) -> frozenset[int]:
+    """{rel} ∪ its sub-property ids per the ``initWikiRelations``
+    hierarchy (src/relations.cpp:595-612): a match over the canonical
+    relation must also hit narrower wiki predicates (P131 edges answer
+    PartOf patterns).  Sub-property ids resolve through the same
+    name->id path the importers use, so hash-fallback ids line up."""
+    from netbase_spark.relations import PREDICATE_SUBPROPERTY
+
+    return frozenset(
+        {rel}
+        | {rel_id_for(n) for n, anc in PREDICATE_SUBPROPERTY.items() if anc == rel}
+    )
+
+
 def rel_id_col(pred_name_col: Column) -> Column:
     """Column twin of :func:`rel_id_for` (MUST stay equivalent; pinned
     by tests/test_mutate.py)."""

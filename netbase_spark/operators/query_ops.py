@@ -21,23 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from netbase_spark.relations import (
-    ANTONYM,
     INSTANCE,
+    INVERSE_PAIRS,
     SUB_CLASS,
     SUPER_CLASS,
+    SYMMETRIC_RELS,
     SYNONYM,
     TYPE,
 )
-
-# inverse predicate pairs (src/netbase.cpp:1734-1762): matching
-# (s, Instance, o) must also surface as (o, Type, s) and vice versa
-INVERSE_PAIRS = {
-    INSTANCE: TYPE,
-    TYPE: INSTANCE,
-    SUB_CLASS: SUPER_CLASS,
-    SUPER_CLASS: SUB_CLASS,
-}
-SYMMETRIC_RELS = (SYNONYM, ANTONYM)
 
 
 def isa_closure(triples: DataFrame, max_iter: int = 10) -> DataFrame:
@@ -132,6 +123,7 @@ def find_statements(
     limit: int | None = None,
     semantic: bool = False,
     closure: DataFrame | None = None,
+    rel_subsumption: bool = False,
 ) -> DataFrame:
     """Triple-pattern match with wildcard terms (None = Any) and the
     reference's reverse-direction semantics.  Returns (subj, rel, obj)
@@ -143,7 +135,14 @@ def find_statements(
     matches the pattern term if it IS the term or any isA4-descendant of
     it (src/netbase.cpp:1764-1785 semantic match; src/query.cpp:
     2457-2552 isA4).  The probe is a broadcast semi-join — the
-    reference's per-call recursion becomes one closure lookup."""
+    reference's per-call recursion becomes one closure lookup.
+
+    ``rel_subsumption=True`` widens the relation term to its
+    sub-properties per the ``initWikiRelations`` hierarchy
+    (src/relations.cpp:595-612): a PartOf pattern also matches P131 /
+    P706 edges.  The isin filter doubles as partition pruning on the
+    rel-partitioned triple store."""
+    from netbase_spark.operators.mutate import sub_predicate_ids
     spark = triples.sparkSession
     if semantic and closure is None:
         closure = isa_closure(triples)
@@ -159,7 +158,12 @@ def find_statements(
     def base(df, s, r, o):
         out = df
         if r is not None:
-            out = out.where(F.col("rel") == r)
+            if rel_subsumption:
+                out = out.where(
+                    F.col("rel").isin(list(sub_predicate_ids(r)))
+                )
+            else:
+                out = out.where(F.col("rel") == r)
         out = term_match(out, "subj", s)
         out = term_match(out, "obj", o)
         return out.select("subj", "rel", "obj")
@@ -260,6 +264,66 @@ def shortest_path_length(
         .collect()[0][0]
     )
     return None if hit is None else int(hit)
+
+
+def find_path(
+    edges: DataFrame, src: str, dst: str, max_depth: int = 10
+) -> list[str] | None:
+    """``findPath`` + ``reconstructPath`` (src/query.cpp:1737-1790,
+    1477-1496): level-synchronous BFS recording each node's first-seen
+    parent (``enqueued[d] = current``, src/query.cpp:1498-1507), then a
+    backtrack from dst.  The reference's queue order leaves the parent
+    arbitrary among same-level predecessors; min(parent) per node makes
+    the path deterministic here.  The frontier joins stay distributed;
+    only single parent rows reach the driver during the O(path-length)
+    backtrack, so the operator scales with the edge table, not the
+    visited set."""
+    from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    spark = edges.sparkSession
+    if src == dst:
+        return [src]
+    e = edges.select("src", "dst")
+    visited = _pin(
+        spark.createDataFrame([(src, None)], "node string, parent string")
+    )
+    frontier = visited
+    levels: list[DataFrame] = []
+    found_depth = None
+    for d in range(1, max_depth + 1):
+        f = frontier.select(F.col("node").alias("f_node"))
+        nxt = _pin(
+            f.join(e, f["f_node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.col("f_node").alias("parent"))
+            .join(visited.select("node"), "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("parent").alias("parent"))
+        )
+        if nxt.isEmpty():
+            _unpin(nxt)
+            break
+        levels.append(nxt)
+        new_visited = _pin(visited.unionByName(nxt))
+        _unpin(visited)
+        visited = new_visited
+        frontier = nxt
+        if nxt.where(F.col("node") == dst).take(1):
+            found_depth = d
+            break
+    path: list[str] | None = None
+    if found_depth is not None:
+        path = [dst]
+        cur = dst
+        for lvl in reversed(levels):
+            row = lvl.where(F.col("node") == cur).take(1)
+            cur = row[0]["parent"]
+            path.append(cur)
+        path.reverse()
+        assert path[0] == src
+    for lvl in levels:
+        _unpin(lvl)
+    _unpin(visited)
+    return path
 
 
 def topic_of(

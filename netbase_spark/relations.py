@@ -195,6 +195,27 @@ INVERSE_PAIRS: dict[int, int] = {
 # Symmetric relations (match in either direction).
 SYMMETRIC_RELS = frozenset({SYNONYM, ANTONYM, SIMILAR, TRANSLATION})
 
+# ``initWikiRelations`` predicate hierarchy (src/relations.cpp:595-612):
+# these wiki predicates are SUB-PROPERTIES of a canonical relation — the
+# edge keeps its own (narrower) predicate id, but a pattern match over
+# the canonical relation must also hit it.  The reference stores these
+# as (pred, SuperClass, canonical) meta-statements in the graph itself;
+# here the tiny map is broadcast into the match's isin filter (which
+# also PRUNES the rel-partitioned triple store to exactly the matching
+# predicate partitions).  Keys are normalized predicate NAMES — their
+# numeric ids come from the same resolver the importers use
+# (mutate.rel_id_for), so the map composes with hash-fallback ids.
+# P361/P527/P279/P31 resolve FLAT at import (PREDICATE_CANON above),
+# matching the reference's getRelation fast paths, so they need no row
+# here; the P35->"Präsident" synonym row (relations.cpp:606) is a data
+# statement, not hierarchy, and belongs in a fixture.
+PREDICATE_SUBPROPERTY: dict[str, int] = {
+    "p131": PART_OF,  # located in the administrative territorial entity
+    "p706": PART_OF,  # located on terrain feature (relations.cpp:601)
+    "p150": PART,  # contains administrative territorial entity (:600)
+    "p27": SUB_CLASS,  # relations.cpp:603 ("Unterklasse von")
+}
+
 # --- per-edge-type BFS predicate sets (src/query.cpp:1228-1475) ------------
 # memberFilter (src/query.cpp:1266-1336): the meronymy traversal used by
 # has(x, y) / memberPath.  Forward = subject-side step to the object;

@@ -290,3 +290,45 @@ def test_all_instances_bfs(spark):
     got = {r.node for r in all_instances(tri, "bird").collect()}
     # downward: duck (Instance), waterfowl (SubClass), goose (via waterfowl)
     assert {"duck", "waterfowl", "goose"} <= got
+
+
+def test_find_path_reconstruction(spark):
+    """findPath+reconstructPath (src/query.cpp:1737-1790, 1477-1496):
+    shortest sequence wins, min-parent tie-break, None if unreachable."""
+    from netbase_spark.operators.query_ops import find_path
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),  # long way a->d
+            ("a", "x"), ("x", "d"),              # short way a->d
+            ("a", "y"), ("y", "d"),              # same length: min(parent)
+            ("z", "zz"),                         # disconnected
+        ],
+        "src string, dst string",
+    )
+    assert find_path(edges, "a", "d") == ["a", "x", "d"]  # x < y
+    assert find_path(edges, "a", "c") == ["a", "b", "c"]
+    assert find_path(edges, "a", "a") == ["a"]
+    assert find_path(edges, "a", "zz") is None
+    assert find_path(edges, "a", "d", max_depth=1) is None
+
+
+def test_predicate_subproperty_hierarchy(spark):
+    """initWikiRelations hierarchy (src/relations.cpp:595-612): PartOf
+    pattern matches P131 edges only with rel_subsumption=True."""
+    from netbase_spark.operators.mutate import rel_id_for, sub_predicate_ids
+    from netbase_spark.operators.query_ops import find_statements
+    from netbase_spark.relations import PART, PART_OF
+
+    p131 = rel_id_for("p131")
+    assert p131 in sub_predicate_ids(PART_OF)
+    assert rel_id_for("p150") in sub_predicate_ids(PART)
+    t = _tri(
+        spark,
+        [("berlin", p131, "germany"), ("paris", PART_OF, "france")],
+    )
+    exact = find_statements(t, rel=PART_OF)
+    assert {r["subj"] for r in exact.collect()} == {"paris"}
+    wide = find_statements(t, rel=PART_OF, rel_subsumption=True)
+    rows = {(r["subj"], r["rel"], r["obj"]) for r in wide.collect()}
+    assert rows == {("berlin", p131, "germany"), ("paris", PART_OF, "france")}
