@@ -329,28 +329,27 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def _shingles(spark, sf_dir):
-    """3-token shingles per doc — pure array expressions (transform +
-    element_at), NO shuffle: the posexplode+Window version sorted every
-    token through one exchange before any shingle existed."""
+    """3-token shingles per doc — pure array expressions, NO shuffle
+    (the posexplode+Window version sorted every token through one
+    exchange before any shingle existed).  Three shifted slices zipped
+    pairwise: split() evaluates O(1) times per row.  The previous
+    transform+element_at version re-evaluated split() per ELEMENT
+    (CollapseProject inlines the alias into the lambda) — measured 4x
+    slower than this at sf0.1."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    arr = F.transform(
-        toks,
-        lambda x, i: F.when(
-            i < n - 2,
-            F.concat_ws(
-                " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
+    tk = F.split(F.col("text"), " ")
+    ln = F.greatest(F.size(tk) - 2, F.lit(0))
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice(tk, 1, ln), F.slice(tk, 2, ln),
+            lambda x, y: F.concat_ws(" ", x, y),
         ),
+        F.slice(tk, 3, ln),
+        lambda xy, z: F.concat_ws(" ", xy, z),
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(F.filter(arr, lambda s: s.isNotNull())).alias("shingle"),
-        )
-        .distinct()
-    )
+    return docs.select(
+        "doc_id", F.explode(sh).alias("shingle")
+    ).distinct()
 
 
 def q_ngram_jaccard(spark, sf_dir):

@@ -287,6 +287,81 @@ ORACLE_XML = """
 
 
 # ---------------------------------------------------------------------------
+# importYago TSV scanner
+# ---------------------------------------------------------------------------
+
+
+def q_yago_import(spark, sf_dir):
+    """``importYago`` (src/import.cpp:1134-1232): per-line 3/4-column
+    autodetect, @eng label lines with quoted objects, rdfOwl vocabulary
+    mapping, wordnet-key synset extraction + remap, and the drop rules
+    (hasGeonamesEntityId, self-labels, object-resolves-to-Type,
+    malformed lines)."""
+    from netbase_spark.sources.yago import parse_yago_lines
+
+    sup = _t(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey").cast("string")
+    nk = F.col("s_nationkey").cast("string")
+    lines = (
+        # 3-col fact with vocab predicate + wikicategory head strip
+        sup.select(F.concat(
+            F.lit("<S"), sk, F.lit(">\trdf:type\t<wikicategory_N"), nk,
+            F.lit(">")).alias("value"))
+        # 4-col fact with leading statement id
+        .unionByName(sup.select(F.concat(
+            F.lit("<id_"), sk, F.lit(">\t<S"), sk,
+            F.lit(">\t<created>\t<P_"), sk, F.lit(">")).alias("value")))
+        # wordnet-key object (ids < 50 are stale -> remapped)
+        .unionByName(sup.select(F.concat(
+            F.lit("<S"), sk, F.lit(">\t<hasKind>\t<wordnet_thing_"),
+            (F.col("s_suppkey") % 100).cast("string"), F.lit(">")
+        ).alias("value")))
+        # label line (quoted @eng object)
+        .unionByName(sup.select(F.concat(
+            F.lit("<S"), sk, F.lit('>\tskos:prefLabel\t"Supplier '), sk,
+            F.lit('"@eng')).alias("value")))
+        # dropped: self-label, geonames id, object==Type, malformed
+        .unionByName(sup.select(F.concat(
+            F.lit("<Acme_"), sk, F.lit('>\tskos:prefLabel\t"acme '), sk,
+            F.lit('"@eng')).alias("value")))
+        .unionByName(sup.select(F.concat(
+            F.lit("<S"), sk, F.lit(">\t<hasGeonamesEntityId>\t<g"), sk,
+            F.lit(">")).alias("value")))
+        .unionByName(sup.select(F.concat(
+            F.lit("<S"), sk, F.lit(">\t<weird>\trdf:type")).alias("value")))
+        .unionByName(sup.select(F.lit("malformed line").alias("value")))
+    )
+    synset_map = spark.range(50).select(
+        F.concat(F.lit("syn"), F.col("id").cast("string")).alias("old_id"),
+        F.concat(F.lit("syn"), (F.col("id") + 1000).cast("string")).alias(
+            "new_id"
+        ),
+    )
+    return parse_yago_lines(lines, synset_map=synset_map)
+
+
+ORACLE_YAGO = """
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj, 'type' AS pred,
+           'N' || CAST(s_nationkey AS VARCHAR) AS obj
+    FROM supplier
+    UNION
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'created',
+           'P_' || CAST(s_suppkey AS VARCHAR)
+    FROM supplier
+    UNION
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'hasKind',
+           'syn' || CAST(CASE WHEN s_suppkey % 100 < 50
+                              THEN s_suppkey % 100 + 1000
+                              ELSE s_suppkey % 100 END AS VARCHAR)
+    FROM supplier
+    UNION
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'label',
+           'Supplier ' || CAST(s_suppkey AS VARCHAR)
+    FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
 # importWordnet synset remap
 # ---------------------------------------------------------------------------
 
@@ -728,6 +803,7 @@ EXT2_QUERIES = {
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
     "xml_triples": q_xml_triples,
+    "yago_import": q_yago_import,
     "wordnet_import": q_wordnet_import,
     "meronymy_bfs": q_meronymy_bfs,
     "count_instances": q_count_instances,
@@ -744,6 +820,7 @@ EXT2_ORACLES = {
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,
     "xml_triples": ORACLE_XML,
+    "yago_import": ORACLE_YAGO,
     "wordnet_import": ORACLE_WORDNET,
     "meronymy_bfs": ORACLE_MERONYMY,
     "count_instances": ORACLE_COUNT_INSTANCES,

@@ -69,8 +69,12 @@ throughput, not first-plan JIT.
 
 **Scaling efficiency** = (tps@4N / tps@N) / 4 = **{eff:.3f}** (target >= 0.8).
 
-Best of {args.repeats} runs per config (the sandbox VM is noisy — identical
-runs vary ~2x; all seconds: N={all_lo}, 4N={all_hi}).
+Best of {args.repeats} invocation(s) per config, each internally
+best-of-3 timed runs (bench.py --pipeline-only) — the sandbox VM is
+noisy: identical runs vary 2x, occasionally ~9x.  Best seconds per
+invocation: N={all_lo}, 4N={all_hi}; inner runs:
+N={[r["pipeline"].get("runs_sec") for r in lo_runs]},
+4N={[r["pipeline"].get("runs_sec") for r in hi_runs]}.
 
 Notes: throughput excludes Spark session startup and corpus
 materialization (the input contract is a pre-existing document table).

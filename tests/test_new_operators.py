@@ -332,3 +332,70 @@ def test_predicate_subproperty_hierarchy(spark):
     wide = find_statements(t, rel=PART_OF, rel_subsumption=True)
     rows = {(r["subj"], r["rel"], r["obj"]) for r in wide.collect()}
     assert rows == {("berlin", p131, "germany"), ("paris", PART_OF, "france")}
+
+
+def test_yago_parse_branches(spark):
+    """importYago line shapes + getYagoConcept branches
+    (src/import.cpp:1103-1232)."""
+    from netbase_spark.sources.yago import parse_yago_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("<Berlin>\trdf:type\t<wikicategory_City>",),        # vocab+head
+            ("<id1>\t<Berlin>\t<created>\t<Siedlung_X>",),       # 4-col id
+            ("<Berlin>\t<hasKind>\t<wordnet_city_108524735>",),  # wordnet key
+            ('<Berlin>\tskos:prefLabel\t"Hauptstadt"@eng',),     # label line
+            ('<Berlin>\tskos:prefLabel\t"berlin"@eng',),         # self-label
+            ("<Berlin>\t<hasGeonamesEntityId>\t<g1>",),          # dropped
+            ("<Berlin>\t<weird>\trdf:type",),                    # obj==Type
+            ("malformed",),                                       # < 3 cols
+            ('<Pi>\t<val>\t"3.14"^^xsd:decimal',),               # typed value
+        ],
+        "value string",
+    )
+    rows = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in parse_yago_lines(lines).collect()
+    }
+    assert rows == {
+        ("Berlin", "type", "City"),
+        ("Berlin", "created", "Siedlung_X"),
+        ("Berlin", "hasKind", "syn108524735"),
+        ("Berlin", "label", "Hauptstadt"),
+        ("Pi", "val", "3.14"),
+    }
+
+
+def test_yago_trailing_id_and_remap(spark):
+    from netbase_spark.sources.yago import parse_yago_lines
+
+    lines = spark.createDataFrame(
+        [("<A>\t<p>\t<wordnet_x_7>\t<id9>",)], "value string"
+    )
+    m = spark.createDataFrame([("syn7", "syn1007")], "old_id string, new_id string")
+    rows = parse_yago_lines(lines, leading_id=False, synset_map=m).collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [
+        ("A", "p", "syn1007")
+    ]
+
+
+def test_import_router(spark, tmp_path):
+    """import(type, filename) dispatcher (src/import.cpp:2543-2621)."""
+    from netbase_spark.sources.router import import_any, import_geodb, GEODB_COLUMNS
+
+    nt = tmp_path / "x.nt"
+    nt.write_text('<http://e/S1> <http://e/hasName> "n" .\n')
+    out = import_any(spark, str(nt))
+    assert {c for c in out.columns} >= {"subj", "pred", "obj"}
+    assert out.count() == 1
+
+    geo = tmp_path / "cities.geodb"
+    geo.write_text("1\tBerlin\tberlin\t\t52.5\t13.4\tP\tPPLC\tDE\t\t\t\t\t\t3600000\t\t\tEurope/Berlin\t2020-01-01\n")
+    g = import_geodb(spark, str(geo))
+    vals = {(r["pred"], r["obj_text"]) for r in g.collect()}
+    assert ("country_code", "DE") in vals
+    assert not any(p == "asciiname" for p, _ in vals)  # include-list pruning
+
+    import pytest
+    with pytest.raises(ValueError):
+        import_any(spark, "whatever.unknownext")
