@@ -353,8 +353,13 @@ def _shingles(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Near-dup detection: 3-token-shingle Jaccard >= 0.5 pairs."""
-    sh = _shingles(spark, sf_dir)
+    """Near-dup detection: 3-token-shingle Jaccard >= 0.5 pairs.
+
+    The shingle table is persisted: it feeds BOTH self-join sides plus
+    the per-doc size aggregate, and Catalyst does not reuse the
+    exchange across the three consumers (audited: 4 scans + 4 shingle
+    recomputations without it)."""
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
