@@ -113,7 +113,15 @@ def run_graph_query(
     subjects (``allInstances`` one-hop; closure composes upstream via
     isa_closure), requested predicate columns pivot wide, then the same
     filter path.  Pivot values are min-aggregated for determinism (the
-    reference takes the first statement in chain order)."""
+    reference takes the first statement in chain order).
+
+    Predicates may be property NAMES ("population") or raw relation
+    ids ("9001"): names resolve through the same registry the mutation
+    path uses (``getProperty`` resolves names via getRelation/getThe,
+    src/query.cpp:1506-1533), so ``city where population<1200`` works
+    over triples built with ``rel_id_for('population')``."""
+    from netbase_spark.operators.mutate import rel_id_for
+
     p = parse_query(q)
     keyword = p.table.replace("_", " ").lower()
     insts = (
@@ -136,13 +144,20 @@ def run_graph_query(
                 m = re.match(r"^\s*([\w .]+?)\s*(?:!=|>=|<=|=|>|<|~)", term)
                 if m:
                     preds.add(m.group(1).strip().replace(" ", "_"))
+    pred_rel = {
+        name: (int(name) if re.fullmatch(r"-?\d+", name) else rel_id_for(name))
+        for name in preds
+    }
     props = (
         insts.join(triples, insts["node"] == triples["subj"])
-        .where(F.col("rel").cast("string").isin([str(x) for x in preds]))
+        .where(F.col("rel").isin(list(pred_rel.values())))
         .groupBy("node")
-        .pivot("rel", list(preds))
+        .pivot("rel", list(set(pred_rel.values())))
         .agg(F.min("obj"))
     )
+    for name, rid in pred_rel.items():
+        if name != str(rid):
+            props = props.withColumnRenamed(str(rid), name)
     out = insts.join(props, "node", "left").withColumnRenamed("node", "name")
     if p.where:
         out = out.where(compile_filter(p.where))

@@ -31,6 +31,8 @@ UNIT_TABLE: dict[str, tuple[str, float]] = {
     "%": ("ratio", 0.01),
     "km/s": ("m/s", 1000.0),
     "m/s": ("m/s", 1.0),
+    "meter": ("m", 1.0),
+    "mg": ("kg", 1e-6),
 }
 
 _LIT_RE = r'^"([^"]*)"(?:\^\^<?([^>]*?)>?|@(\w+))?$'
@@ -48,15 +50,29 @@ def parse_typed_literal(c: Column) -> Column:
     # bare (unquoted) values autoparse like getThe
     text = F.when(text == "", c).otherwise(text)
 
-    unit_raw = F.element_at(F.split(dtype, "#"), -1)
+    # bare "NUM UNIT" strings parse like the reference's parseValue
+    # ("3.4 mg" -> 3.4, mg; "14.3 meter" -> 14.3, m — testValueLogic
+    # src/tests.cpp:818-870, testPropertyQuery 1025-1027)
+    _BARE = r"^(-?\d+(?:\.\d+)?)\s+(\S+)$"
+    bare_num = F.regexp_extract(text, _BARE, 1)
+    bare_unit = F.regexp_extract(text, _BARE, 2)
+
+    unit_raw = F.when(dtype != "", F.element_at(F.split(dtype, "#"), -1)).otherwise(
+        bare_unit
+    )
     unit_entries = [F.lit(x) for u, (cu, m) in UNIT_TABLE.items() for x in (u, cu)]
     mult_entries = [F.lit(x) for u, (cu, m) in UNIT_TABLE.items() for x in (u, m)]
     unit_map = F.create_map(*unit_entries)
     mult_map = F.create_map(*mult_entries)
 
-    is_num = text.rlike(r"^-?\d+(\.\d+)?$")
+    known_bare = (bare_num != "") & unit_map[bare_unit].isNotNull()
+    is_num = text.rlike(r"^-?\d+(\.\d+)?$") | known_bare
     is_date = text.rlike(r"^\d{4}-\d{2}-\d{2}") | unit_raw.isin("gYear", "date", "dateTime")
-    num = F.when(is_num, text.cast("double")).otherwise(F.lit(None).cast("double"))
+    num = (
+        F.when(text.rlike(r"^-?\d+(\.\d+)?$"), text.cast("double"))
+        .when(known_bare, bare_num.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+    )
     mult = F.coalesce(mult_map[unit_raw], F.lit(1.0))
     return F.struct(
         text.alias("text"),

@@ -628,6 +628,17 @@ def facet_counts(
     )
 
 
+def delete_node(triples: DataFrame, node: str) -> DataFrame:
+    """``deleteNode`` (src/netbase.cpp:1790-1840; testDelete
+    src/tests.cpp:1198-1226): drop every statement whose subject OR
+    object is the node.  Set-semantics tombstone — the reference
+    splices the statement chains and nulls the name; re-learning the
+    fact afterwards creates a fresh statement (``s != s2``), which in
+    our model is simply the fact being present again.  Two pushdown
+    filters, no shuffle."""
+    return triples.where((F.col("subj") != node) & (F.col("obj") != node))
+
+
 def merge_vectors(a: DataFrame, b: DataFrame) -> DataFrame:
     """Dedup union (``mergeVectors``)."""
     return a.unionByName(b).distinct()

@@ -262,3 +262,173 @@ def test_instances_ordering_semantics(spark):
     rels = [r.rel for r in list_statements(tri, "t").collect()]
     assert rels[0] == TYPE  # types first
     assert rels[-2:] == [INSTANCE, INSTANCE]  # instance block last
+
+
+# ---------------------------------------------------------------------------
+# round-2 golden batch: query language, value logic, delete, antonym,
+# reification — transcribed from the reference's own test suite
+# ---------------------------------------------------------------------------
+
+
+def _city_triples(spark):
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import INSTANCE
+
+    pop, cc = rel_id_for("population"), rel_id_for("countrycode")
+    cities = [
+        (f"c{i}", 1000 + i * 37, "us" if i % 2 == 0 else "de")
+        for i in range(20)
+    ] + [("megacity", 11_000_000, "cn"), ("pop1140", 1140, "us")]
+    rows = [("city", INSTANCE, n) for n, _, _ in cities]
+    rows += [(n, pop, str(p)) for n, p, _ in cities]
+    rows += [(n, cc, c) for n, _, c in cities]
+    return (
+        spark.createDataFrame(rows, "subj string, rel int, obj string"),
+        {n: (p, c) for n, p, c in cities},
+    )
+
+
+def test_comparison_query_string(spark):
+    """testComparisonQueryString/2 (src/tests.cpp:1090-1112): equality
+    filters on named properties return matching instances."""
+    from netbase_spark.functions.query_lang import run_graph_query
+
+    t, cities = _city_triples(spark)
+    out = run_graph_query("city where population=1140", t).collect()
+    assert [r["name"] for r in out] == ["pop1140"]
+    out2 = run_graph_query("city where countrycode=de", t).collect()
+    assert out2 and all(cities[r["name"]][1] == "de" for r in out2)
+
+
+def test_query_and(spark):
+    """testQueryAnd (src/tests.cpp:1114-1123): conjunctive filter with a
+    quoted string and a numeric comparison."""
+    from netbase_spark.functions.query_lang import run_graph_query
+
+    t, cities = _city_triples(spark)
+    out = run_graph_query(
+        'city where countrycode="us" and population<2000', t
+    ).collect()
+    assert out
+    for r in out:
+        p, c = cities[r["name"]]
+        assert c == "us" and 0 < p < 2000
+
+
+def test_query_more_and_less(spark):
+    """testQueryMore + testComparisonQueryStringLess
+    (src/tests.cpp:1125-1154): strict bounds on numeric properties."""
+    from netbase_spark.functions.query_lang import run_graph_query
+
+    t, cities = _city_triples(spark)
+    more = run_graph_query("city where population>10000000", t).collect()
+    assert [r["name"] for r in more] == ["megacity"]
+    less = run_graph_query(
+        "select * from city where population<1100", t
+    ).collect()
+    assert less and all(0 < cities[r["name"]][0] < 1100 for r in less)
+
+
+def test_select_query_projection_and_limit(spark):
+    """testSelectQuery/testFacets (src/tests.cpp:1156-1166): projected
+    field + limit."""
+    from netbase_spark.functions.query_lang import run_graph_query
+
+    t, _ = _city_triples(spark)
+    out = run_graph_query("select population from city", t, limit=5)
+    assert out.columns == ["name", "population"]
+    assert len(out.collect()) == 5
+
+
+def test_value_logic(spark):
+    """testValueLogic (src/tests.cpp:818-870) + parseValue
+    (testPropertyQuery :1025-1027): bare 'NUM UNIT' values parse, unit
+    normalization makes 14 m == 14000 mm (the comparison the reference
+    gates behind its not-yet-enabled convert flag), and the
+    greater/less/approx ladder holds."""
+    import pyspark.sql.functions as F
+
+    from netbase_spark.functions.values import compare, parse_typed_literal
+
+    vals = ["14 m", "15 m", "14000 mm", "14.3 meter", "14.330 meter", "3.4 mg"]
+    df = spark.createDataFrame([(v,) for v in vals], "lit string")
+    got = {
+        r["lit"]: (r["v"]["num"], r["v"]["unit"], r["v"]["kind"])
+        for r in df.select("lit", parse_typed_literal(F.col("lit")).alias("v")).collect()
+    }
+    assert got["14 m"] == (14.0, "m", "number")
+    assert got["14000 mm"] == (14.0, "m", "number")  # isEqual(m14, mm14)
+    assert got["14.3 meter"][0] == 14.3
+    assert abs(got["3.4 mg"][0] - 3.4e-6) < 1e-12 and got["3.4 mg"][1] == "kg"
+
+    pair = spark.createDataFrame([(15.0, 14.0)], "a double, b double")
+    assert pair.select(compare(F.col("a"), F.col("b"), ">").alias("x")).first()["x"]
+    assert not pair.select(compare(F.col("a"), F.col("b"), "<").alias("x")).first()["x"]
+    approx = spark.createDataFrame([(14.330, 14.30)], "a double, b double")
+    assert approx.select(compare(F.col("a"), F.col("b"), "~").alias("x")).first()["x"]
+
+
+def test_delete_and_relearn(spark):
+    """testDelete (src/tests.cpp:1198-1226): learn a fact, delete the
+    subject node (every statement touching it goes), re-learn -> the
+    fact exists again."""
+    from netbase_spark.operators.mutate import learn, rel_id_for
+    from netbase_spark.operators.query_ops import delete_node
+
+    loves = rel_id_for("loves")
+    empty = spark.createDataFrame(
+        [], "subj string, rel int, obj string, rule string, doc_id string"
+    )
+    s1 = learn(empty, spark.createDataFrame(
+        [("Peter loves Jule21",)], "sentence string"))
+    assert [(r["subj"], r["rel"], r["obj"]) for r in s1.collect()] == [
+        ("peter", loves, "jule21")
+    ]
+    deleted = delete_node(s1, "peter")
+    assert deleted.count() == 0
+    s2 = learn(deleted, spark.createDataFrame(
+        [("Peter loves Jule21",)], "sentence string"))
+    assert s2.count() == 1  # fact is back (reference: s != s2, new stmt)
+
+
+def test_antonym_registry_and_symmetry(spark):
+    """testOpposite (src/tests.cpp:1306-1340): 'antonym' resolves to the
+    Antonym relation through the registry, and Antonym matches
+    symmetrically in the pattern scan."""
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.operators.query_ops import find_statements
+    from netbase_spark.relations import ANTONYM
+
+    assert rel_id_for("antonym") == ANTONYM
+    assert rel_id_for("Antonym") == ANTONYM  # wordhash-normalized
+    t = spark.createDataFrame(
+        [("good", ANTONYM, "evil")], "subj string, rel int, obj string"
+    )
+    fwd = find_statements(t, rel=ANTONYM, obj="evil").collect()
+    rev = find_statements(t, rel=ANTONYM, obj="good").collect()
+    assert {(r["subj"], r["obj"]) for r in fwd} == {("good", "evil")}
+    assert {(r["subj"], r["obj"]) for r in rev} == {("evil", "good")}
+
+
+def test_reify_statement_fk(spark):
+    """testReification (src/tests.cpp:1188-1196): the reified statement
+    id works as a subject FK for qualifier facts and is stable."""
+    import pyspark.sql.functions as F
+
+    from netbase_spark.operators.materialize import reify
+    from netbase_spark.relations import ATTRIBUTE
+
+    t = spark.createDataFrame(
+        [("karsten", ATTRIBUTE, "cool")], "subj string, rel int, obj string"
+    )
+    r1 = reify(t).collect()[0]
+    r2 = reify(t).collect()[0]
+    assert r1["statement_id"] == r2["statement_id"]  # stable surrogate
+    quals = spark.createDataFrame(
+        [(r1["statement_id"], ATTRIBUTE, "statement")],
+        "subj string, rel int, obj string",
+    )
+    joined = quals.join(
+        reify(t).select(F.col("statement_id").alias("subj")), "subj"
+    )
+    assert joined.count() == 1  # usable as a subject FK
