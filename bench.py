@@ -66,6 +66,7 @@ HEADLINE = [
     "xml_triples",
     "yago_import",
     "wordnet_import",
+    "wikidata_stages",
     "meronymy_bfs",
     "count_instances",
     "sort_topics",

@@ -432,6 +432,87 @@ ORACLE_WORDNET = f"""
 
 
 # ---------------------------------------------------------------------------
+# importWikiData staged orchestration
+# ---------------------------------------------------------------------------
+
+
+def q_wikidata_stages(spark, sf_dir):
+    """``importWikiData`` (src/import.cpp:2502-2540): staged label
+    imports with the fill-up-missing rule (secondary-language labels
+    only for keys without a primary one), alt labels after the terms,
+    then taxonomy/instances/simple-statements N3 with canonical
+    predicate resolution."""
+    from netbase_spark.sources.wikidata import import_wikidata
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nk = F.col("n_nationkey").cast("string")
+    rk = F.col("r_regionkey").cast("string")
+    ent = "<http://www.wikidata.org/entity/Q"
+    lbl = "> <http://www.w3.org/2000/01/rdf-schema#label> "
+    alt = "> <http://www.w3.org/2004/02/skos/core#altLabel> "
+
+    props = region.select(F.concat(
+        F.lit("<http://www.wikidata.org/entity/P10"), rk, F.lit(lbl),
+        F.lit('"prop'), rk, F.lit('"@en .')).alias("value"))
+    primary = nation.where(F.col("n_nationkey") % 2 == 0).select(F.concat(
+        F.lit(ent), nk, F.lit(lbl), F.lit('"Nde'), nk, F.lit('"@de .')
+    ).alias("value"))
+    fillup = nation.select(F.concat(
+        F.lit(ent), nk, F.lit(lbl), F.lit('"Nen'), nk, F.lit('"@en .')
+    ).alias("value"))
+    alts = nation.select(F.concat(
+        F.lit(ent), nk, F.lit(alt), F.lit('"altn'), nk, F.lit('"@de .')
+    ).alias("value"))
+    taxonomy = region.select(F.concat(
+        F.lit(ent), (F.col("r_regionkey") + 1000).cast("string"),
+        F.lit("> <http://www.wikidata.org/prop/P279> "),
+        F.lit(ent), F.lit("9999> .")).alias("value"))
+    instances = nation.select(F.concat(
+        F.lit(ent), nk, F.lit("> <http://www.wikidata.org/prop/P31> "),
+        F.lit(ent), (F.col("n_regionkey") + 1000).cast("string"),
+        F.lit("> .")).alias("value"))
+    statements = nation.select(F.concat(
+        F.lit(ent), nk, F.lit("> <http://www.wikidata.org/prop/P361> "),
+        F.lit(ent), (F.col("n_regionkey") + 1000).cast("string"),
+        F.lit("> .")).alias("value"))
+    return import_wikidata(
+        props, primary, fillup, alts, taxonomy, instances, statements
+    )
+
+
+ORACLE_WIKIDATA = """
+    SELECT 'P10' || CAST(r_regionkey AS VARCHAR) AS subj, CAST(-38 AS INT) AS rel,
+           'prop' || CAST(r_regionkey AS VARCHAR) AS obj, 'property' AS rule
+    FROM region
+    UNION ALL
+    SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(-38 AS INT),
+           'Nde' || CAST(n_nationkey AS VARCHAR), 'term_primary'
+    FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(-38 AS INT),
+           'Nen' || CAST(n_nationkey AS VARCHAR), 'term_fillup'
+    FROM nation WHERE n_nationkey % 2 = 1
+    UNION ALL
+    SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(-38 AS INT),
+           'altn' || CAST(n_nationkey AS VARCHAR), 'term_alt'
+    FROM nation
+    UNION ALL
+    SELECT 'Q' || CAST(r_regionkey + 1000 AS VARCHAR), CAST(-1 AS INT),
+           'Q9999', 'taxonomy'
+    FROM region
+    UNION ALL
+    SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(-3 AS INT),
+           'Q' || CAST(n_regionkey + 1000 AS VARCHAR), 'instances'
+    FROM nation
+    UNION ALL
+    SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(-12 AS INT),
+           'Q' || CAST(n_regionkey + 1000 AS VARCHAR), 'statements'
+    FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # meronymy BFS (memberFilter per-edge-type predicate sets)
 # ---------------------------------------------------------------------------
 
@@ -805,6 +886,7 @@ EXT2_QUERIES = {
     "xml_triples": q_xml_triples,
     "yago_import": q_yago_import,
     "wordnet_import": q_wordnet_import,
+    "wikidata_stages": q_wikidata_stages,
     "meronymy_bfs": q_meronymy_bfs,
     "count_instances": q_count_instances,
     "sort_topics": q_sort_topics,
@@ -822,6 +904,7 @@ EXT2_ORACLES = {
     "xml_triples": ORACLE_XML,
     "yago_import": ORACLE_YAGO,
     "wordnet_import": ORACLE_WORDNET,
+    "wikidata_stages": ORACLE_WIKIDATA,
     "meronymy_bfs": ORACLE_MERONYMY,
     "count_instances": ORACLE_COUNT_INSTANCES,
     "sort_topics": ORACLE_SORT_TOPICS,

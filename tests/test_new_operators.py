@@ -399,3 +399,30 @@ def test_import_router(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         import_any(spark, "whatever.unknownext")
+
+
+def test_wikidata_fillup_rule(spark):
+    """importWikiData fill-up-missing (src/import.cpp:2524,2536):
+    secondary-language labels only for keys without a primary label;
+    alt labels are separate rows."""
+    from netbase_spark.sources.wikidata import (
+        fill_up_missing,
+        parse_wiki_labels,
+    )
+
+    def nt(key, pred, text, lang):
+        iri = {"label": "<http://www.w3.org/2000/01/rdf-schema#label>",
+               "alt": "<http://www.w3.org/2004/02/skos/core#altLabel>"}[pred]
+        return (f"<http://www.wikidata.org/entity/{key}> {iri} \"{text}\"@{lang} .",)
+
+    primary = parse_wiki_labels(spark.createDataFrame(
+        [nt("Q1", "label", "Universum", "de")], "value string"))
+    secondary = parse_wiki_labels(spark.createDataFrame(
+        [nt("Q1", "label", "universe", "en"), nt("Q2", "label", "earth", "en")],
+        "value string"))
+    filled = fill_up_missing(primary, secondary).collect()
+    assert [(r["key"], r["label"]) for r in filled] == [("Q2", "earth")]
+    alts = parse_wiki_labels(spark.createDataFrame(
+        [nt("Q1", "alt", "cosmos", "en"), nt("Q1", "label", "x", "en")],
+        "value string"), alt=True).collect()
+    assert [(r["key"], r["label"]) for r in alts] == [("Q1", "cosmos")]
