@@ -35,6 +35,7 @@ HEADLINE = [
     "ngram_jaccard",
     "minhash_lsh",
     "ann_cosine",
+    "ann_ivf",
     "lang_id",
     "text_quality",
     "token_fingerprint",

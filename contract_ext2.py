@@ -879,7 +879,36 @@ ORACLE_SEO = """
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF similarity search (coarse k-means quantizer + per-cell
+    posting lists — the second ANN scale path next to LSH buckets).
+    Probing ALL cells (nprobe == n_cells) is exhaustive, so the result
+    must equal the brute-force top-10 — the DuckDB oracle; the pruned
+    nprobe=1 path is covered by the recall unit test."""
+    from netbase_spark.operators.dedup import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_topk(emb, query_id=0, k=10, n_cells=4, nprobe=4, iters=2)
+
+
+ORACLE_ANN_IVF = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(floor(list_cosine_similarity(embedding, qv) * 10000) AS BIGINT) AS sim_e4
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY sim_e4 DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
 EXT2_QUERIES = {
+    "ann_ivf": q_ann_ivf,
     "pattern_semantic": q_pattern_semantic,
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
@@ -898,6 +927,7 @@ EXT2_QUERIES = {
 }
 
 EXT2_ORACLES = {
+    "ann_ivf": ORACLE_ANN_IVF,
     "pattern_semantic": ORACLE_PATTERN_SEMANTIC,
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,

@@ -461,3 +461,144 @@ def ann_topk_bucketed(
     # global top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
     # heap + driver merge), NOT a single-partition global Window sort
     return scored.orderBy(F.col("sim_e4").desc(), F.col("vec_id").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + per-cell posting
+# lists.  The second scale path next to the LSH buckets above: at 10^9
+# vectors the cell id becomes the partition key of the posting-list
+# table, a query probes `nprobe` cells and scans only those partitions.
+# Deterministic throughout: centroid init is the n_cells rows with the
+# smallest xxhash64(id) (no RNG — resume/replay safe), Lloyd updates
+# are exact means.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """n_cells x d centroid matrix after ``iters`` Lloyd rounds.
+    Assignment is a broadcast-gemm mapInPandas pass; the update is one
+    posexplode + avg aggregation (cells x dims rows — dimension-sized,
+    safe to collect)."""
+    import numpy as np
+
+    init = (
+        emb.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    cent = np.array([r[0] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cent, id_col, vec_col)
+        means = (
+            assigned.join(emb, id_col)
+            .select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cent.copy()  # empty cells keep their old centroid
+        for r in means:
+            new[r["cell"], r["pos"]] = r["m"]
+        cent = new
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine — one broadcast
+    weight matrix, one BLAS gemm per Arrow batch (same kernel shape as
+    ann_lsh_buckets)."""
+    import numpy as np
+    import pandas as pd
+
+    norms = np.sqrt((centroids * centroids).sum(axis=1))
+    norms[norms == 0] = 1.0
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (centroids / norms[:, None]).T  # d x cells, unit columns
+    )
+
+    def block(batches):
+        w = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mn = np.sqrt((mat * mat).sum(axis=1))
+            mn[mn == 0] = 1.0
+            cell = ((mat / mn[:, None]) @ w).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": cell})
+
+    id_t = emb.schema[id_col].dataType.simpleString()
+    return emb.select(id_col, vec_col).mapInPandas(
+        block, schema=f"{id_col} {id_t}, cell int"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over the ``nprobe`` cells nearest the query vector.
+    ``nprobe == n_cells`` degrades to exact brute-force (the contract
+    oracle); small nprobe is the 100-TB path — the posting-list table
+    partitioned by cell turns the probe into partition pruning."""
+    import numpy as np
+
+    cent = ivf_centroids(emb, n_cells, iters, id_col, vec_col)
+    assigned = ivf_assign(emb, cent, id_col, vec_col).persist()
+    qrow = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+    qv = np.array(qrow[0], dtype=np.float64)
+    cn = np.sqrt((cent * cent).sum(axis=1))
+    cn[cn == 0] = 1.0
+    sims = (cent / cn[:, None]) @ (qv / max(np.sqrt((qv * qv).sum()), 1e-12))
+    probe = [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+    cands = (
+        assigned.where(F.col("cell").isin(probe))
+        .where(F.col(id_col) != query_id)
+        .join(emb.select(id_col, vec_col), id_col)
+    )
+    spark = emb.sparkSession
+    qb = spark.sparkContext.broadcast(qv)
+
+    def score(batches):
+        import pandas as pd
+
+        q = qb.value
+        qn = np.sqrt((q * q).sum())
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            s = (mat @ q) / (np.sqrt((mat * mat).sum(axis=1)) * qn)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sim_e4": np.floor(s * 10000).astype(np.int64),
+                }
+            )
+
+    id_t = emb.schema[id_col].dataType.simpleString()
+    scored = cands.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} {id_t}, sim_e4 long"
+    )
+    return scored.orderBy(
+        F.col("sim_e4").desc(), F.col(id_col).asc()
+    ).limit(k)
