@@ -135,7 +135,20 @@ def run_graph_query(
     # then take each term's LHS — one finditer over the raw string
     # mis-captured "1 and b" as an LHS for "a>1 and b=2".
     preds = {f for f in p.fields if f != "*"}
-    if p.where:
+    # a single BARE where-term (no operator, no and/or) is the
+    # reference's findMatch form: "Karin with Rufnummer" keeps the
+    # instances that HAVE the property, "… where Anthrazit" also
+    # matches the node name (src/query.cpp:1506-1533; testSqlDe
+    # src/tests.cpp:1475-1494)
+    bare_term = None
+    if (
+        p.where
+        and not re.search(r"(!=|>=|<=|=|>|<|~)", p.where)
+        and not re.search(r"\s+(and|or)\s+|,", p.where, flags=re.I)
+    ):
+        bare_term = p.where.strip().strip('"').replace(" ", "_")
+        preds.add(bare_term)
+    if p.where and bare_term is None:
         for branch in re.split(r"\s+or\s+", p.where, flags=re.I):
             for term in re.split(r",|\s+and\s+", branch, flags=re.I):
                 term = term.strip()
@@ -159,7 +172,12 @@ def run_graph_query(
         if name != str(rid):
             props = props.withColumnRenamed(str(rid), name)
     out = insts.join(props, "node", "left").withColumnRenamed("node", "name")
-    if p.where:
+    if bare_term is not None:
+        cond = F.lower(F.col("name")).contains(bare_term.lower())
+        if bare_term in out.columns:
+            cond = cond | F.col(bare_term).isNotNull()
+        out = out.where(cond)
+    elif p.where:
         out = out.where(compile_filter(p.where))
     if p.fields != ["*"]:
         out = out.select("name", *p.fields)

@@ -432,3 +432,44 @@ def test_reify_statement_fk(spark):
         reify(t).select(F.col("statement_id").alias("subj")), "subj"
     )
     assert joined.count() == 1  # usable as a subject FK
+
+
+def test_sql_de_with_property(spark):
+    """testSqlDe (src/tests.cpp:1475-1482): 'Karin with Rufnummer'
+    keeps the instances that HAVE the property."""
+    from netbase_spark.functions.query_lang import run_graph_query
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import INSTANCE
+
+    t = spark.createDataFrame(
+        [
+            ("karin", INSTANCE, "karin1"),
+            ("karin", INSTANCE, "karin2"),
+            ("karin1", rel_id_for("rufnummer"), "040-123"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    out = run_graph_query("Karin with Rufnummer", t).collect()
+    assert [r["name"] for r in out] == ["karin1"]
+
+
+def test_sql_de_value_match(spark):
+    """testSqlDe2 (src/tests.cpp:1483-1494): 'select Klasse from grau
+    where Anthrazit' — the bare term matches the node name; the
+    projected Klasse property comes back ('Achromatische farbe')."""
+    from netbase_spark.functions.query_lang import run_graph_query
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import INSTANCE
+
+    t = spark.createDataFrame(
+        [
+            ("grau", INSTANCE, "anthrazit"),
+            ("grau", INSTANCE, "silber"),
+            ("anthrazit", rel_id_for("Klasse"), "achromatische farbe"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    rows = run_graph_query("select Klasse from grau where Anthrazit", t).collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "anthrazit"
+    assert rows[0]["Klasse"] == "achromatische farbe"
