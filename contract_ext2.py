@@ -907,8 +907,97 @@ ORACLE_ANN_IVF = """
 """
 
 
+# ---------------------------------------------------------------------------
+# getSingleton / getNew node allocation
+# ---------------------------------------------------------------------------
+
+
+def q_singleton_nodes(spark, sf_dir):
+    """``getSingleton`` get-or-create (src/netbase.cpp:1180-1193; used
+    by importers via the ``getSingletons`` switch, src/import.cpp:
+    924-929): present names are untouched, each missing name gets one
+    (name, Type, type) row — idempotent anti-join insert."""
+    from netbase_spark.operators.mutate import ensure_singletons
+    from netbase_spark.relations import TYPE
+
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    triples = nation.select(
+        F.lower(_sk("n_nationkey", "N")).alias("subj"),
+        F.lit(TYPE).alias("rel"),
+        F.lower(_sk("n_regionkey", "R")).alias("obj"),
+        F.lit("base").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    requested = customer.select(F.col("c_mktsegment").alias("name")).unionByName(
+        nation.select(F.lower(_sk("n_nationkey", "N")).alias("name"))
+    )
+    out = ensure_singletons(triples, requested, type_name="Market Segment")
+    return out.select("subj", "rel", "obj", "rule")
+
+
+ORACLE_SINGLETON = f"""
+    WITH base AS (
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS subj, CAST(-3 AS INT) AS rel,
+               'r' || CAST(n_regionkey AS VARCHAR) AS obj, 'base' AS rule
+        FROM nation
+    ), nodes AS (
+        SELECT subj AS n FROM base UNION SELECT obj FROM base
+    ), requested AS (
+        SELECT DISTINCT {NORM_SQL.format(c="c_mktsegment")} AS name FROM customer
+        UNION
+        SELECT DISTINCT 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+    )
+    SELECT subj, rel, obj, rule FROM base
+    UNION ALL
+    SELECT name, CAST(-3 AS INT), 'market segment', 'singleton'
+    FROM requested WHERE name NOT IN (SELECT n FROM nodes)
+"""
+
+
+def q_getnew_alloc(spark, sf_dir):
+    """``getNew`` always-fresh allocation (src/netbase.cpp:1168-1173):
+    ambiguous surface forms are distinct nodes — the n-th node sharing
+    a base name gets ``name~n``, ordinals continuing after existing
+    same-named nodes ('building' is taken, so its first allocation is
+    'building~2')."""
+    from netbase_spark.operators.mutate import get_new_names
+    from netbase_spark.relations import TYPE
+
+    customer = _t(spark, sf_dir, "customer")
+    triples = spark.createDataFrame(
+        [("building", TYPE, "structure", "base", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    names = customer.where(F.col("c_custkey") <= 40).select(
+        F.col("c_mktsegment").alias("name")
+    )
+    return get_new_names(triples, names)
+
+
+ORACLE_GETNEW = f"""
+    WITH req AS (
+        SELECT {NORM_SQL.format(c="c_mktsegment")} AS name
+        FROM customer WHERE c_custkey <= 40
+    ), taken AS (
+        SELECT 'building' AS base, 1 AS cnt UNION ALL SELECT 'structure', 1
+    ), ranked AS (
+        SELECT name,
+               row_number() OVER (PARTITION BY name ORDER BY name)
+                   + COALESCE(cnt, 0) AS ord
+        FROM req LEFT JOIN taken ON req.name = taken.base
+    )
+    SELECT name,
+           CASE WHEN ord = 1 THEN name
+                ELSE name || '~' || CAST(ord AS VARCHAR) END AS allocated
+    FROM ranked
+"""
+
+
 EXT2_QUERIES = {
     "ann_ivf": q_ann_ivf,
+    "singleton_nodes": q_singleton_nodes,
+    "getnew_alloc": q_getnew_alloc,
     "pattern_semantic": q_pattern_semantic,
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
@@ -928,6 +1017,8 @@ EXT2_QUERIES = {
 
 EXT2_ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
+    "singleton_nodes": ORACLE_SINGLETON,
+    "getnew_alloc": ORACLE_GETNEW,
     "pattern_semantic": ORACLE_PATTERN_SEMANTIC,
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,

@@ -189,6 +189,85 @@ def update_statements(
     return dropped.unionByName(inserts.select(*triples.columns))
 
 
+def ensure_singletons(
+    triples: DataFrame,
+    names: DataFrame,
+    name_col: str = "name",
+    type_name: str | None = None,
+) -> DataFrame:
+    """``getSingleton`` (src/netbase.cpp:1180-1193): probe ``hasWord``;
+    a missing name gets created once (kind ``_singleton``), with a Type
+    statement when a type is given.  Present names are untouched —
+    idempotent get-or-create.
+
+    Name-keyed triple-store analog: a node "exists" iff its name occurs
+    as a subject or object; missing requested names get one inserted
+    ``(name, Type, type|'singleton')`` row.  Distributed form: one
+    anti-join of the (dimension-sized) request set against the node
+    set + union — no collect, broadcast-sized right side.
+    """
+    from netbase_spark.relations import TYPE
+
+    nn = norm_name_col(F.col(name_col)).alias("subj")
+    requested = names.select(nn).where(F.length("subj") > 0).distinct()
+    nodes = (
+        triples.select(F.col("subj").alias("n"))
+        .unionByName(triples.select(F.col("obj").alias("n")))
+        .distinct()
+    )
+    missing = requested.join(
+        nodes, requested["subj"] == nodes["n"], "left_anti"
+    )
+    inserts = missing.select(
+        "subj",
+        F.lit(TYPE).alias("rel"),
+        F.lit(norm_name(type_name) if type_name else "singleton").alias("obj"),
+        F.lit("singleton").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    return triples.unionByName(inserts.select(*triples.columns))
+
+
+def get_new_names(
+    triples: DataFrame, names: DataFrame, name_col: str = "name"
+) -> DataFrame:
+    """``getNew`` (src/netbase.cpp:1168-1173): ALWAYS allocates a fresh
+    node, even when the name is taken — ambiguous surface forms are
+    distinct nodes in the reference (``add(thing, type)`` with no probe).
+
+    Name-keyed analog: the n-th node sharing a base name gets the id
+    ``name~n`` (the first keeps the bare name).  The ordinal continues
+    after existing allocations: existing node ids are grouped by base
+    name (``~k`` suffix stripped), and each requested row ranks after
+    them.  Returns ``names`` with an ``allocated`` node-id column.
+    Two narrow shuffles (group-count + per-name window) — no collect.
+    """
+    base = norm_name_col(F.col(name_col)).alias("base")
+    req = names.select(base).where(F.length("base") > 0)
+    existing = (
+        triples.select(F.col("subj").alias("n"))
+        .unionByName(triples.select(F.col("obj").alias("n")))
+        .distinct()
+        .select(F.regexp_replace("n", r"~\d+$", "").alias("base"))
+        # keep only requested base names so the broadcast side below
+        # stays dimension-sized even over a web-scale node set
+        .join(F.broadcast(req.distinct()), "base", "leftsemi")
+        .groupBy("base")
+        .agg(F.count("*").alias("_taken"))
+    )
+    w = Window.partitionBy("base").orderBy("base")
+    ranked = req.withColumn("_rn", F.row_number().over(w)).join(
+        F.broadcast(existing), "base", "left"
+    )
+    ordinal = F.coalesce(F.col("_taken"), F.lit(0)) + F.col("_rn")
+    return ranked.select(
+        F.col("base").alias(name_col),
+        F.when(ordinal == 1, F.col("base"))
+        .otherwise(F.concat("base", F.lit("~"), ordinal.cast("string")))
+        .alias("allocated"),
+    )
+
+
 def append_replay_log(new: DataFrame, path: str) -> None:
     """Append learned facts to the replay log (``replay()``,
     src/netbase.cpp:2521-2533; console append src/console.cpp:697-700):

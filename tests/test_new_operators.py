@@ -456,3 +456,44 @@ def test_ivf_pruned_probe_recall(spark):
     in_exact = [v for v in pruned if v in pos]
     assert in_exact == sorted(in_exact, key=lambda v: pos[v])
     assert len(in_exact) >= 8
+
+
+def test_ensure_singletons_idempotent(spark):
+    """getSingleton (src/netbase.cpp:1180-1193): missing names created
+    once with a Type row; present names untouched; re-running is a
+    no-op."""
+    from netbase_spark.operators.mutate import ensure_singletons
+
+    t = spark.createDataFrame(
+        [("berlin", TYPE, "city", "base", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    names = spark.createDataFrame(
+        [("Berlin",), ("city",), ("Nationalmannschaft",)], "name string"
+    )
+    out = ensure_singletons(t, names, type_name="Team")
+    rows = {(r["subj"], r["rel"], r["obj"], r["rule"]) for r in out.collect()}
+    assert rows == {
+        ("berlin", TYPE, "city", "base"),
+        ("nationalmannschaft", TYPE, "team", "singleton"),
+    }
+    again = ensure_singletons(out, names, type_name="Team")
+    assert again.count() == out.count()  # idempotent
+
+
+def test_get_new_allocates_fresh_ids(spark):
+    """getNew (src/netbase.cpp:1168-1173): always a fresh node; the
+    ordinal continues after existing same-named nodes (berlin and
+    berlin~2 taken -> next is berlin~3)."""
+    from netbase_spark.operators.mutate import get_new_names
+
+    t = spark.createDataFrame(
+        [("berlin", TYPE, "city", "base", None),
+         ("berlin~2", TYPE, "city", "base", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    names = spark.createDataFrame(
+        [("Berlin",), ("Berlin",), ("Paris",)], "name string"
+    )
+    got = sorted(r["allocated"] for r in get_new_names(t, names).collect())
+    assert got == ["berlin~3", "berlin~4", "paris"]
