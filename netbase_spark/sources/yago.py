@@ -17,10 +17,17 @@ wikicategory_/geoclass_/wordnetDomain_/wordnet_ heads).  Dropped rows:
 resolves to the Type builtin (1202-1205), and malformed lines.
 
 Spark-first: the whole scan is JVM-side column expressions over
-``spark.read.text`` lines — one split, a when-chain per term, broadcast
-vocab map — so filters push down to the text scan and nothing leaves
-whole-stage codegen.  The synset-id remap reuses the wordnet importer's
-broadcast join (:func:`netbase_spark.sources.wordnet.remap_ids`).
+``spark.read.text`` lines — filters push down to the text scan and
+nothing leaves whole-stage codegen.  The resolution is STAGED into
+successive projections (tokens -> raw terms -> per-term components ->
+assembled terms) so each regex/split subexpression materializes as one
+column evaluated once per row: Catalyst's CollapseProject declines to
+inline non-trivial expressions consumed more than once, whereas a
+single nested expression tree re-evaluates the shared subtrees (the
+split, the bracket-strip, the lowered lookup key) at every use site —
+at 10^9 import lines that re-evaluation dominates the scan.  The
+synset-id remap reuses the wordnet importer's broadcast join
+(:func:`netbase_spark.sources.wordnet.remap_ids`).
 Deviation noted: the reference strips unknown-prefix names with
 ``strstr(name, ":") + 2`` (dropping the char after the colon,
 src/import.cpp:1085-1088) — an off-by-one we do not replicate; we keep
@@ -68,14 +75,31 @@ YAGO_VOCAB: dict[str, str] = {
 _HEADS = r"^(wikicategory_|geoclass_|wordnetDomain_|wordnet_)"
 
 
+def _vocab_col(key: Column) -> Column:
+    """YAGO_VOCAB lookup as a flat when-chain over an ALREADY-
+    MATERIALIZED key column.  NOT ``create_map``: a map built from
+    literals is re-constructed on every evaluation (one 52-entry java
+    map allocation per term per row); the when-chain is plain branch
+    compares against a column reference, zero allocation, and stays
+    inside whole-stage codegen.  ``key`` must be a cheap reference —
+    passing a nested expression would duplicate it into all 26
+    branches."""
+    expr = None
+    for k, v in YAGO_VOCAB.items():
+        expr = F.when(key == k, v) if expr is None else expr.when(key == k, v)
+    return expr
+
+
 def yago_term(c: Column) -> Column:
-    """``getYagoConcept`` as a when-chain (src/import.cpp:1103-1124)."""
+    """``getYagoConcept`` as one nested expression (src/import.cpp:
+    1103-1124).  Convenience form for single-column use; the bulk
+    scanner below stages the same logic through projections so shared
+    subtrees evaluate once per row."""
     wn = F.regexp_extract(c, r"^<wordnet_.*_(\d+)>$", 1)
     typed = F.regexp_extract(c, r'^"([^"]*)"\^\^', 1)
     stripped = F.regexp_replace(c, r"^<|>$", "")
     headless = F.regexp_replace(stripped, _HEADS, "")
-    vocab_items = [F.lit(x) for kv in YAGO_VOCAB.items() for x in kv]
-    vocab = F.create_map(*vocab_items)[F.lower(headless)]
+    vocab = _vocab_col(F.lower(headless))
     # unknown prefixed names (not http IRIs): keep after the colon
     pref = F.when(
         ~F.lower(stripped).startswith("http"),
@@ -85,6 +109,39 @@ def yago_term(c: Column) -> Column:
         F.when(wn != "", F.concat(F.lit("syn"), wn))
         .when(typed != "", typed)
         .when(vocab.isNotNull(), vocab)
+        .when(pref != "", pref)
+        .otherwise(headless)
+    )
+
+
+def _term_components(raw: str, p: str) -> list[Column]:
+    """Stage-2 columns for one raw term column: everything
+    ``getYagoConcept`` needs, each computed once."""
+    c = F.col(raw)
+    stripped = F.regexp_replace(c, r"^<|>$", "")
+    return [
+        F.regexp_extract(c, r"^<wordnet_.*_(\d+)>$", 1).alias(f"{p}_wn"),
+        F.regexp_extract(c, r'^"([^"]*)"\^\^', 1).alias(f"{p}_typed"),
+        F.regexp_replace(stripped, _HEADS, "").alias(f"{p}_headless"),
+        (~F.lower(stripped).startswith("http")).alias(f"{p}_nonhttp"),
+    ]
+
+
+def _assemble_term(p: str) -> Column:
+    """Stage-3 assembly from the stage-2 component columns (cheap
+    references, so the when-chain adds no re-evaluation)."""
+    wn = F.col(f"{p}_wn")
+    typed = F.col(f"{p}_typed")
+    headless = F.col(f"{p}_headless")
+    key = F.col(f"{p}_key")
+    pref = F.when(
+        F.col(f"{p}_nonhttp"),
+        F.regexp_extract(headless, r"^[A-Za-z]\w*:(.+)$", 1),
+    ).otherwise(F.lit(""))
+    return (
+        F.when(wn != "", F.concat(F.lit("syn"), wn))
+        .when(typed != "", typed)
+        .when(_vocab_col(key).isNotNull(), _vocab_col(key))
         .when(pref != "", pref)
         .otherwise(headless)
     )
@@ -104,45 +161,74 @@ def parse_yago_lines(
     stale ``syn<id>`` terms (``norm_wordnet_id``).
     """
     c = F.col(col)
-    toks = F.filter(F.split(c, "\t"), lambda t: t != "")
-    n = F.size(toks)
-    is_label = c.endswith("@eng")
-    # label rows always carry the id FIRST when 4-column (the reference
-    # label branch skips the first field regardless of leadingId,
-    # src/import.cpp:1155-1157); fact rows follow the leading_id switch
-    # F.get (NULL on out-of-bounds), not [] — pushed-down filters merge
-    # into one conjunctive Filter whose predicate order Catalyst may
-    # rearrange, so ANSI-strict indexing can evaluate before the n >= 3
-    # guard on short rows
-    shift = F.when(is_label | F.lit(leading_id), n >= 4).otherwise(F.lit(False))
-    s_raw = F.when(shift, F.get(toks, 1)).otherwise(F.get(toks, 0))
-    p_raw = F.when(shift, F.get(toks, 2)).otherwise(F.get(toks, 1))
-    obj_raw = F.when(shift, F.get(toks, 3)).otherwise(F.get(toks, 2))
-
-    parsed = lines.where(n >= 3).select(
-        yago_term(s_raw).alias("subj"),
-        yago_term(p_raw).alias("pred"),
+    # stage 0: tokenize once; the split array is consumed five times
+    # downstream, so it must be a materialized column, not a repeated
+    # subexpression
+    toksed = lines.select(
+        F.filter(F.split(c, "\t"), lambda t: t != "").alias("_toks"),
+        c.endswith("@eng").alias("_label"),
+    ).where(F.size("_toks") >= 3)
+    # stage 1: positional raw terms.  label rows always carry the id
+    # FIRST when 4-column (the reference label branch skips the first
+    # field regardless of leadingId, src/import.cpp:1155-1157); fact
+    # rows follow the leading_id switch.  F.get (NULL on out-of-bounds),
+    # not [] — pushed-down filters merge into one conjunctive Filter
+    # whose predicate order Catalyst may rearrange, so ANSI-strict
+    # indexing can evaluate before the size guard on short rows.
+    n = F.size("_toks")
+    shift = F.when(F.col("_label") | F.lit(leading_id), n >= 4).otherwise(
+        F.lit(False)
+    )
+    raw = toksed.select(
+        F.when(shift, F.get("_toks", 1)).otherwise(F.get("_toks", 0)).alias("_s"),
+        F.when(shift, F.get("_toks", 2)).otherwise(F.get("_toks", 1)).alias("_p"),
+        F.when(shift, F.get("_toks", 3)).otherwise(F.get("_toks", 2)).alias("_o"),
+        "_label",
+    )
+    # stage 2: per-term components (each regex evaluated once per row)
+    parts = raw.select(
+        "_label",
+        "_p",
+        "_o",
+        *_term_components("_s", "s"),
+        *_term_components("_p", "p"),
+        *_term_components("_o", "o"),
+    )
+    # stage 2b: lowered vocab keys (consumed 26x by the when-chain —
+    # must be a column reference, see _vocab_col)
+    parts = parts.select(
+        "*",
+        F.lower("s_headless").alias("s_key"),
+        F.lower("p_headless").alias("p_key"),
+        F.lower("o_headless").alias("o_key"),
+    )
+    # stage 3: assembled terms
+    terms = parts.select(
+        _assemble_term("s").alias("subj"),
+        _assemble_term("p").alias("pred"),
         F.when(
-            is_label, F.regexp_extract(obj_raw, r'^"([^"]*)"', 1)
-        ).otherwise(yago_term(obj_raw)).alias("obj"),
-        p_raw.alias("_rawp"),
-        is_label.alias("_label"),
+            F.col("_label"), F.regexp_extract("_o", r'^"([^"]*)"', 1)
+        ).otherwise(_assemble_term("o")).alias("obj"),
+        "_label",
+        "_p",
     )
     out = (
-        parsed.where(
-            (F.col("subj") != "") & (F.col("pred") != "") & (F.col("obj") != "")
+        terms.where(
+            (F.col("subj") != "")
+            & (F.col("pred") != "")
+            & (F.col("obj") != "")
+            # geonames external ids dropped (src/import.cpp:1198)
+            & (F.col("_p") != "<hasGeonamesEntityId>")
+            # facts whose object resolves to the Type builtin are
+            # skipped (object == Type guard, src/import.cpp:1202-1205)
+            & (F.col("_label") | (F.col("obj") != "type"))
+            # self-labels dropped (wordhash equality, import.cpp:1197)
+            & (
+                ~F.col("_label")
+                | (norm_name_col(F.col("subj")) != norm_name_col(F.col("obj")))
+            )
         )
-        # geonames external ids dropped (src/import.cpp:1198)
-        .where(F.col("_rawp") != "<hasGeonamesEntityId>")
-        # facts whose object resolves to the Type builtin are skipped
-        # (object == Type guard, src/import.cpp:1202-1205)
-        .where(F.col("_label") | (F.col("obj") != "type"))
-        # self-labels dropped (wordhash equality, src/import.cpp:1197)
-        .where(
-            ~F.col("_label")
-            | (norm_name_col(F.col("subj")) != norm_name_col(F.col("obj")))
-        )
-        .drop("_rawp", "_label")
+        .select("subj", "pred", "obj")
         .dropDuplicates(["subj", "pred", "obj"])
     )
     if synset_map is not None:
