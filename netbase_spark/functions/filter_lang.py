@@ -35,6 +35,38 @@ def _leaf(expr: str) -> Column:
     field = field.strip().replace(" ", "_")
     col = F.col(field)
     is_num = re.fullmatch(r"-?\d+(\.\d+)?", raw) or raw.startswith("#")
+    # unit-typed RHS ("length > 14 m"): both sides normalize through
+    # the rdfValue unit table and compare in base units, with a unit
+    # guard so 14 m never matches 14 kg (value-node comparisons,
+    # src/netbase.cpp:2027-2060; testValueQuery src/tests.cpp:957-1006)
+    um = re.fullmatch(r"(-?\d+(?:\.\d+)?)\s*([A-Za-z%]+)", raw.lstrip("#"))
+    if not is_num and um:
+        from netbase_spark.functions.values import UNIT_TABLE, parse_typed_literal
+
+        entry = UNIT_TABLE.get(um.group(2)) or UNIT_TABLE.get(um.group(2).lower())
+        if entry is not None:
+            canon, mult = entry
+            base = float(um.group(1)) * mult
+            parsed = parse_typed_literal(col)
+            num = parsed.getField("num")
+            same_unit = parsed.getField("unit") == canon
+            if op == "~":
+                cmpc = F.abs(num - base) <= F.lit(abs(base) * APPROX_PCT)
+            elif op == "=":
+                cmpc = num == base
+            elif op == "!=":
+                return ~(same_unit & (num == base))
+            elif op == ">":
+                cmpc = num > base
+            elif op == "<":
+                cmpc = num < base
+            elif op == ">=":
+                cmpc = num >= base
+            elif op == "<=":
+                cmpc = num <= base
+            else:
+                raise ValueError(f"unsupported op {op!r}")
+            return same_unit & cmpc
     val = raw.lstrip("#")
     if is_num:
         col = col.cast("double")

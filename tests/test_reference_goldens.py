@@ -473,3 +473,35 @@ def test_sql_de_value_match(spark):
     assert len(rows) == 1
     assert rows[0]["name"] == "anthrazit"
     assert rows[0]["Klasse"] == "achromatische farbe"
+
+
+def test_value_query_filters(spark):
+    """testValueQuery (src/tests.cpp:957-1006): Booot has length
+    '14.320' = 14.32 meter; filter length>14 m AND length<15 m keeps
+    it, adding the or-branch length<14 m still keeps it, and
+    length<14 m alone drops it.  Units normalize through the rdfValue
+    table (m == meter) and guard the comparison."""
+    from netbase_spark.functions.query_lang import run_graph_query
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import INSTANCE
+
+    t = spark.createDataFrame(
+        [
+            ("boats", INSTANCE, "booot"),
+            ("boats", INSTANCE, "dinghy"),
+            ("booot", rel_id_for("length"), "14.320 meter"),
+            ("dinghy", rel_id_for("length"), "3.1 meter"),
+        ],
+        "subj string, rel int, obj string",
+    )
+
+    def names(q):
+        return sorted(r["name"] for r in run_graph_query(q, t).collect())
+
+    assert names("boats where length > 14 m and length < 15 m") == ["booot"]
+    assert (
+        names("boats where length > 14 m and length < 15 m or length < 14 m")
+        == ["booot", "dinghy"]
+    )
+    assert names("boats where length < 14 m") == ["dinghy"]
+    assert names("boats where length ~ 14.3 m") == ["booot"]
