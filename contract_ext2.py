@@ -994,10 +994,65 @@ ORACLE_GETNEW = f"""
 """
 
 
+def q_statement_nr(spark, sf_dir):
+    """``getStatementNr`` instance-gap ordering (src/netbase.cpp:
+    686-758; testInstanceLogic src/tests.cpp:804-816): per subject,
+    property statements rank before Instance edges."""
+    from netbase_spark.operators.materialize import statement_nr
+    from netbase_spark.relations import INSTANCE, TYPE
+
+    supplier = _t(spark, sf_dir, "supplier")
+    triples = (
+        supplier.select(
+            _sk("s_suppkey", "S").alias("subj"),
+            F.lit(INSTANCE).alias("rel"),
+            _sk("s_suppkey", "I").alias("obj"),
+        )
+        .unionByName(
+            supplier.select(
+                _sk("s_suppkey", "S").alias("subj"),
+                F.lit(TYPE).alias("rel"),
+                _sk("s_nationkey", "N").alias("obj"),
+            )
+        )
+        .unionByName(
+            supplier.select(
+                _sk("s_suppkey", "S").alias("subj"),
+                F.lit(7).alias("rel"),
+                F.col("s_name").alias("obj"),
+            )
+        )
+    )
+    return statement_nr(triples)
+
+
+ORACLE_STATEMENT_NR = """
+    WITH t AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj, CAST(-4 AS INT) AS rel,
+               'I' || CAST(s_suppkey AS VARCHAR) AS obj
+        FROM supplier
+        UNION ALL
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR), CAST(-3 AS INT),
+               'N' || CAST(s_nationkey AS VARCHAR)
+        FROM supplier
+        UNION ALL
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR), CAST(7 AS INT), s_name
+        FROM supplier
+    )
+    SELECT subj, rel, obj,
+           CAST(row_number() OVER (
+               PARTITION BY subj
+               ORDER BY CASE WHEN rel = -4 THEN 1 ELSE 0 END, rel, obj
+           ) AS INT) AS nr
+    FROM t
+"""
+
+
 EXT2_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "singleton_nodes": q_singleton_nodes,
     "getnew_alloc": q_getnew_alloc,
+    "statement_nr": q_statement_nr,
     "pattern_semantic": q_pattern_semantic,
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
@@ -1019,6 +1074,7 @@ EXT2_ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
     "singleton_nodes": ORACLE_SINGLETON,
     "getnew_alloc": ORACLE_GETNEW,
+    "statement_nr": ORACLE_STATEMENT_NR,
     "pattern_semantic": ORACLE_PATTERN_SEMANTIC,
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,

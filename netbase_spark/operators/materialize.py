@@ -11,7 +11,7 @@ salting for hub keys per north_rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,6 +63,26 @@ def reify(triples: DataFrame) -> DataFrame:
         F.concat_ws("|", F.col("subj"), F.col("rel").cast("string"), F.col("obj"))
     )
     return triples.withColumn("statement_id", sid)
+
+
+def statement_nr(triples: DataFrame) -> DataFrame:
+    """``getStatementNr`` ordering with the instance gap
+    (``addStatementToNodeWithInstanceGap``, src/netbase.cpp:686-758;
+    asserted by testInstanceLogic src/tests.cpp:810-816): per subject,
+    property/attribute statements rank BEFORE Instance edges — the gap
+    exists so abstract-property access never walks 100k city instances
+    first.  Our storage has no physical chain, so within each class the
+    deterministic (rel, obj) order stands in for insertion order.  One
+    window shuffle on subj; at scale this is only materialized for the
+    nodes a query projects, not the whole table."""
+    from netbase_spark.relations import INSTANCE
+
+    w = Window.partitionBy("subj").orderBy(
+        F.when(F.col("rel") == INSTANCE, F.lit(1)).otherwise(F.lit(0)),
+        "rel",
+        "obj",
+    )
+    return triples.withColumn("nr", F.row_number().over(w))
 
 
 def write_triples(triples: DataFrame, path: str) -> None:

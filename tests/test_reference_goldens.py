@@ -505,3 +505,27 @@ def test_value_query_filters(spark):
     )
     assert names("boats where length < 14 m") == ["dinghy"]
     assert names("boats where length ~ 14.3 m") == ["booot"]
+
+
+def test_instance_gap_ordering(spark):
+    """testInstanceLogic (src/tests.cpp:804-816): tester gets
+    colour=blue, Instance=ulme, colour=green, colour=pink; statement
+    nr 1 and 2 must NOT be the Instance edge — instance statements
+    rank behind properties (addStatementToNodeWithInstanceGap)."""
+    from netbase_spark.operators.materialize import statement_nr
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import INSTANCE
+
+    colour = rel_id_for("colour")
+    t = spark.createDataFrame(
+        [
+            ("tester", colour, "blue"),
+            ("tester", INSTANCE, "ulme"),
+            ("tester", colour, "green"),
+            ("tester", colour, "pink"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    by_nr = {r["nr"]: r["rel"] for r in statement_nr(t).collect()}
+    assert by_nr[1] != INSTANCE and by_nr[2] != INSTANCE
+    assert by_nr[4] == INSTANCE  # the gap: instances last
