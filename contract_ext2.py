@@ -1048,11 +1048,69 @@ ORACLE_STATEMENT_NR = """
 """
 
 
+def q_image_triples(spark, sf_dir):
+    """``importImageTripels`` (src/import.cpp:225-267) + ``formatImage``
+    (src/netbase.cpp:2455-2467): '%s %*s %s' line scan, first-image-
+    per-title wins, (abstract(title), wiki_image, abstract(image))
+    triples plus the md5 commons URL for each kept image."""
+    from netbase_spark.operators.media import format_image, import_image_triples
+
+    part = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    title = F.concat(F.lit("P"), pk.cast("string"))
+    lines = part.select(
+        F.concat(title, F.lit(" x Img_"), pk.cast("string"), F.lit("a.jpg")).alias(
+            "value"
+        ),
+        (pk * 2).alias("ord"),
+    ).unionByName(
+        part.select(
+            F.concat(
+                title, F.lit(" x Img_"), pk.cast("string"), F.lit("b.jpg")
+            ).alias("value"),
+            (pk * 2 + 1).alias("ord"),
+        )
+    )
+    out = import_image_triples(lines, order_col="ord")
+    return out.withColumn("url", format_image(F.col("obj")))
+
+
+# DuckDB twin: first image per title by line order, then the commons
+# URL over the normalized name with spaces back to underscores
+ORACLE_IMAGE_TRIPLES = f"""
+    WITH lines AS (
+        SELECT 'P' || CAST(p_partkey AS VARCHAR) AS t,
+               'Img_' || CAST(p_partkey AS VARCHAR) || 'a.jpg' AS img,
+               p_partkey * 2 AS ord
+        FROM part
+        UNION ALL
+        SELECT 'P' || CAST(p_partkey AS VARCHAR),
+               'Img_' || CAST(p_partkey AS VARCHAR) || 'b.jpg',
+               p_partkey * 2 + 1
+        FROM part
+    ), normed AS (
+        SELECT {NORM_SQL.format(c="t")} AS subj,
+               {NORM_SQL.format(c="img")} AS obj, ord
+        FROM lines
+    ), first AS (
+        SELECT subj, min_by(obj, ord) AS obj FROM normed GROUP BY subj
+    ), named AS (
+        SELECT subj, obj, replace(obj, ' ', '_') AS n FROM first
+    )
+    SELECT subj, {MD5_REL_SQL.format(name="'wiki image'")} AS rel, obj,
+           'http://upload.wikimedia.org/wikipedia/commons/'
+               || substr(md5(n), 1, 1) || '/' || substr(md5(n), 1, 2) || '/' || n
+               AS url
+    FROM named
+"""
+
+
 EXT2_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "singleton_nodes": q_singleton_nodes,
     "getnew_alloc": q_getnew_alloc,
     "statement_nr": q_statement_nr,
+    "image_triples": q_image_triples,
     "pattern_semantic": q_pattern_semantic,
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
@@ -1075,6 +1133,7 @@ EXT2_ORACLES = {
     "singleton_nodes": ORACLE_SINGLETON,
     "getnew_alloc": ORACLE_GETNEW,
     "statement_nr": ORACLE_STATEMENT_NR,
+    "image_triples": ORACLE_IMAGE_TRIPLES,
     "pattern_semantic": ORACLE_PATTERN_SEMANTIC,
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,

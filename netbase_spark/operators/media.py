@@ -103,3 +103,64 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.select(
         F.col("doc_id").cast("string").alias("doc_id"), "kind", "media_ref"
     ).mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def format_image(name, size: int = 200, thumb: bool = False):
+    """``formatImage`` commons-URL scheme (src/netbase.cpp:2455-2467):
+    spaces become underscores, a leading ``...File:`` head is cut,
+    http(s) names pass through unchanged; otherwise
+    ``base/h/h2/name`` where h/h2 are the first 1/2 hex chars of
+    md5(name) — the thumb variant inserts ``thumb/`` and appends
+    ``/{size}px-name``.  Pure column expression, SQL-reproducible."""
+    n = F.regexp_replace(name, " ", "_")
+    n = F.regexp_replace(n, r"^.*?File:", "")
+    h = F.md5(n)
+    base = F.lit("http://upload.wikimedia.org/wikipedia/commons/")
+    sep = F.lit("/")
+    if thumb:
+        url = F.concat(
+            base, F.lit("thumb/"), h.substr(1, 1), sep, h.substr(1, 2), sep,
+            n, sep, F.lit(f"{int(size)}px-"), n,
+        )
+    else:
+        url = F.concat(base, h.substr(1, 1), sep, h.substr(1, 2), sep, n)
+    return F.when(n.startswith("http"), n).otherwise(url)
+
+
+def import_image_triples(
+    lines: DataFrame, col: str = "value", order_col: str | None = None
+) -> DataFrame:
+    """``importImageTripels`` / ``importWordnetImages`` line scan
+    (src/import.cpp:147-267): each line is ``title <skipped> image``
+    (``sscanf("%s %*s %s")``); only the FIRST image per title is kept
+    (the reference's ``lastTitle`` skip over a title-sorted file) and
+    the triple is (abstract(title), wiki_image, abstract(image)).
+
+    Distributed first-wins: ``min_by(image, order)`` per title — one
+    map-side-combinable aggregation, no window.  ``order_col`` names
+    the line-number column; without one, input order is approximated
+    with ``monotonically_increasing_id`` (deterministic only for a
+    single ordered source, which is what a file scan gives).
+    """
+    from netbase_spark.normalize import norm_name_col
+    from netbase_spark.operators.mutate import rel_id_for
+
+    c = F.col(col)
+    toks = F.split(F.trim(c), r"\s+")
+    ordc = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    parsed = lines.select(
+        norm_name_col(F.get(toks, 0)).alias("subj"),
+        norm_name_col(F.get(toks, 2)).alias("obj"),
+        ordc.alias("_ord"),
+    ).where(
+        F.col("subj").isNotNull()
+        & F.col("obj").isNotNull()
+        & (F.length("subj") > 0)
+        & (F.length("obj") > 0)
+    )
+    first = parsed.groupBy("subj").agg(F.min_by("obj", "_ord").alias("obj"))
+    return first.select(
+        "subj",
+        F.lit(rel_id_for("wiki image")).alias("rel"),
+        "obj",
+    )

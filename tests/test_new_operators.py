@@ -497,3 +497,46 @@ def test_get_new_allocates_fresh_ids(spark):
     )
     got = sorted(r["allocated"] for r in get_new_names(t, names).collect())
     assert got == ["berlin~3", "berlin~4", "paris"]
+
+
+def test_format_image_scheme(spark):
+    """formatImage (src/netbase.cpp:2455-2467): space->underscore,
+    File: head cut, http passthrough, md5 h/h2 path, thumb variant."""
+    import hashlib
+
+    from netbase_spark.operators.media import format_image
+
+    df = spark.createDataFrame(
+        [("Blue fin.jpg",), ("Image:File:Tuna.png",), ("http://x/y.jpg",)],
+        "name string",
+    )
+    got = {
+        r["name"]: (r["u"], r["t"])
+        for r in df.select(
+            "name",
+            format_image(F.col("name")).alias("u"),
+            format_image(F.col("name"), size=120, thumb=True).alias("t"),
+        ).collect()
+    }
+    h = hashlib.md5(b"Blue_fin.jpg").hexdigest()
+    base = "http://upload.wikimedia.org/wikipedia/commons/"
+    assert got["Blue fin.jpg"][0] == f"{base}{h[0]}/{h[:2]}/Blue_fin.jpg"
+    assert got["Blue fin.jpg"][1] == (
+        f"{base}thumb/{h[0]}/{h[:2]}/Blue_fin.jpg/120px-Blue_fin.jpg"
+    )
+    h2 = hashlib.md5(b"Tuna.png").hexdigest()
+    assert got["Image:File:Tuna.png"][0] == f"{base}{h2[0]}/{h2[:2]}/Tuna.png"
+    assert got["http://x/y.jpg"][0] == "http://x/y.jpg"
+
+
+def test_import_image_triples_first_wins(spark):
+    """importImageTripels lastTitle skip (src/import.cpp:243-245):
+    only the first image per title imports."""
+    from netbase_spark.operators.media import import_image_triples
+
+    lines = spark.createDataFrame(
+        [("Tuna m1 a.jpg", 1), ("Tuna m2 b.jpg", 2), ("Eel m3 c.jpg", 3)],
+        "value string, nr int",
+    )
+    got = {r["subj"]: r["obj"] for r in import_image_triples(lines, order_col="nr").collect()}
+    assert got == {"tuna": "a.jpg", "eel": "c.jpg"}
