@@ -236,3 +236,25 @@ def parse_yago_lines(
 
         out = remap_ids(out, synset_map, ("subj", "obj"))
     return out
+
+
+_FB_MEDIA_EXT = r"\.(svg|png|PNG|jpg|JPG|gif|bmp)$"
+
+
+def fix_freebase_name(c: Column) -> Column:
+    """``fixFreebaseName`` (src/import.cpp:1234-1253): ``fixYagoName``
+    first; http names and media/3-char-file endings pass through;
+    otherwise the dotted freebase namespace is stripped right-to-left —
+    cut at the last '.' preceded by a non-digit (version numbers never
+    cut) or at a '#' fragment, skipping exact ``.topic`` suffixes:
+    "organization.organization.parent" -> "parent".  The companion
+    ``freebaseHash`` shared-memory key map (import.cpp:1254-1267) is
+    obviated here — string node ids ARE the keys."""
+    stripped = F.regexp_replace(c, r"^<|>$", "")
+    base = F.regexp_replace(stripped, _HEADS, "")
+    ext = base.rlike(_FB_MEDIA_EXT) | base.rlike(r"^.{2,}\.[^.]{3}$")
+    t = F.regexp_replace(base, r"(\.topic)+$", "")
+    seg = F.regexp_extract(t, r"^.*[:-~]\.([^#]*)$", 1)
+    frag = F.regexp_extract(t, r"#([^#]*)$", 1)
+    cut = F.when(seg != "", seg).when(frag != "", frag).otherwise(t)
+    return F.when(base.startswith("http") | ext, base).otherwise(cut)

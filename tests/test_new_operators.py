@@ -540,3 +540,26 @@ def test_import_image_triples_first_wins(spark):
     )
     got = {r["subj"]: r["obj"] for r in import_image_triples(lines, order_col="nr").collect()}
     assert got == {"tuna": "a.jpg", "eel": "c.jpg"}
+
+
+def test_fix_freebase_name(spark):
+    """fixFreebaseName (src/import.cpp:1234-1253): namespace strip
+    right-to-left, .topic skip, digit guard, file/http passthrough,
+    # fragment cut."""
+    from netbase_spark.sources.yago import fix_freebase_name
+
+    cases = {
+        "organization.organization.parent": "parent",
+        "<music.artist.topic>": "artist",
+        "base#fragment": "fragment",
+        "v3.2": "v3.2",
+        "Foo_bar.jpg": "Foo_bar.jpg",
+        "http://x/a.b": "http://x/a.b",
+        "plain": "plain",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "k string")
+    got = {
+        r["k"]: r["v"]
+        for r in df.select("k", fix_freebase_name(F.col("k")).alias("v")).collect()
+    }
+    assert got == cases
