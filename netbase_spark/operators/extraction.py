@@ -94,3 +94,31 @@ def dissect_triples(labels: DataFrame, german: bool = False) -> DataFrame:
         .agg(F.min("rule").alias("rule"))
         .withColumn("doc_id", F.lit(None).cast("string"))
     )
+
+
+def collect_instances(triples: DataFrame) -> DataFrame:
+    """``collectInstances`` rebuild (src/init.cpp:504-524; console
+    ``:ci``): re-derive the (abstract, Instance, node) edge for every
+    node whose id is not its own abstract form (normalized name, any
+    ``~ordinal`` allocation suffix cut) and upsert — the global
+    abstract-hash rebuild, idempotent over an existing graph.  One
+    distinct over the node set + the upsert's keyed shuffle; no
+    driver-side pass."""
+    from netbase_spark.operators.mutate import upsert_triples
+    from netbase_spark.relations import INSTANCE
+
+    nodes = (
+        triples.select(F.col("subj").alias("node"))
+        .unionByName(triples.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    abstract = norm_name_col(F.regexp_replace(F.col("node"), r"~\d+$", ""))
+    edges = nodes.select(
+        abstract.alias("subj"),
+        F.lit(INSTANCE).alias("rel"),
+        F.col("node").alias("obj"),
+        F.lit("collect").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    ).where((F.length("subj") > 0) & (F.col("subj") != F.col("obj")))
+    cols = triples.columns
+    return upsert_triples(triples, edges.select(*cols))

@@ -659,3 +659,19 @@ def page(df: DataFrame, order_cols: list, start: int, hits_per_page: int) -> Dat
     (``q.start/hitsPerPage``).  Spark 3.4+ offset is a real operator —
     the sort is the only shuffle."""
     return df.orderBy(*order_cols).offset(start).limit(hits_per_page)
+
+
+def delete_statement(
+    triples: DataFrame, subj: str, rel: int, obj: str
+) -> DataFrame:
+    """``deleteStatement`` (src/netbase.cpp:1817-1840): remove ONE
+    statement by its (subj, rel, obj) key — the chain-splice is a
+    pushdown-friendly filter here; `delete_node` is the analog of
+    ``deleteStatements(n)`` (every statement touching the node)."""
+    return triples.where(
+        ~(
+            (F.col("subj") == subj)
+            & (F.col("rel") == F.lit(rel))
+            & (F.col("obj") == obj)
+        )
+    )

@@ -563,3 +563,44 @@ def test_fix_freebase_name(spark):
         for r in df.select("k", fix_freebase_name(F.col("k")).alias("v")).collect()
     }
     assert got == cases
+
+
+def test_collect_instances_rebuild(spark):
+    """collectInstances (src/init.cpp:504-524): global abstract-hash
+    rebuild adds the (normalized name, Instance, node) edge for every
+    node that differs from its abstract form; idempotent upsert."""
+    from netbase_spark.operators.extraction import collect_instances
+    from netbase_spark.relations import INSTANCE
+
+    triples = spark.createDataFrame(
+        [
+            ("Berlin~2", 7, "city", "seed", None),
+            ("paris", 7, "city", "seed", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    out = collect_instances(triples)
+    inst = {
+        (r["subj"], r["obj"])
+        for r in out.where(F.col("rel") == INSTANCE).collect()
+    }
+    # Berlin~2 abstracts to "berlin" (suffix cut + normalize); paris and
+    # city are already their own abstract form -> no self edge.
+    assert inst == {("berlin", "Berlin~2")}
+    # Idempotent: a second rebuild adds nothing.
+    again = collect_instances(out)
+    assert again.count() == out.count()
+
+
+def test_delete_statement_single_key(spark):
+    """deleteStatement (src/netbase.cpp:1817-1840): removes exactly the
+    one keyed statement, leaving other edges of both nodes intact."""
+    from netbase_spark.operators.query_ops import delete_statement
+
+    triples = spark.createDataFrame(
+        [("a", 1, "b", "r", None), ("a", 1, "c", "r", None), ("a", 2, "b", "r", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    out = delete_statement(triples, "a", 1, "b")
+    left = {(r["subj"], r["rel"], r["obj"]) for r in out.collect()}
+    assert left == {("a", 1, "c"), ("a", 2, "b")}
