@@ -1105,12 +1105,66 @@ ORACLE_IMAGE_TRIPLES = f"""
 """
 
 
+
+# ---------------------------------------------------------------------------
+# collectInstances rebuild
+# ---------------------------------------------------------------------------
+
+
+def q_collect_instances(spark, sf_dir):
+    """``collectInstances`` global rebuild (src/init.cpp:504-524;
+    console ``:ci``): every node whose id differs from its abstract
+    form (normalized name, ``~ordinal`` allocation suffix cut) gains an
+    (abstract, Instance, node) edge; idempotent upsert over the
+    existing graph."""
+    from netbase_spark.operators.extraction import collect_instances
+
+    customer = _t(spark, sf_dir, "customer")
+    triples = customer.where(F.col("c_custkey") <= 300).select(
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("~2"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("subj"),
+        F.lit(TYPE).alias("rel"),
+        F.col("c_mktsegment").alias("obj"),
+        F.lit("base").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    return collect_instances(triples).select("subj", "rel", "obj", "rule")
+
+
+_ABSTRACT_SQL = NORM_SQL.format(c="regexp_replace(node, '~\\d+$', '')")
+
+ORACLE_COLLECT_INSTANCES = f"""
+    WITH base AS (
+        SELECT CASE WHEN c_custkey % 3 = 0 THEN c_name || '~2' ELSE c_name END AS subj,
+               CAST(-3 AS INT) AS rel, c_mktsegment AS obj, 'base' AS rule
+        FROM customer WHERE c_custkey <= 300
+    ), nodes AS (
+        SELECT subj AS node FROM base UNION SELECT obj FROM base
+    ), edges AS (
+        SELECT {_ABSTRACT_SQL} AS subj,
+               CAST(-4 AS INT) AS rel, node AS obj, 'collect' AS rule
+        FROM nodes
+    )
+    SELECT subj, rel, obj, rule FROM base
+    UNION ALL
+    SELECT subj, rel, obj, rule FROM edges
+    WHERE length(subj) > 0 AND subj != obj
+      AND NOT EXISTS (
+          SELECT 1 FROM base b
+          WHERE b.subj = edges.subj AND b.rel = edges.rel AND b.obj = edges.obj
+      )
+"""
+
 EXT2_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "singleton_nodes": q_singleton_nodes,
     "getnew_alloc": q_getnew_alloc,
     "statement_nr": q_statement_nr,
     "image_triples": q_image_triples,
+    "collect_instances": q_collect_instances,
     "pattern_semantic": q_pattern_semantic,
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
@@ -1134,6 +1188,7 @@ EXT2_ORACLES = {
     "getnew_alloc": ORACLE_GETNEW,
     "statement_nr": ORACLE_STATEMENT_NR,
     "image_triples": ORACLE_IMAGE_TRIPLES,
+    "collect_instances": ORACLE_COLLECT_INSTANCES,
     "pattern_semantic": ORACLE_PATTERN_SEMANTIC,
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,
