@@ -1158,6 +1158,154 @@ ORACLE_COLLECT_INSTANCES = f"""
       )
 """
 
+
+# ---------------------------------------------------------------------------
+# rename cascade / update / gazetteer expansion / findMatch bare term
+# ---------------------------------------------------------------------------
+
+
+def q_rename_cascade(spark, sf_dir):
+    """``setLabel``/``setName`` rename cascade (src/netbase.cpp:
+    2385-2427): renamed entities feed the alias-table rebuild; the
+    rename itself is one broadcast left join."""
+    from netbase_spark.operators.gazetteer import rename_nodes
+
+    nation = _t(spark, sf_dir, "nation")
+    entities = nation.select(
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("name")
+    )
+    renames = nation.where(F.col("n_nationkey") % 5 == 0).select(
+        F.col("n_nationkey").alias("key"),
+        F.concat(F.lower("n_name"), F.lit(" renamed")).alias("new_name"),
+    )
+    return rename_nodes(entities, renames).select("key", "name")
+
+
+ORACLE_RENAME = """
+    SELECT n_nationkey AS key,
+           CASE WHEN n_nationkey % 5 = 0 THEN lower(n_name) || ' renamed'
+                ELSE n_name END AS name
+    FROM nation
+"""
+
+
+def q_update_field(spark, sf_dir):
+    """``update(query)`` (src/query.cpp:1824-1843): SET status =
+    'Blocked' for every negative-balance supplier — anti-join drop of
+    the old single-valued rows + union insert."""
+    from netbase_spark.operators.mutate import rel_id_for, update_statements
+
+    supplier = _t(spark, sf_dir, "supplier")
+    triples = supplier.select(
+        _sk("s_suppkey", "S").alias("subj"),
+        F.lit(rel_id_for("status")).alias("rel"),
+        F.lit("active").alias("obj"),
+        F.lit("base").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    targets = (
+        supplier.where(F.col("s_acctbal") < 0)
+        .select(_sk("s_suppkey", "S").alias("node"))
+        .distinct()
+    )
+    out = update_statements(triples, targets, "status", "Blocked")
+    return out.select("subj", "rel", "obj", "rule")
+
+
+_STATUS_REL = MD5_REL_SQL.format(name="'status'")
+
+ORACLE_UPDATE = f"""
+    WITH targets AS (
+        SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj, {_STATUS_REL} AS rel,
+           'active' AS obj, 'base' AS rule
+    FROM supplier
+    WHERE 'S' || CAST(s_suppkey AS VARCHAR) NOT IN (SELECT node FROM targets)
+    UNION ALL
+    SELECT node, {_STATUS_REL}, 'blocked', 'update' FROM targets
+"""
+
+
+def q_prefix_aliases(spark, sf_dir):
+    """``addSubword``/``addSubCategories`` gazetteer expansion
+    (src/import.cpp:740-802): 2-word prefixes of multi-word part names
+    + per-segment rows of '/'-joined category paths."""
+    from netbase_spark.operators.gazetteer import (
+        category_alias_rows,
+        prefix_alias_rows,
+    )
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 2000)
+    labels = part.select(
+        F.col("p_name").alias("label"), _sk("p_partkey", "P").alias("key")
+    )
+    pref = prefix_alias_rows(labels, k=1)
+    cats = category_alias_rows(
+        part.select(
+            F.concat_ws("/", "p_type", "p_brand").alias("label"),
+            _sk("p_partkey", "P").alias("key"),
+        )
+    )
+    return pref.unionByName(cats).select("name_norm", "key", "source")
+
+
+_NN_PART = NORM_SQL.format(c="p_name")
+_NN_SEG = NORM_SQL.format(c="seg")
+
+ORACLE_PREFIX_ALIASES = f"""
+    WITH lbl AS (
+        SELECT {_NN_PART} AS nn, 'P' || CAST(p_partkey AS VARCHAR) AS key
+        FROM part WHERE p_partkey <= 2000
+    )
+    SELECT DISTINCT array_to_string(list_slice(string_split(nn, ' '), 1, 1), ' ')
+               AS name_norm,
+           key, 'prefix' AS source
+    FROM lbl
+    WHERE len(string_split(nn, ' ')) > 1
+      AND length(array_to_string(list_slice(string_split(nn, ' '), 1, 1), ' ')) > 0
+    UNION ALL
+    SELECT DISTINCT {_NN_SEG} AS name_norm, key, 'category' AS source
+    FROM (
+        SELECT unnest(string_split(p_type || '/' || p_brand, '/')) AS seg,
+               'P' || CAST(p_partkey AS VARCHAR) AS key
+        FROM part WHERE p_partkey <= 2000
+    )
+    WHERE length({_NN_SEG}) > 0
+"""
+
+
+def q_findmatch_bare(spark, sf_dir):
+    """``findMatch`` bare where-term ("Karin with Rufnummer",
+    src/query.cpp:1506-1533; testSqlDe src/tests.cpp:1475-1482): keep
+    the instances that HAVE the property, projected wide."""
+    from netbase_spark.functions.query_lang import run_graph_query
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import INSTANCE
+
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    inst = customer.select(
+        F.lit("customer").alias("subj"),
+        F.lit(INSTANCE).alias("rel"),
+        _sk("c_custkey", "C").alias("obj"),
+    )
+    phones = customer.where(F.col("c_custkey") % 3 == 0).select(
+        _sk("c_custkey", "C").alias("subj"),
+        F.lit(rel_id_for("segment")).alias("rel"),
+        F.col("c_mktsegment").alias("obj"),
+    )
+    out = run_graph_query("customer with segment", inst.unionByName(phones))
+    return out.select("name", "segment")
+
+
+ORACLE_FINDMATCH = """
+    SELECT 'C' || CAST(c_custkey AS VARCHAR) AS name, MIN(c_mktsegment) AS segment
+    FROM customer
+    WHERE c_custkey <= 500 AND c_custkey % 3 = 0
+    GROUP BY 1
+"""
+
 EXT2_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "singleton_nodes": q_singleton_nodes,
@@ -1165,6 +1313,10 @@ EXT2_QUERIES = {
     "statement_nr": q_statement_nr,
     "image_triples": q_image_triples,
     "collect_instances": q_collect_instances,
+    "rename_cascade": q_rename_cascade,
+    "update_field": q_update_field,
+    "prefix_aliases": q_prefix_aliases,
+    "findmatch_bare": q_findmatch_bare,
     "pattern_semantic": q_pattern_semantic,
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
@@ -1189,6 +1341,10 @@ EXT2_ORACLES = {
     "statement_nr": ORACLE_STATEMENT_NR,
     "image_triples": ORACLE_IMAGE_TRIPLES,
     "collect_instances": ORACLE_COLLECT_INSTANCES,
+    "rename_cascade": ORACLE_RENAME,
+    "update_field": ORACLE_UPDATE,
+    "prefix_aliases": ORACLE_PREFIX_ALIASES,
+    "findmatch_bare": ORACLE_FINDMATCH,
     "pattern_semantic": ORACLE_PATTERN_SEMANTIC,
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,
