@@ -76,6 +76,11 @@ HEADLINE = [
     "reify_ids",
     "merge_all",
     "seo_conflict",
+    "collect_instances",
+    "rename_cascade",
+    "update_field",
+    "prefix_aliases",
+    "findmatch_bare",
 ]
 
 

@@ -199,3 +199,33 @@ def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         .where(F.col("subj") != F.col("obj"))
         .dropDuplicates(["subj", "rel", "obj"])
     )
+
+
+def manual_merge(triples: DataFrame, pairs: DataFrame) -> DataFrame:
+    """``:merge a b`` console command (src/console.cpp:397-407;
+    ``mergeNode`` src/netbase.cpp:2610-2638): a corrections table
+    ``pairs(target, node)`` — each node merges INTO its target (the
+    reference keeps the target's id, unlike the min-rep convention the
+    sameAs CC uses), chains resolving transitively (b->a then a->c ends
+    b at c).  Corrections tables are human-curated and tiny, so the
+    chain resolve runs on the driver; the rewrite is the same broadcast
+    three-join as every other merge."""
+    spark = triples.sparkSession
+    rep: dict = {}
+
+    def find(x):
+        while x in rep:
+            x = rep[x]
+        return x
+
+    for t, n in pairs.select("target", "node").collect():
+        if t is None or n is None:
+            continue
+        ft, fn = find(t), find(n)
+        if fn != ft:
+            rep[fn] = ft
+    rows = [(n, find(n)) for n in rep]
+    if not rows:
+        return triples
+    mapping = spark.createDataFrame(rows, "node string, rep string")
+    return rewrite_triples(triples, mapping)

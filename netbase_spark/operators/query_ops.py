@@ -675,3 +675,55 @@ def delete_statement(
             & (F.col("obj") == obj)
         )
     )
+
+
+def is_a_nodes(
+    triples: DataFrame,
+    nodes: DataFrame,
+    to: str,
+    closure: DataFrame | None = None,
+) -> DataFrame:
+    """``isA(fro, to)`` wrapper (src/netbase.cpp:2344-2363), set-form:
+    the subset of ``nodes(node)`` that are-a ``to`` via any of
+
+    1. subsumption — node == to or (node, to) in the isA4 closure;
+    2. predicate-as-class — some statement ``(x, to, node)`` exists
+       ("x.son=milan => milan is_a son"), predicate subsumption through
+       the ``initWikiRelations`` hierarchy included;
+    3. abstract expansion — an Instance of the node satisfies (2).
+
+    The reference's final ``findPath(fro, to, parentFilter)`` fallback
+    is the closure probe here: the materialized closure IS reachability
+    over the upward parent edges.  Three semi-joins against
+    dimension-sized right sides — no per-node recursion."""
+    from netbase_spark.normalize import norm_name
+    from netbase_spark.operators.mutate import rel_id_for, sub_predicate_ids
+
+    to_n = norm_name(to) or to
+    if closure is None:
+        closure = isa_closure(triples)
+    nodes = nodes.select("node").distinct()
+    direct = nodes.where(F.lower(F.col("node")) == to_n)
+    sub = nodes.join(
+        closure.where(F.lower(F.col("anc")) == to_n).select("node"),
+        "node",
+        "semi",
+    )
+    rels = list(sub_predicate_ids(rel_id_for(to_n)))
+    pred_hits = (
+        triples.where(F.col("rel").isin(rels))
+        .select(F.col("obj").alias("node"))
+        .distinct()
+    )
+    pred = nodes.join(pred_hits, "node", "semi")
+    inst = triples.where(F.col("rel") == INSTANCE).select(
+        F.col("subj").alias("node"), F.col("obj").alias("inst")
+    )
+    via_inst = (
+        nodes.join(inst, "node")
+        .join(pred_hits.withColumnRenamed("node", "inst"), "inst", "semi")
+        .select("node")
+    )
+    return (
+        direct.unionByName(sub).unionByName(pred).unionByName(via_inst).distinct()
+    )

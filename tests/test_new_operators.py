@@ -604,3 +604,49 @@ def test_delete_statement_single_key(spark):
     out = delete_statement(triples, "a", 1, "b")
     left = {(r["subj"], r["rel"], r["obj"]) for r in out.collect()}
     assert left == {("a", 1, "c"), ("a", 2, "b")}
+
+
+def test_is_a_predicate_as_class(spark):
+    """isA (src/netbase.cpp:2344-2363): x.son=milan => milan is_a son;
+    closure subsumption and instance expansion also answer."""
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.operators.query_ops import is_a_nodes
+    from netbase_spark.relations import INSTANCE, TYPE
+
+    t = spark.createDataFrame(
+        [
+            ("x", rel_id_for("son"), "milan", "r", None),
+            ("rex", TYPE, "dog", "r", None),
+            # abstract 'offspring' has instance milan
+            ("offspring", INSTANCE, "milan", "r", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    nodes = spark.createDataFrame(
+        [("milan",), ("rex",), ("dog",), ("offspring",)], "node string"
+    )
+    got = lambda to: {r["node"] for r in is_a_nodes(t, nodes, to).collect()}
+    assert got("son") == {"milan", "offspring"}  # direct + via instance
+    assert got("dog") == {"rex", "dog"}  # closure + identity
+    assert got("cat") == set()
+
+
+def test_manual_merge_target_wins(spark):
+    """:merge a b (src/console.cpp:397-407): node merges INTO target
+    (target id survives, unlike min-rep CC); chains resolve."""
+    from netbase_spark.operators.canonicalize import manual_merge
+
+    t = spark.createDataFrame(
+        [
+            ("zeb", 1, "v1", "r", None),
+            ("alpha", 2, "v2", "r", None),
+            ("mid", 3, "zeb", "r", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    # alpha -> zeb (zeb is target), then zeb -> omega: alpha ends at omega
+    pairs = spark.createDataFrame(
+        [("zeb", "alpha"), ("omega", "zeb")], "target string, node string"
+    )
+    out = {(r["subj"], r["rel"], r["obj"]) for r in manual_merge(t, pairs).collect()}
+    assert out == {("omega", 1, "v1"), ("omega", 2, "v2"), ("mid", 3, "omega")}
