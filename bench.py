@@ -81,6 +81,7 @@ HEADLINE = [
     "update_field",
     "prefix_aliases",
     "findmatch_bare",
+    "dup_label_edges",
 ]
 
 

@@ -1306,6 +1306,73 @@ ORACLE_FINDMATCH = """
     GROUP BY 1
 """
 
+
+def q_dup_label_edges(spark, sf_dir):
+    """``importLabels`` duplicate-label conflict (src/import.cpp:
+    1549-1560): later different spellings of a key link to its primary
+    label via (primary, Label, alt) statements — the edges the sameAs
+    CC consumes."""
+    from netbase_spark.operators.gazetteer import duplicate_label_edges
+
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    key = _sk("c_custkey", "C")
+    labels = (
+        customer.select(
+            key.alias("key"),
+            F.col("c_name").alias("label"),
+            F.lit("label").alias("label_type"),
+            F.lit("en").alias("lang"),
+        )
+        .unionByName(
+            customer.select(
+                key.alias("key"),
+                F.col("c_mktsegment").alias("label"),
+                F.lit("altLabel").alias("label_type"),
+                F.lit("en").alias("lang"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                key.alias("key"),
+                F.concat(F.col("c_name"), F.lit(" jr")).alias("label"),
+                F.lit("altLabel").alias("label_type"),
+                F.lit("en").alias("lang"),
+            )
+        )
+    )
+    return duplicate_label_edges(labels).select("subj", "rel", "obj", "rule")
+
+
+_NN_CNAME = NORM_SQL.format(c="c_name")
+_NN_SEG2 = NORM_SQL.format(c="c_mktsegment")
+_NN_JR = NORM_SQL.format(c="c_name || ' jr'")
+
+ORACLE_DUP_LABELS = f"""
+    WITH lbl AS (
+        SELECT 'C' || CAST(c_custkey AS VARCHAR) AS key, {_NN_CNAME} AS nn,
+               0 AS pri, 'en' AS lang
+        FROM customer WHERE c_custkey <= 400
+        UNION ALL
+        SELECT 'C' || CAST(c_custkey AS VARCHAR), {_NN_SEG2}, 1, 'en'
+        FROM customer WHERE c_custkey <= 400
+        UNION ALL
+        SELECT 'C' || CAST(c_custkey AS VARCHAR), {_NN_JR}, 1, 'en'
+        FROM customer WHERE c_custkey <= 400
+    ), g AS (
+        SELECT key, nn, MIN(pri) AS pri, MIN(lang) AS lang
+        FROM lbl WHERE length(nn) > 0 GROUP BY key, nn
+    ), r AS (
+        SELECT key, nn, row_number() OVER (
+            PARTITION BY key ORDER BY pri, lang, nn) AS rk
+        FROM g
+    ), p AS (
+        SELECT key, nn AS prim FROM r WHERE rk = 1
+    )
+    SELECT p.prim AS subj, CAST(-38 AS INT) AS rel, r.nn AS obj,
+           'dup_label' AS rule
+    FROM r JOIN p USING (key) WHERE r.rk > 1 AND r.nn != p.prim
+"""
+
 EXT2_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "singleton_nodes": q_singleton_nodes,
@@ -1317,6 +1384,7 @@ EXT2_QUERIES = {
     "update_field": q_update_field,
     "prefix_aliases": q_prefix_aliases,
     "findmatch_bare": q_findmatch_bare,
+    "dup_label_edges": q_dup_label_edges,
     "pattern_semantic": q_pattern_semantic,
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
@@ -1345,6 +1413,7 @@ EXT2_ORACLES = {
     "update_field": ORACLE_UPDATE,
     "prefix_aliases": ORACLE_PREFIX_ALIASES,
     "findmatch_bare": ORACLE_FINDMATCH,
+    "dup_label_edges": ORACLE_DUP_LABELS,
     "pattern_semantic": ORACLE_PATTERN_SEMANTIC,
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,

@@ -74,3 +74,26 @@ def seo_slug_col(col):
     c = F.regexp_replace(c, r"[^a-z0-9 ]+", "")
     c = F.regexp_replace(F.trim(c), r" +", "-")
     return c
+
+
+def clamp_label_col(col, limit: int = 50, hard: int = 100):
+    """``importLabels`` length clamp (src/import.cpp:1516-1528): labels
+    longer than ``limit`` chars are cut at the 6th space / first '(' /
+    first ':' — whichever the left-to-right scan hits first — with
+    '...' appended; if no cut point exists, hard-cut at ``hard`` chars
+    (the reference's ``label[100]=0``, no ellipsis)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(col, " ")
+    p6 = F.when(
+        F.size(toks) > 6,
+        F.length(F.array_join(F.slice(toks, 1, 6), " ")) + 1,
+    )
+    pp = F.when(F.locate("(", col) > 0, F.locate("(", col))
+    pc = F.when(F.locate(":", col) > 0, F.locate(":", col))
+    cut = F.least(p6, pp, pc)
+    clamped = F.when(
+        cut.isNotNull(),
+        F.concat(F.substring(col, F.lit(1), cut - 1), F.lit("...")),
+    ).otherwise(F.substring(col, 1, hard))
+    return F.when(F.length(col) > limit, clamped).otherwise(col)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from netbase_spark.normalize import norm_name_col, seo_slug_col
+from netbase_spark.normalize import clamp_label_col, norm_name_col, seo_slug_col
 
 
 def build_alias_table(labels: DataFrame, with_seo: bool = True) -> DataFrame:
@@ -28,6 +28,7 @@ def build_alias_table(labels: DataFrame, with_seo: bool = True) -> DataFrame:
     """
     prior = labels.groupBy("key").agg(F.count(F.lit(1)).alias("prior"))
 
+    labels = labels.withColumn("label", clamp_label_col(F.col("label")))
     base = labels.select(
         norm_name_col(F.col("label")).alias("name_norm"),
         "key",
@@ -148,3 +149,49 @@ def alias_keys_local(aliases: DataFrame) -> list[str]:
     Aho-Corasick automaton / bloom-filter pre-pass; the collect here is
     bounded by gazetteer size, never by corpus size."""
     return [r[0] for r in aliases.select("name_norm").distinct().collect()]
+
+
+def duplicate_label_edges(labels: DataFrame) -> DataFrame:
+    """``importLabels`` duplicate-label conflict (src/import.cpp:
+    1549-1560): a key that already has a primary label does NOT get
+    overwritten by a later different spelling — instead a
+    (primary, Label, alt) statement links the two forms.  Label is a
+    sameAs-class relation, so conflicting spellings merge in the CC
+    pass downstream.
+
+    Primary choice replaces the reference's file order with a
+    deterministic one: 'label'-typed rows first, then (lang, name)
+    order.  One groupBy + one window over the label table — dimension
+    scale."""
+    from netbase_spark.relations import LABEL
+
+    n = (
+        labels.select(
+            "key",
+            norm_name_col(clamp_label_col(F.col("label"))).alias("nn"),
+            F.when(F.col("label_type") == "label", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("pri"),
+            "lang",
+        )
+        .where(F.length("nn") > 0)
+        .groupBy("key", "nn")
+        .agg(F.min("pri").alias("pri"), F.min("lang").alias("lang"))
+    )
+    w = Window.partitionBy("key").orderBy("pri", "lang", "nn")
+    ranked = n.withColumn("_rk", F.row_number().over(w))
+    prim = ranked.where(F.col("_rk") == 1).select(
+        "key", F.col("nn").alias("_primary")
+    )
+    return (
+        ranked.where(F.col("_rk") > 1)
+        .join(prim, "key")
+        .where(F.col("nn") != F.col("_primary"))
+        .select(
+            F.col("_primary").alias("subj"),
+            F.lit(LABEL).alias("rel"),
+            F.col("nn").alias("obj"),
+            F.lit("dup_label").alias("rule"),
+            F.lit(None).cast("string").alias("doc_id"),
+        )
+    )

@@ -650,3 +650,28 @@ def test_manual_merge_target_wins(spark):
     )
     out = {(r["subj"], r["rel"], r["obj"]) for r in manual_merge(t, pairs).collect()}
     assert out == {("omega", 1, "v1"), ("omega", 2, "v2"), ("mid", 3, "omega")}
+
+
+def test_duplicate_label_edges(spark):
+    """importLabels duplicate-label conflict (src/import.cpp:1549-1560):
+    later different spellings link to the primary via Label edges."""
+    from netbase_spark.operators.gazetteer import duplicate_label_edges
+    from netbase_spark.relations import LABEL
+
+    labels = spark.createDataFrame(
+        [
+            ("Q1", "Strassenverkehr", "altLabel", "de"),
+            ("Q1", "Straßenverkehr", "label", "de"),
+            ("Q1", "Road traffic", "altLabel", "en"),
+            ("Q2", "Only one", "label", "en"),
+        ],
+        "key string, label string, label_type string, lang string",
+    )
+    got = {
+        (r["subj"], r["rel"], r["obj"])
+        for r in duplicate_label_edges(labels).collect()
+    }
+    assert got == {
+        ("straßenverkehr", LABEL, "road traffic"),
+        ("straßenverkehr", LABEL, "strassenverkehr"),
+    }

@@ -43,3 +43,30 @@ def test_seo_slug_python_equals_column(spark, samples):
     }
     for s in samples:
         assert (got[s] or "") == (seo_slug(s) or ""), repr(s)
+
+
+def test_clamp_label_col(spark):
+    """importLabels clamp (src/import.cpp:1516-1528): >50 chars cut at
+    6th space / first '(' / ':' with '...', else hard cut at 100."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.normalize import clamp_label_col
+
+    long_spaces = "one two three four five six seven eight nine ten eleven"
+    long_paren = "x" * 30 + "(rest of this very long parenthetical here)"
+    long_colon = "prefixprefixprefixprefix: the rest goes on and onnnnn"
+    no_cut = "a" * 120
+    short = "short label (with paren)"
+    cases = [long_spaces, long_paren, long_colon, no_cut, short]
+    df = spark.createDataFrame([(c,) for c in cases], "label string")
+    got = {
+        r["label"]: r["out"]
+        for r in df.select(
+            "label", clamp_label_col(F.col("label")).alias("out")
+        ).collect()
+    }
+    assert got[long_spaces] == "one two three four five six..."
+    assert got[long_paren] == "x" * 30 + "..."
+    assert got[long_colon] == "prefixprefixprefixprefix..."
+    assert got[no_cut] == "a" * 100
+    assert got[short] == short  # <= 50 chars untouched
