@@ -529,3 +529,88 @@ def test_instance_gap_ordering(spark):
     by_nr = {r["nr"]: r["rel"] for r in statement_nr(t).collect()}
     assert by_nr[1] != INSTANCE and by_nr[2] != INSTANCE
     assert by_nr[4] == INSTANCE  # the gap: instances last
+
+
+def test_property_query_geonames(spark):
+    """testPropertyQuery (src/tests.cpp:1004-1033): cities1000 importCsv
+    with include-list projection, then has(a(Samangan), population,
+    47823) answered as a property question."""
+    from netbase_spark.functions.query_lang import property_question
+    from netbase_spark.operators.mutate import rel_id_col
+    from netbase_spark.sources.tabular import melt
+
+    cities = spark.createDataFrame(
+        [
+            ("Samangan", 47823.0, 36.26, 68.01),
+            ("Sheberghan", 55641.0, 36.66, 65.75),
+            ("Hasloh", 3460.0, 53.69, 9.91),
+        ],
+        "asciiname string, population double, latitude double, longitude double",
+    )
+    long = melt(
+        cities,
+        F.col("asciiname"),
+        ["population", "latitude", "longitude"],
+        included=["population", "latitude"],
+    )
+    triples = long.select(
+        F.lower("subj").alias("subj"),
+        rel_id_col(F.col("pred")).alias("rel"),
+        F.col("obj_text").alias("obj"),
+        F.lit("csv").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    got = {
+        (r["name"], r["value"])
+        for r in property_question("population of Samangan", triples).collect()
+    }
+    assert got == {("samangan", "47823.0")}
+    # longitude was excluded by the include-list projection
+    assert (
+        property_question("longitude of Samangan", triples).count() == 0
+    )
+
+
+def test_comparison_query_and_range(spark):
+    """testComparisonQuery (src/tests.cpp:1036-1089): population
+    Less/Greater filters over city instances, and the AND-range
+    (>1139 and <1141) narrowing to the pop=1140 node."""
+    from netbase_spark.functions.query_lang import run_graph_query
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import INSTANCE
+
+    rel = rel_id_for("population")
+    rows = [("city", INSTANCE, f"c{i}") for i in range(30)] + [
+        (f"c{i}", rel, str(1100 + 5 * i)) for i in range(30)
+    ]
+    t = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    less = run_graph_query("select * from city where population<1200", t)
+    assert less.count() > 10  # check(nv.size() > 10)
+    assert all(
+        int(r["population"]) < 1200 for r in less.collect()
+    )
+    more = run_graph_query("select * from city where population>1130", t)
+    assert all(int(r["population"]) > 1130 for r in more.collect())
+    band = run_graph_query(
+        "select * from city where population>1139 and population<1141", t
+    ).collect()
+    assert [r["population"] for r in band] == ["1140"]
+
+
+def test_query_in_handler_learn_roundtrip(spark):
+    """testQueryInHandler (src/tests.cpp:1167-1172): ':learn a.b=c'
+    then ':query a.b' answers c — the dotted learn form feeding the
+    T.P property question."""
+    from netbase_spark.functions.query_lang import property_question
+    from netbase_spark.operators.mutate import learn
+
+    empty = spark.createDataFrame(
+        [], "subj string, rel int, obj string, rule string, doc_id string"
+    )
+    sentences = spark.createDataFrame([("a.b=c",)], "sentence string")
+    triples = learn(empty, sentences)
+    got = [
+        (r["name"], r["value"])
+        for r in property_question("a.b", triples).collect()
+    ]
+    assert got == [("a", "c")]
