@@ -614,3 +614,58 @@ def test_query_in_handler_learn_roundtrip(spark):
         for r in property_question("a.b", triples).collect()
     ]
     assert got == [("a", "c")]
+
+
+def test_import_contacts(spark):
+    """testImportContacts (src/tests.cpp:655-671): underscore/space
+    abstracts coincide; 'Postleitzahl (privat)' dissects so the column
+    is-a Postleitzahl; the melted CSV answers has(AN, plz, 12167) and
+    the Greater-12166 comparison pattern."""
+    from pyspark.sql import types as T
+
+    from netbase_spark.normalize import norm_name
+    from netbase_spark.operators.extraction import dissect_triples
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.operators.query_ops import is_a_nodes
+    from netbase_spark.sources.tabular import melt
+
+    # a(Alexandra_Neumann) == a(Alexandra Neumann)
+    assert norm_name("Alexandra_Neumann") == norm_name("Alexandra Neumann")
+
+    plz_col = "Postleitzahl (privat)"
+    contacts = spark.createDataFrame(
+        [("Alexandra Neumann", "12167", "Berlin")],
+        T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField(plz_col, T.StringType()),
+                T.StructField("Stadt", T.StringType()),
+            ]
+        ),
+    )
+    long = melt(contacts, F.col("name"), [plz_col, "Stadt"])
+    triples = long.select(
+        F.lower("subj").alias("subj"),
+        F.lit(None).cast("int").alias("rel"),
+        F.col("obj_text").alias("obj"),
+        F.col("pred"),
+        F.col("obj_num"),
+    )
+    # has(the(Alexandra_Neumann), plz, a(12167))
+    plz_rows = triples.where(
+        (F.col("subj") == norm_name("Alexandra_Neumann"))
+        & (F.col("pred") == plz_col)
+    )
+    assert [r["obj"] for r in plz_rows.collect()] == ["12167"]
+    # has(..., pattern(a(Postleitzahl), Greater, a(12166)))
+    assert plz_rows.where(F.col("obj_num") > 12166).count() == 1
+
+    # dissectWord(plz); isA(plz, a(Postleitzahl)) via the paren rule
+    labels = spark.createDataFrame(
+        [("k1", plz_col, "label")], "key string, label string, label_type string"
+    )
+    d = dissect_triples(labels)
+    # dissect emits edges against the node KEY: (postleitzahl, Instance, k1)
+    nodes = spark.createDataFrame([("k1",)], "node string")
+    got = {r["node"] for r in is_a_nodes(d, nodes, "Postleitzahl").collect()}
+    assert got == {"k1"}
