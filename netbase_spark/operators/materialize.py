@@ -65,23 +65,34 @@ def reify(triples: DataFrame) -> DataFrame:
     return triples.withColumn("statement_id", sid)
 
 
-def statement_nr(triples: DataFrame) -> DataFrame:
+def statement_nr(triples: DataFrame, forced_rule: str = "forced") -> DataFrame:
     """``getStatementNr`` ordering with the instance gap
     (``addStatementToNodeWithInstanceGap``, src/netbase.cpp:686-758;
     asserted by testInstanceLogic src/tests.cpp:810-816): per subject,
     property/attribute statements rank BEFORE Instance edges — the gap
     exists so abstract-property access never walks 100k city instances
     first.  Our storage has no physical chain, so within each class the
-    deterministic (rel, obj) order stands in for insertion order.  One
-    window shuffle on subj; at scale this is only materialized for the
-    nodes a query projects, not the whole table."""
+    deterministic (rel, obj) order stands in for insertion order.
+
+    ``force_insert_at_start`` (src/netbase.cpp:686; testInsertForceStart
+    src/tests.cpp:581-596): statements tagged with ``forced_rule`` rank
+    before every other statement of their subject — the prepend flag as
+    a rule-priority class instead of physical order.  One window
+    shuffle on subj; at scale this is only materialized for the nodes a
+    query projects, not the whole table."""
     from netbase_spark.relations import INSTANCE
 
-    w = Window.partitionBy("subj").orderBy(
+    keys = [
         F.when(F.col("rel") == INSTANCE, F.lit(1)).otherwise(F.lit(0)),
         "rel",
         "obj",
-    )
+    ]
+    if forced_rule is not None and "rule" in triples.columns:
+        keys.insert(
+            0,
+            F.when(F.col("rule") == forced_rule, F.lit(0)).otherwise(F.lit(1)),
+        )
+    w = Window.partitionBy("subj").orderBy(*keys)
     return triples.withColumn("nr", F.row_number().over(w))
 
 

@@ -669,3 +669,25 @@ def test_import_contacts(spark):
     nodes = spark.createDataFrame([("k1",)], "node string")
     got = {r["node"] for r in is_a_nodes(d, nodes, "Postleitzahl").collect()}
     assert got == {"k1"}
+
+
+def test_insert_force_start(spark):
+    """testInsertForceStart (src/tests.cpp:581-596): a statement added
+    with force_insert_at_start becomes the subject's first statement,
+    even past the instance gap."""
+    from netbase_spark.operators.materialize import statement_nr
+    from netbase_spark.relations import INSTANCE, TYPE
+
+    t = spark.createDataFrame(
+        [
+            ("t", TYPE, "o", "base", None),
+            ("t", INSTANCE, "o", "base", None),
+            ("t", 9001, "o", "forced", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    got = {
+        (r["rel"], r["rule"]): r["nr"] for r in statement_nr(t).collect()
+    }
+    assert got[(9001, "forced")] == 1  # t->firstStatement == s
+    assert got[(INSTANCE, "base")] == 3  # instances still last
