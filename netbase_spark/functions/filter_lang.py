@@ -24,13 +24,21 @@ _OP_RE = re.compile(r"^\s*([\w .]+?)\s*(!=|>=|<=|=|>|<|~)\s*(.+?)\s*$")
 APPROX_PCT = 0.1  # `~` tolerance: |a-b| <= 10% of b (isAproxymately analog)
 
 
-def _leaf(expr: str) -> Column:
+def _leaf(expr: str, bare_cols: frozenset = frozenset()) -> Column:
     m = _OP_RE.match(expr)
     if not m:
-        # bare word: membership — any column mention (findMatch/findMember);
-        # here: match against the `name` column
+        # bare word: membership (findMatch/findMember, src/query.cpp:
+        # 1506-1533).  When the word is a pivoted property column
+        # (``bare_cols``), "has the property" answers — testDummyLogic's
+        # "size=11 and funny" (src/tests.cpp:377-390); a "T.P" form
+        # addresses the property of the current table's rows.  Either
+        # way the node NAME matching the word also passes.
         w = expr.strip().strip('"')
-        return F.lower(F.col("name")).contains(w.lower())
+        key = w.replace(" ", "_").split(".")[-1]
+        name_hit = F.lower(F.col("name")).contains(key.lower())
+        if key in bare_cols:
+            return F.col(key).isNotNull() | name_hit
+        return name_hit
     field, op, raw = m.groups()
     field = field.strip().replace(" ", "_")
     col = F.col(field)
@@ -95,7 +103,7 @@ def _leaf(expr: str) -> Column:
     raise ValueError(f"unsupported op {op!r}")
 
 
-def compile_filter(s: str) -> Column:
+def compile_filter(s: str, bare_cols: frozenset = frozenset()) -> Column:
     """Filter string -> one Column predicate.
 
     Split semantics follow parseFilter: " or " makes a union (|);
@@ -112,7 +120,7 @@ def compile_filter(s: str) -> Column:
             if not t:
                 continue
             neg = t.lower().startswith("not ")
-            leaf = _leaf(t[4:] if neg else t)
+            leaf = _leaf(t[4:] if neg else t, bare_cols)
             leaf = ~leaf if neg else leaf
             b = leaf if b is None else (b & leaf)
         if b is not None:

@@ -43,6 +43,9 @@ def fix_query(s: str) -> str:
     if not re.match(r"^\s*select\b", s, flags=re.I):
         s = _NL_PREFIXES.sub("", s)
         s = _WHERE_WORDS.sub(" where ", s, count=1)
+        # "that are funny" -> "where funny" (copula drop, fixQuery
+        # src/query.cpp:36-41)
+        s = re.sub(r"(\bwhere\s+)(?:are|is)\s+", r"\1", s, flags=re.I)
         if re.search(r"\s+where\s+", s, flags=re.I):
             head, tail = re.split(r"\s+where\s+", s, maxsplit=1, flags=re.I)
             s = f"select * from {head.strip()} where {tail.strip()}"
@@ -124,9 +127,12 @@ def run_graph_query(
 
     p = parse_query(q)
     keyword = p.table.replace("_", " ").lower()
+    # plural strip retry ("all testDummys" -> testDummy instances,
+    # fixQuery src/query.cpp:42-47)
+    kws = list({keyword, _singular(keyword)})
     insts = (
         triples.where(F.col("rel") == INSTANCE)
-        .where(F.lower(F.col("subj")) == keyword)
+        .where(F.lower(F.col("subj")).isin(kws))
         .select(F.col("obj").alias("node"))
         .distinct()
     )
@@ -148,6 +154,7 @@ def run_graph_query(
     ):
         bare_term = p.where.strip().strip('"').replace(" ", "_")
         preds.add(bare_term)
+    bare_cols: set[str] = set()
     if p.where and bare_term is None:
         for branch in re.split(r"\s+or\s+", p.where, flags=re.I):
             for term in re.split(r",|\s+and\s+", branch, flags=re.I):
@@ -157,6 +164,13 @@ def run_graph_query(
                 m = re.match(r"^\s*([\w .]+?)\s*(?:!=|>=|<=|=|>|<|~)", term)
                 if m:
                     preds.add(m.group(1).strip().replace(" ", "_"))
+                elif term:
+                    # bare term inside and/or: has-property semantics
+                    # (testDummyLogic "size=11 and funny",
+                    # src/tests.cpp:377-390); "T.P" addresses P
+                    key = term.strip('"').replace(" ", "_").split(".")[-1]
+                    preds.add(key)
+                    bare_cols.add(key)
     pred_rel = {
         name: (int(name) if re.fullmatch(r"-?\d+", name) else rel_id_for(name))
         for name in preds
@@ -178,7 +192,7 @@ def run_graph_query(
             cond = cond | F.col(bare_term).isNotNull()
         out = out.where(cond)
     elif p.where:
-        out = out.where(compile_filter(p.where))
+        out = out.where(compile_filter(p.where, frozenset(bare_cols)))
     if p.fields != ["*"]:
         out = out.select("name", *p.fields)
     if limit:

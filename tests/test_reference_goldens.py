@@ -691,3 +691,57 @@ def test_insert_force_start(spark):
     }
     assert got[(9001, "forced")] == 1  # t->firstStatement == s
     assert got[(INSTANCE, "base")] == 3  # instances still last
+
+
+def test_dummy_logic_query_battery(spark):
+    """testDummyLogic (src/tests.cpp:265-420): the query-form battery —
+    bare property terms alone and inside and-filters, T.P property
+    addressing, copula drop ("that are"), plural table strip — plus
+    the isA chain karsten -> CEO -> manager -> worker."""
+    from netbase_spark.functions.query_lang import run_graph_query
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.operators.query_ops import is_a_nodes
+    from netbase_spark.relations import INSTANCE, SUB_CLASS, TYPE
+
+    rows = [
+        ("testdummy", INSTANCE, "td1"),
+        ("td1", rel_id_for("size"), "11"),
+        ("td1", rel_id_for("funny"), "funny"),
+        ("testdummy", INSTANCE, "td2"),
+        ("td2", rel_id_for("size"), "11"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    cases = [
+        ("select * from testDummy where funny", ["td1"]),
+        ("select * from testDummy where size=11 and funny", ["td1"]),
+        ("select * from testDummy where size=11 and testDummy.funny", ["td1"]),
+        ("select * from testDummy where size=11 and testDummy.bunny", []),
+        ("testDummy that are funny", ["td1"]),
+        ("all testDummys", ["td1", "td2"]),
+        ("testDummy with size=11", ["td1", "td2"]),
+        ("testDummys with size=11", ["td1", "td2"]),
+    ]
+    for q, want in cases:
+        got = sorted(r["name"] for r in run_graph_query(q, t).collect())
+        assert got == want, q
+
+    # isA chain (tests.cpp:316-340): CEO Instance karsten;
+    # manager SubClass CEO; manager Type worker
+    kg = spark.createDataFrame(
+        [
+            ("ceo", INSTANCE, "karsten", "r", None),
+            ("manager", SUB_CLASS, "ceo", "r", None),
+            ("manager", TYPE, "worker", "r", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    nodes = spark.createDataFrame(
+        [("karsten",), ("ceo",)], "node string"
+    )
+    for to, want in [
+        ("CEO", {"karsten", "ceo"}),
+        ("manager", {"karsten", "ceo"}),
+        ("worker", {"karsten", "ceo"}),
+    ]:
+        got = {r["node"] for r in is_a_nodes(kg, nodes, to).collect()}
+        assert got == want, to
