@@ -85,6 +85,25 @@ HEADLINE = [
 ]
 
 
+def warmup(spark, sf_dir):
+    """Warm the paths a fresh session pays for on its first real query:
+    codegen/md5, the parquet reader, and the Python/Arrow worker pool —
+    so per-query times measure the operator, not session cold-start."""
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).select(
+        F.md5(F.col("id").cast("string"))
+    ).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    def _id(it):
+        yield from it
+
+    spark.range(100).mapInPandas(_id, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def force(df):
     """Materialize every column (count() lets Catalyst prune)."""
     df.write.format("noop").mode("overwrite").save()
@@ -127,10 +146,8 @@ def main():
     except ValueError:
         sf_val = sf
 
-    # JVM/codegen warmup outside the timed region
-    spark.range(1_000_000).select(F.md5(F.col("id").cast("string"))).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # JVM/codegen/reader/worker-pool warmup outside the timed region
+    warmup(spark, args.sf_dir)
 
     times: dict[str, float] = {}
     if not args.pipeline_only:
@@ -149,9 +166,7 @@ def main():
                     app=f"bench_local{cpus}", cpus=cpus,
                     extra={"spark.ui.showConsoleProgress": "false"},
                 )
-                spark.range(1_000_000).select(
-                    F.md5(F.col("id").cast("string"))
-                ).write.format("noop").mode("overwrite").save()
+                warmup(spark, args.sf_dir)
             t0 = time.time()
             force(qs[name](spark, args.sf_dir))
             times[name] = round(time.time() - t0, 3)
