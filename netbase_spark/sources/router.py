@@ -17,15 +17,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# geonames cities1000.txt columns (importGeoDB include/ignore lists,
-# src/import.cpp:2330-2333; geonames dump layout)
+# geonames cities1000.txt columns (layout per testCities,
+# src/tests.cpp:1277-1280)
 GEODB_COLUMNS = (
     "geonameid name asciiname alternatenames latitude longitude "
-    "feature_class feature_code country_code cc2 admin1 admin2 admin3 "
-    "admin4 population elevation dem timezone modification"
+    "featureclass featurecode countrycode cc2 admin1code admin2code "
+    "admin3code admin4code population elevation gtopo30 timezone "
+    "modificationdate"
 ).split()
-GEODB_INCLUDE = ("name", "latitude", "longitude", "feature_code",
-                 "country_code", "population", "timezone")
+# importGeoDB's include list (src/import.cpp:2330-2333); subject from
+# asciiname (nameRowNr=2)
+GEODB_INCLUDE = ("latitude", "longitude", "population", "elevation",
+                 "countrycode")
 
 
 def import_geodb(spark: SparkSession, path: str) -> DataFrame:
@@ -36,9 +39,9 @@ def import_geodb(spark: SparkSession, path: str) -> DataFrame:
     from netbase_spark.sources.tabular import melt
 
     df = spark.read.csv(path, sep="\t").toDF(*GEODB_COLUMNS)
-    value_cols = [c for c in GEODB_COLUMNS if c != "name"]
+    value_cols = [c for c in GEODB_COLUMNS if c != "asciiname"]
     return melt(
-        df, F.col("name"), value_cols, included=list(GEODB_INCLUDE)
+        df, F.col("asciiname"), value_cols, included=list(GEODB_INCLUDE)
     )
 
 

@@ -392,9 +392,9 @@ def test_import_router(spark, tmp_path):
     geo = tmp_path / "cities.geodb"
     geo.write_text("1\tBerlin\tberlin\t\t52.5\t13.4\tP\tPPLC\tDE\t\t\t\t\t\t3600000\t\t\tEurope/Berlin\t2020-01-01\n")
     g = import_geodb(spark, str(geo))
-    vals = {(r["pred"], r["obj_text"]) for r in g.collect()}
-    assert ("country_code", "DE") in vals
-    assert not any(p == "asciiname" for p, _ in vals)  # include-list pruning
+    vals = {(r["subj"], r["pred"], r["obj_text"]) for r in g.collect()}
+    assert ("berlin", "countrycode", "DE") in vals  # subject = asciiname
+    assert not any(p == "timezone" for _, p, _ in vals)  # include-list pruning
 
     import pytest
     with pytest.raises(ValueError):

@@ -745,3 +745,66 @@ def test_dummy_logic_query_battery(spark):
     ]:
         got = {r["node"] for r in is_a_nodes(kg, nodes, to).collect()}
         assert got == want, to
+
+
+def test_geodb_query_battery(spark, tmp_path):
+    """testGeoDB (src/tests.cpp:201-264): importGeoDB (asciiname
+    subjects, include-list projection) feeding the city query battery —
+    elevation/population equality, countrycode match, and the plural
+    form returning the same rows."""
+    from netbase_spark.functions.query_lang import run_graph_query
+    from netbase_spark.operators.mutate import rel_id_col
+    from netbase_spark.relations import INSTANCE
+    from netbase_spark.sources.router import import_geodb
+
+    def row(gid, name, lat, lon, cc, pop, elev):
+        cols = [""] * 19
+        cols[0], cols[1], cols[2] = str(gid), name, name
+        cols[4], cols[5] = str(lat), str(lon)
+        cols[8], cols[14], cols[15] = cc, str(pop), str(elev)
+        return "\t".join(cols)
+
+    tsv = tmp_path / "cities.geodb"
+    tsv.write_text(
+        "\n".join(
+            [
+                row(1, "Gehren", 50.65, 11.0, "DE", 3703, 141),
+                row(2, "Mersing", 2.43, 103.84, "MY", 22007, 8),
+                row(3, "Andorra la Vella", 42.51, 1.52, "AD", 22256, 1023),
+            ]
+        )
+        + "\n"
+    )
+    long = import_geodb(spark, str(tsv))
+    triples = long.select(
+        F.lower("subj").alias("subj"),
+        rel_id_col(F.col("pred")).alias("rel"),
+        F.col("obj_text").alias("obj"),
+    ).unionByName(
+        long.select(
+            F.lit("city").alias("subj"),
+            F.lit(INSTANCE).alias("rel"),
+            F.lower("subj").alias("obj"),
+        ).distinct()
+    )
+    battery = [
+        ("city where elevation=141", ["gehren"]),
+        ("city where population=3703", ["gehren"]),
+        ("city where latitude=50.65", ["gehren"]),
+        ("all city with countrycode=AD", ["andorra la vella"]),
+        # check(!has(the(Mersing), population, 22008))
+        ("city where population=22008", []),
+    ]
+    for q, want in battery:
+        got = sorted(r["name"] for r in run_graph_query(q, triples).collect())
+        assert got == want, q
+    # plural form returns the same rows (all[0]==all_plural[0])
+    a = sorted(
+        r["name"]
+        for r in run_graph_query("all city with countrycode=AD", triples).collect()
+    )
+    b = sorted(
+        r["name"]
+        for r in run_graph_query("all cities with countrycode=AD", triples).collect()
+    )
+    assert a == b
