@@ -302,34 +302,27 @@ def q_yago_import(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     sk = F.col("s_suppkey").cast("string")
     nk = F.col("s_nationkey").cast("string")
-    lines = (
-        # 3-col fact with vocab predicate + wikicategory head strip
-        sup.select(F.concat(
-            F.lit("<S"), sk, F.lit(">\trdf:type\t<wikicategory_N"), nk,
-            F.lit(">")).alias("value"))
-        # 4-col fact with leading statement id
-        .unionByName(sup.select(F.concat(
-            F.lit("<id_"), sk, F.lit(">\t<S"), sk,
-            F.lit(">\t<created>\t<P_"), sk, F.lit(">")).alias("value")))
-        # wordnet-key object (ids < 50 are stale -> remapped)
-        .unionByName(sup.select(F.concat(
-            F.lit("<S"), sk, F.lit(">\t<hasKind>\t<wordnet_thing_"),
-            (F.col("s_suppkey") % 100).cast("string"), F.lit(">")
-        ).alias("value")))
-        # label line (quoted @eng object)
-        .unionByName(sup.select(F.concat(
-            F.lit("<S"), sk, F.lit('>\tskos:prefLabel\t"Supplier '), sk,
-            F.lit('"@eng')).alias("value")))
-        # dropped: self-label, geonames id, object==Type, malformed
-        .unionByName(sup.select(F.concat(
-            F.lit("<Acme_"), sk, F.lit('>\tskos:prefLabel\t"acme '), sk,
-            F.lit('"@eng')).alias("value")))
-        .unionByName(sup.select(F.concat(
-            F.lit("<S"), sk, F.lit(">\t<hasGeonamesEntityId>\t<g"), sk,
-            F.lit(">")).alias("value")))
-        .unionByName(sup.select(F.concat(
-            F.lit("<S"), sk, F.lit(">\t<weird>\trdf:type")).alias("value")))
-        .unionByName(sup.select(F.lit("malformed line").alias("value")))
+    # one scan + explode (NOT an 8-way union: project/filter pushdown
+    # through Union duplicates the whole parse expression tree into
+    # every branch — measured 8x plan size for identical output)
+    lines = sup.select(
+        F.explode(
+            F.array(
+                # 3-col fact with vocab predicate + wikicategory head strip
+                F.concat(F.lit("<S"), sk, F.lit(">\trdf:type\t<wikicategory_N"), nk, F.lit(">")),
+                # 4-col fact with leading statement id
+                F.concat(F.lit("<id_"), sk, F.lit(">\t<S"), sk, F.lit(">\t<created>\t<P_"), sk, F.lit(">")),
+                # wordnet-key object (ids < 50 are stale -> remapped)
+                F.concat(F.lit("<S"), sk, F.lit(">\t<hasKind>\t<wordnet_thing_"), (F.col("s_suppkey") % 100).cast("string"), F.lit(">")),
+                # label line (quoted @eng object)
+                F.concat(F.lit("<S"), sk, F.lit('>\tskos:prefLabel\t"Supplier '), sk, F.lit('"@eng')),
+                # dropped: self-label, geonames id, object==Type, malformed
+                F.concat(F.lit("<Acme_"), sk, F.lit('>\tskos:prefLabel\t"acme '), sk, F.lit('"@eng')),
+                F.concat(F.lit("<S"), sk, F.lit(">\t<hasGeonamesEntityId>\t<g"), sk, F.lit(">")),
+                F.concat(F.lit("<S"), sk, F.lit(">\t<weird>\trdf:type")),
+                F.lit("malformed line"),
+            )
+        ).alias("value")
     )
     synset_map = spark.range(50).select(
         F.concat(F.lit("syn"), F.col("id").cast("string")).alias("old_id"),

@@ -76,18 +76,21 @@ _HEADS = r"^(wikicategory_|geoclass_|wordnetDomain_|wordnet_)"
 
 
 def _vocab_col(key: Column) -> Column:
-    """YAGO_VOCAB lookup as a flat when-chain over an ALREADY-
-    MATERIALIZED key column.  NOT ``create_map``: a map built from
-    literals is re-constructed on every evaluation (one 52-entry java
-    map allocation per term per row); the when-chain is plain branch
-    compares against a column reference, zero allocation, and stays
-    inside whole-stage codegen.  ``key`` must be a cheap reference —
-    passing a nested expression would duplicate it into all 26
-    branches."""
-    expr = None
+    """YAGO_VOCAB lookup: ``element_at`` over a ``create_map`` of
+    literals.  An all-literal CreateMap is foldable, so ConstantFolding
+    turns it into ONE map literal at plan time — per row this is a
+    single hash probe, and the whole lookup is a 2-node expression
+    (literal + key).  The earlier 26-branch when-chain referenced
+    ``key`` 26 times; after Catalyst's CollapseProject + filter
+    pushdown inlined the staged projections, those 26 references each
+    carried the full key subtree and blew the plan past the codegen
+    size limit (measured 2.1 MB plan text, zero WholeStageCodegen
+    spans, 25-48 s for an 8k-line import)."""
+    pairs = []
     for k, v in YAGO_VOCAB.items():
-        expr = F.when(key == k, v) if expr is None else expr.when(key == k, v)
-    return expr
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.element_at(F.create_map(*pairs), key)
 
 
 def yago_term(c: Column) -> Column:
@@ -129,11 +132,16 @@ def _term_components(raw: str, p: str) -> list[Column]:
 
 def _assemble_term(p: str) -> Column:
     """Stage-3 assembly from the stage-2 component columns (cheap
-    references, so the when-chain adds no re-evaluation)."""
+    references, so the when-chain adds no re-evaluation).  The vocab
+    lookup is itself a staged column (``{p}_vocab``) — referencing it
+    twice here is free, whereas instantiating the 26-branch chain at
+    both use sites doubled the expression tree (and after Catalyst's
+    CollapseProject + filter pushdown inlined the stages, that doubling
+    multiplied into a plan too large for whole-stage codegen)."""
     wn = F.col(f"{p}_wn")
     typed = F.col(f"{p}_typed")
     headless = F.col(f"{p}_headless")
-    key = F.col(f"{p}_key")
+    vocab = F.col(f"{p}_vocab")
     pref = F.when(
         F.col(f"{p}_nonhttp"),
         F.regexp_extract(headless, r"^[A-Za-z]\w*:(.+)$", 1),
@@ -141,7 +149,7 @@ def _assemble_term(p: str) -> Column:
     return (
         F.when(wn != "", F.concat(F.lit("syn"), wn))
         .when(typed != "", typed)
-        .when(_vocab_col(key).isNotNull(), _vocab_col(key))
+        .when(vocab.isNotNull(), vocab)
         .when(pref != "", pref)
         .otherwise(headless)
     )
@@ -161,28 +169,39 @@ def parse_yago_lines(
     stale ``syn<id>`` terms (``norm_wordnet_id``).
     """
     c = F.col(col)
-    # stage 0: tokenize once; the split array is consumed five times
-    # downstream, so it must be a materialized column, not a repeated
-    # subexpression
+    # stage 0: normalize the line (trim edge tabs, collapse runs — the
+    # empty-token skip) and count fields.  Positional access below is
+    # ``split_part`` on the normalized LINE, not ``F.get`` over a
+    # materialized split array: the staged projections inevitably
+    # collapse (CollapseProject) and their predicates push into the
+    # scan, inlining every column reference's defining expression at
+    # every use site — so the design constraint is that each leaf stays
+    # a 2-3 node tree.  The array form inlined
+    # ``filter(split(line))`` + ``get`` chains at ~40 use sites x 8
+    # union branches (measured: "split(" 7,791 times in one plan).
+    # ``split_part`` is 1-based and returns '' out of range (same
+    # drop behavior as a NULL ``get`` under the != '' guards).
+    nl = F.regexp_replace(
+        F.regexp_replace(c, r"^\t+|\t+$", ""), r"\t+", "\t"
+    )
     toksed = lines.select(
-        F.filter(F.split(c, "\t"), lambda t: t != "").alias("_toks"),
+        nl.alias("_line"),
+        F.size(F.split(nl, "\t")).alias("_n"),
         c.endswith("@eng").alias("_label"),
-    ).where(F.size("_toks") >= 3)
+    ).where(F.col("_n") >= 3)
     # stage 1: positional raw terms.  label rows always carry the id
     # FIRST when 4-column (the reference label branch skips the first
     # field regardless of leadingId, src/import.cpp:1155-1157); fact
-    # rows follow the leading_id switch.  F.get (NULL on out-of-bounds),
-    # not [] — pushed-down filters merge into one conjunctive Filter
-    # whose predicate order Catalyst may rearrange, so ANSI-strict
-    # indexing can evaluate before the size guard on short rows.
-    n = F.size("_toks")
-    shift = F.when(F.col("_label") | F.lit(leading_id), n >= 4).otherwise(
-        F.lit(False)
-    )
+    # rows follow the leading_id switch.
+    shift = (F.col("_label") | F.lit(leading_id)) & (F.col("_n") >= 4)
+
+    def _part(i: int) -> Column:
+        return F.split_part(F.col("_line"), F.lit("\t"), F.lit(i))
+
     raw = toksed.select(
-        F.when(shift, F.get("_toks", 1)).otherwise(F.get("_toks", 0)).alias("_s"),
-        F.when(shift, F.get("_toks", 2)).otherwise(F.get("_toks", 1)).alias("_p"),
-        F.when(shift, F.get("_toks", 3)).otherwise(F.get("_toks", 2)).alias("_o"),
+        F.when(shift, _part(2)).otherwise(_part(1)).alias("_s"),
+        F.when(shift, _part(3)).otherwise(_part(2)).alias("_p"),
+        F.when(shift, _part(4)).otherwise(_part(3)).alias("_o"),
         "_label",
     )
     # stage 2: per-term components (each regex evaluated once per row)
@@ -202,6 +221,12 @@ def parse_yago_lines(
         F.lower("p_headless").alias("p_key"),
         F.lower("o_headless").alias("o_key"),
     )
+    parts = parts.select(
+        "*",
+        _vocab_col(F.col("s_key")).alias("s_vocab"),
+        _vocab_col(F.col("p_key")).alias("p_vocab"),
+        _vocab_col(F.col("o_key")).alias("o_vocab"),
+    )
     # stage 3: assembled terms
     terms = parts.select(
         _assemble_term("s").alias("subj"),
@@ -212,22 +237,29 @@ def parse_yago_lines(
         "_label",
         "_p",
     )
-    out = (
-        terms.where(
-            (F.col("subj") != "")
-            & (F.col("pred") != "")
-            & (F.col("obj") != "")
-            # geonames external ids dropped (src/import.cpp:1198)
-            & (F.col("_p") != "<hasGeonamesEntityId>")
-            # facts whose object resolves to the Type builtin are
-            # skipped (object == Type guard, src/import.cpp:1202-1205)
-            & (F.col("_label") | (F.col("obj") != "type"))
-            # self-labels dropped (wordhash equality, import.cpp:1197)
-            & (
-                ~F.col("_label")
-                | (norm_name_col(F.col("subj")) != norm_name_col(F.col("obj")))
-            )
+    # all drop rules as ONE staged boolean: filter pushdown substitutes
+    # a predicate's column refs with their full defining expressions —
+    # five separate conjuncts inlined five copies of the term trees
+    # into the scan filter (x the union branch count), which is what
+    # pushed the collapsed plan past the codegen size limit
+    keep = (
+        (F.col("subj") != "")
+        & (F.col("pred") != "")
+        & (F.col("obj") != "")
+        # geonames external ids dropped (src/import.cpp:1198)
+        & (F.col("_p") != "<hasGeonamesEntityId>")
+        # facts whose object resolves to the Type builtin are
+        # skipped (object == Type guard, src/import.cpp:1202-1205)
+        & (F.col("_label") | (F.col("obj") != "type"))
+        # self-labels dropped (wordhash equality, import.cpp:1197)
+        & (
+            ~F.col("_label")
+            | (norm_name_col(F.col("subj")) != norm_name_col(F.col("obj")))
         )
+    )
+    out = (
+        terms.select("subj", "pred", "obj", keep.alias("_keep"))
+        .where(F.col("_keep"))
         .select("subj", "pred", "obj")
         .dropDuplicates(["subj", "pred", "obj"])
     )
