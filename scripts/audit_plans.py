@@ -47,6 +47,12 @@ def grade(plan: str) -> list[str]:
         notes.append(f"sort-merge joins: {plan.count('SortMergeJoin')}")
     if "TakeOrderedAndProject" in plan:
         notes.append("top-k via TakeOrderedAndProject (no global sort)")
+    # expression-inlining blowup guard: CollapseProject + filter
+    # pushdown inline staged projections; past ~100 KB of plan text
+    # codegen gives up and evaluation goes interpreted (the YAGO parse
+    # hit 2.1 MB / 25-48 s before split_part+folded-map leaves fixed it)
+    if len(plan) > 100_000:
+        notes.append(f"WARN plan-size: {len(plan)//1000} KB plan text")
     n_wsc = plan.count("WholeStageCodegen")
     if n_wsc:
         notes.append(f"codegen spans: {n_wsc}")
