@@ -675,3 +675,38 @@ def test_duplicate_label_edges(spark):
         ("straßenverkehr", LABEL, "road traffic"),
         ("straßenverkehr", LABEL, "strassenverkehr"),
     }
+
+
+def test_parse_sentence_python_equals_column(spark):
+    """The learn path's Python sentence parser and its JVM column twin
+    must agree — oracle and engine both key on the parse."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from netbase_spark.operators.mutate import parse_sentence, parse_sentences
+
+    word = st.text(
+        alphabet=st.sampled_from(list("abcXZ09_-.'=\"")), min_size=1, max_size=8
+    )
+    sentence = st.one_of(
+        # free-form token soup (0-5 tokens, may include stop words)
+        st.lists(
+            st.one_of(word, st.sampled_from(["a", "the", "A", "The"])),
+            max_size=5,
+        ).map(" ".join),
+        # dotted form s.p=o
+        st.tuples(word, word, word).map(lambda t: f"{t[0]}.{t[1]}={t[2]}"),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(sentence, min_size=1, max_size=25, unique=True))
+    def check(samples):
+        df = spark.createDataFrame([(s,) for s in samples], "sentence string")
+        got = {
+            (r["subj"], r["rel"], r["obj"])
+            for r in parse_sentences(df).collect()
+        }
+        want = {t for t in (parse_sentence(s) for s in samples) if t is not None}
+        assert got == want
+
+    check()
