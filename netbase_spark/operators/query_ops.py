@@ -31,25 +31,13 @@ from netbase_spark.relations import (
 )
 
 
-def isa_closure(triples: DataFrame, max_iter: int = 10) -> DataFrame:
-    """(node, anc): transitive subsumption closure — the materialized
-    replacement for the reference's memoized ``isA4`` recursion
-    (src/query.cpp:2457-2552; memo table ``yetvisitedIsA`` 2466-2470).
-
-    Upward edges per isA4's recursion set:
-    - ``(word, Instance, node)`` -> node's ancestor is word (the
-      abstract/instance model stores the class on the SUBJECT side,
-      src/netbase.cpp:641);
-    - ``(s, Type, o)`` / ``(s, SuperClass, o)`` -> s's ancestor is o;
-    - ``(s, SubClass, o)`` -> o's ancestor is s;
-    - Synonym edges connect both directions.
-
-    Iterative driver-loop frontier joins (Catalyst has no recursion);
-    each level localCheckpoints and frees superseded blocks.
-    """
-    from netbase_spark.operators.canonicalize import _pin, _unpin
-
-    up = (
+def upward_edges(triples: DataFrame) -> DataFrame:
+    """(node, anc): one isA4 recursion step as an edge set — the upward
+    step set shared by the closure, ``getTopic`` and the console
+    surface (src/query.cpp:2457-2552 recursion relations):
+    ``(word, Instance, node)`` climbs node->word, Type/SuperClass climb
+    subject->object, SubClass object->subject, Synonym both ways."""
+    return (
         triples.where(F.col("rel") == INSTANCE)
         .select(F.col("obj").alias("node"), F.col("subj").alias("anc"))
         .unionByName(
@@ -74,7 +62,27 @@ def isa_closure(triples: DataFrame, max_iter: int = 10) -> DataFrame:
         .where(F.col("node") != F.col("anc"))
         .dropDuplicates(["node", "anc"])
     )
-    edges = _pin(up)
+
+
+def isa_closure(triples: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(node, anc): transitive subsumption closure — the materialized
+    replacement for the reference's memoized ``isA4`` recursion
+    (src/query.cpp:2457-2552; memo table ``yetvisitedIsA`` 2466-2470).
+
+    Upward edges per isA4's recursion set:
+    - ``(word, Instance, node)`` -> node's ancestor is word (the
+      abstract/instance model stores the class on the SUBJECT side,
+      src/netbase.cpp:641);
+    - ``(s, Type, o)`` / ``(s, SuperClass, o)`` -> s's ancestor is o;
+    - ``(s, SubClass, o)`` -> o's ancestor is s;
+    - Synonym edges connect both directions.
+
+    Iterative driver-loop frontier joins (Catalyst has no recursion);
+    each level localCheckpoints and frees superseded blocks.
+    """
+    from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    edges = _pin(upward_edges(triples))
     # explicit column renames, not alias-qualified self-joins: a
     # localCheckpointed plan self-joined through string aliases trips
     # Catalyst attribute resolution (NoSuchElementException on exprIds)

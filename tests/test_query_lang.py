@@ -92,3 +92,58 @@ def test_run_graph_query_instances_and_pivot(spark):
     out = run_graph_query("select 9001 from city where 9001>1000000", triples)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["name"] == "berlin"
+
+
+def test_console_router(spark):
+    """Console command surface (src/console.cpp:172-735): each :cmd
+    routes to its package operator over one shared triple state."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.functions.console import Console
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import INSTANCE, TYPE
+
+    t = spark.createDataFrame(
+        [
+            ("city", INSTANCE, "gehren", "seed", None),
+            ("gehren", rel_id_for("population"), "3703", "seed", None),
+            ("gehren", TYPE, "ort", "seed", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    con = Console(spark, t)
+
+    # :learn inserts (sentence parse + upsert)
+    con.execute(":learn Gehren ist Thuringia")
+    assert con.triples.where(F.col("obj") == "thuringia").count() == 1
+
+    # query language + property question route
+    got = [r["name"] for r in con.execute("city where population=3703").collect()]
+    assert got == ["gehren"]
+    pq = {(r["name"], r["value"]) for r in con.execute("population of Gehren").collect()}
+    assert pq == {("gehren", "3703")}
+
+    # :update replaces the single-valued property
+    con.execute(":update gehren set population=4000")
+    assert con.execute("population of Gehren").collect()[0]["value"] == "4000"
+
+    # :all expands instances; bare word lists statements
+    assert {r["node"] for r in con.execute(":all city").collect()} == {"gehren"}
+    assert con.execute("gehren").count() >= 3
+
+    # :is via the closure; :topic climbs upward edges
+    assert con.execute(":is gehren ort").collect()[0]["result"] is True
+    topics = {r["topic"] for r in con.execute(":topic gehren").collect()}
+    assert "ort" in topics or "city" in topics
+
+    # :merge b into a (target wins), then :delete removes the node
+    con.execute(":merge gehren1 gehren")
+    assert con.triples.where(F.col("subj") == "gehren").count() == 0
+    con.execute(":delete gehren1")
+    assert con.triples.where(
+        (F.col("subj") == "gehren1") | (F.col("obj") == "gehren1")
+    ).count() == 0
+
+    # limit state change returns None
+    assert con.execute("limit 5") is None
+    assert con.limit == 5
