@@ -82,6 +82,7 @@ HEADLINE = [
     "prefix_aliases",
     "findmatch_bare",
     "dup_label_edges",
+    "enriched_entities",
 ]
 
 

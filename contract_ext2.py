@@ -1366,6 +1366,49 @@ ORACLE_DUP_LABELS = f"""
     FROM r JOIN p USING (key) WHERE r.rk > 1 AND r.nn != p.prim
 """
 
+
+def q_enriched_entities(spark, sf_dir):
+    """Enriched-entity record (src/webserver.cpp:95-527; JSON
+    enrichment 396-418): (node, class, topic, degree, seo) — the
+    getClass chain, getTopic furthest ancestor, statementCount degree
+    prior and SEO slug, composed as one derived table."""
+    from netbase_spark.operators.materialize import enrich_entities
+
+    t = _type_triples(spark, sf_dir).select(
+        "subj", "rel", "obj",
+        F.lit("base").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    nodes = _t(spark, sf_dir, "supplier").select(_sk("s_suppkey", "S").alias("node"))
+    return enrich_entities(nodes, t).select(
+        "node", "class", "topic", "degree", "seo"
+    )
+
+
+ORACLE_ENRICHED = """
+    WITH t AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj,
+               'N' || CAST(s_nationkey AS VARCHAR) AS obj
+        FROM supplier
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+               'R' || CAST(n_regionkey AS VARCHAR)
+        FROM nation
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT subj AS node FROM t UNION ALL SELECT obj FROM t)
+        GROUP BY node
+    )
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node,
+           'N' || CAST(s_nationkey AS VARCHAR) AS class,
+           (SELECT 'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+             WHERE n_nationkey = s_nationkey) AS topic,
+           deg.degree,
+           's' || CAST(s_suppkey AS VARCHAR) AS seo
+    FROM supplier
+    JOIN deg ON deg.node = 'S' || CAST(s_suppkey AS VARCHAR)
+"""
+
 EXT2_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "singleton_nodes": q_singleton_nodes,
@@ -1378,6 +1421,7 @@ EXT2_QUERIES = {
     "prefix_aliases": q_prefix_aliases,
     "findmatch_bare": q_findmatch_bare,
     "dup_label_edges": q_dup_label_edges,
+    "enriched_entities": q_enriched_entities,
     "pattern_semantic": q_pattern_semantic,
     "pattern_subproperty": q_pattern_subproperty,
     "learn_roundtrip": q_learn_roundtrip,
@@ -1407,6 +1451,7 @@ EXT2_ORACLES = {
     "prefix_aliases": ORACLE_PREFIX_ALIASES,
     "findmatch_bare": ORACLE_FINDMATCH,
     "dup_label_edges": ORACLE_DUP_LABELS,
+    "enriched_entities": ORACLE_ENRICHED,
     "pattern_semantic": ORACLE_PATTERN_SEMANTIC,
     "pattern_subproperty": ORACLE_PATTERN_SUBPROPERTY,
     "learn_roundtrip": ORACLE_LEARN,

@@ -106,3 +106,52 @@ def write_triples(triples: DataFrame, path: str) -> None:
         .partitionBy("rel")
         .parquet(path)
     )
+
+
+def enrich_entities(
+    nodes: DataFrame,
+    triples: DataFrame,
+    class_rels: list[int] | None = None,
+    stop: tuple[str, ...] = (),
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """The HTTP server's enriched-entity record (src/webserver.cpp:
+    95-527, entity JSON enrichment 396-418) as ONE derived table:
+    (node, class, topic, degree, seo) — ``getClass`` fallback chain,
+    ``getTopic`` furthest ancestor under the hub guards, the
+    ``statementCount`` degree prior, and the ``generateSEOUrl`` slug.
+
+    Composition of the package operators (class_of / topic_of /
+    node_degrees / seo_slug_col), all left-joined back to the node set:
+    three broadcast-friendly dimension joins + the salted degree agg —
+    no per-node recursion, no driver loop beyond topic_of's bounded
+    BFS."""
+    from netbase_spark.normalize import seo_slug_col
+    from netbase_spark.operators.query_ops import (
+        class_of,
+        topic_of,
+        upward_edges,
+    )
+    from netbase_spark.relations import INSTANCE, SUPER_CLASS, SYNONYM, TYPE
+
+    if class_rels is None:
+        class_rels = [SUPER_CLASS, TYPE, SYNONYM, INSTANCE]
+    nodes = nodes.select("node").distinct()
+    cls = class_of(nodes, triples, class_rels)
+    up = upward_edges(triples).select(
+        F.col("node").alias("src"), F.col("anc").alias("dst")
+    )
+    top = topic_of(nodes, up, stop=stop, drop=drop)
+    deg = node_degrees(triples)
+    return (
+        nodes.join(cls, "node", "left")
+        .join(top, "node", "left")
+        .join(deg, "node", "left")
+        .select(
+            "node",
+            "class",
+            "topic",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            seo_slug_col(F.col("node")).alias("seo"),
+        )
+    )

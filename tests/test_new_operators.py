@@ -710,3 +710,25 @@ def test_parse_sentence_python_equals_column(spark):
         assert got == want
 
     check()
+
+
+def test_enrich_entities(spark):
+    """Enriched-entity record (src/webserver.cpp:396-418): class,
+    furthest topic, degree, seo slug in one derived table."""
+    from netbase_spark.operators.materialize import enrich_entities
+    from netbase_spark.relations import INSTANCE, TYPE
+
+    t = spark.createDataFrame(
+        [
+            ("Alte Stadt", TYPE, "settlement", "r", None),
+            ("settlement", TYPE, "place", "r", None),
+            ("Alte Stadt", 9001, "x", "r", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    nodes = spark.createDataFrame([("Alte Stadt",)], "node string")
+    got = enrich_entities(nodes, t).collect()[0]
+    assert got["class"] == "settlement"
+    assert got["topic"] == "place"  # furthest ancestor, not the direct type
+    assert got["degree"] == 2
+    assert got["seo"] == "alte-stadt"
