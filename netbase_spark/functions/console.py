@@ -30,6 +30,10 @@ class Console:
         self.spark = spark
         self.triples = triples
         self.limit: int | None = 200  # resultLimit default (webserver.cpp:41)
+        # :include/:exclude predicate view filters (console.cpp:
+        # 1555-1585 testInclude; netbase.js:8 id-predicate hiding)
+        self.included: set[int] = set()
+        self.excluded: set[int] = set()
 
     # -- helpers --------------------------------------------------------
 
@@ -180,11 +184,40 @@ class Console:
             from netbase_spark.sources.router import import_any
 
             return import_any(self.spark, rest)
+        if c in (":include", ":exclude"):
+            from netbase_spark.operators.mutate import rel_id_for
+
+            rid = rel_id_for(rest)
+            (self.included if c == ":include" else self.excluded).add(rid)
+            return None
         if c == "limit":
             self.limit = int(rest) if rest and rest != "0" else None
             return None
         if c in (":select", ":query"):
             line = rest
+        # console NL forms (help text, console.cpp:57-66)
+        m = re.match(r"^(subclasses|entities|instances)\s+of\s+(.+?)(?:\s+limit\s+(\d+))?$", line, re.I)
+        if m:
+            kind, word, lim = m.group(1).lower(), m.group(2).strip().lower(), m.group(3)
+            lim = int(lim) if lim else self.limit
+            if kind == "subclasses":
+                from netbase_spark.operators.query_ops import (
+                    bfs_distances,
+                    subclass_edges,
+                )
+
+                out = (
+                    bfs_distances(
+                        subclass_edges(self.triples), self._nodes(word)
+                    )
+                    .where(F.col("depth") > 0)
+                    .select("node", "depth")
+                )
+            else:
+                from netbase_spark.operators.query_ops import all_instances
+
+                out = all_instances(self.triples, word)
+            return out.limit(lim) if lim else out
         # property question ("Population of Gehren") else query language
         from netbase_spark.functions.query_lang import (
             parse_properties,
@@ -201,4 +234,9 @@ class Console:
         # bare word: show the node's statements (console.cpp:704-734)
         from netbase_spark.operators.query_ops import list_statements
 
-        return list_statements(self.triples, line.lower())
+        out = list_statements(self.triples, line.lower())
+        if self.included:
+            out = out.where(F.col("rel").isin(list(self.included)))
+        if self.excluded:
+            out = out.where(~F.col("rel").isin(list(self.excluded)))
+        return out

@@ -133,6 +133,9 @@ PREDICATE_CANON: dict[str, int] = {
     "range": RANGE,
     "domain": DOMAIN,
     "antonym": ANTONYM,
+    # "opposite of bad" console form (src/console.cpp:66; testOpposite
+    # src/tests.cpp:1306-1424 resolves opposites through Antonym edges)
+    "opposite": ANTONYM,
     "see": SEE,
     "seealso": SEE,
     "see also": SEE,

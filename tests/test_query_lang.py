@@ -147,3 +147,43 @@ def test_console_router(spark):
     # limit state change returns None
     assert con.execute("limit 5") is None
     assert con.limit == 5
+
+
+def test_console_nl_forms_and_view_filters(spark):
+    """Console help-text forms (src/console.cpp:57-66) + testInclude
+    view filters (src/tests.cpp:1555-1585): subclasses/entities of,
+    opposite of (Antonym), :include/:exclude listing filters."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.functions.console import Console
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import ANTONYM, INSTANCE, SUB_CLASS
+
+    t = spark.createDataFrame(
+        [
+            ("animal", SUB_CLASS, "bird", "r", None),
+            ("bird", SUB_CLASS, "duck", "r", None),
+            ("animal", INSTANCE, "rex", "r", None),
+            ("good", ANTONYM, "bad", "r", None),
+            ("rex", rel_id_for("color"), "brown", "r", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    con = Console(spark, t)
+
+    subs = {r["node"] for r in con.execute("subclasses of animal").collect()}
+    assert subs == {"bird", "duck"}
+    ents = {r["node"] for r in con.execute("entities of animal limit 10").collect()}
+    assert "rex" in ents
+    # opposite of bad -> Antonym lookup (inverse retry finds good)
+    opp = {r["value"] for r in con.execute("opposite of bad").collect()}
+    assert opp == {"good"}
+
+    # view filters narrow the bare-word listing
+    assert con.execute("rex").count() == 2
+    con.execute(f":exclude color")
+    assert con.execute("rex").count() == 1
+    con.excluded.clear()
+    con.execute(":include color")
+    rows = con.execute("rex").collect()
+    assert [r["rel"] for r in rows] == [rel_id_for("color")]
