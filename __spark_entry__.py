@@ -402,9 +402,9 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB oracle generated from the same (n_hashes, bands, rows)
-    parameters as q_minhash_lsh."""
+def _minhash_pairs_ctes() -> str:
+    """Shared CTE body (no WITH keyword) producing candidate pairs
+    `pr(a, b)` — used by the minhash_lsh and neardup_clusters oracles."""
     mins = ",\n                       ".join(
         f"min(('0x' || substr(md5(CAST({k // 4} AS VARCHAR) || ':' || shingle),"
         f" {1 + 8 * (k % 4)}, 8))::BIGINT) AS s{k}"
@@ -420,8 +420,7 @@ def _minhash_oracle_sql() -> str:
             f"SELECT doc_id, {b} AS band, md5({key}) AS bv FROM sigs"
         )
     bands = "\n                UNION ALL ".join(band_selects)
-    return f"""
-            WITH lists AS (
+    return f"""lists AS (
                 SELECT doc_id, string_split(text, ' ') AS l FROM documents
             ), sh0 AS (
                 SELECT doc_id,
@@ -439,10 +438,67 @@ def _minhash_oracle_sql() -> str:
             ), kept AS (
                 SELECT doc_id, band, bv FROM bands
                 QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= 2000
+            ), pr AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM kept l JOIN kept r
+                  ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+            )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB oracle generated from the same (n_hashes, bands, rows)
+    parameters as q_minhash_lsh."""
+    return f"""
+            WITH {_minhash_pairs_ctes()}
+            SELECT a, b FROM pr
+    """
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Fuzzy-dedup end-to-end (netbase_spark.operators.dedup.
+    near_dup_clusters): MinHash+LSH candidate pairs -> union-find
+    connected components -> one survivor per cluster (max n_chars, ties
+    to min doc_id; the reference's first-insert-wins duplicate rule,
+    src/netbase.cpp:760-767, with quality standing in for insert
+    order).  Singleton docs keep themselves."""
+    from netbase_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        near_dup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sigs = minhash_signatures(_shingles(spark, sf_dir), n_hashes=MINHASH_N)
+    pairs = minhash_lsh_pairs(
+        sigs, bands=MINHASH_BANDS, rows_per_band=MINHASH_ROWS
+    )
+    return near_dup_clusters(docs, pairs)
+
+
+def _neardup_clusters_oracle_sql() -> str:
+    """Recursive-CTE connected components over the same MinHash pairs,
+    then the same survivor window (DuckDB)."""
+    return f"""
+            WITH RECURSIVE {_minhash_pairs_ctes()}, sym AS (
+                SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr
+            ), reach(node, r) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT re.node, s.b FROM reach re JOIN sym s ON s.a = re.r
+            ), clus AS (
+                SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            ), lab AS (
+                SELECT d.doc_id,
+                       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars
+                FROM documents d LEFT JOIN clus c ON c.node = d.doc_id
             )
-            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM kept l JOIN kept r
-              ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+            SELECT doc_id, cluster_id,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) = 1
+                        THEN 1 ELSE 0 END AS keep
+            FROM lab
     """
 
 
@@ -583,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "neardup_clusters": q_neardup_clusters,
         "ann_cosine": q_ann_cosine,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -745,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (10000 * inter) // (sa.sz + sb.sz - inter) >= 2000
         """,
         "minhash_lsh": _minhash_oracle_sql(),
+        "neardup_clusters": _neardup_clusters_oracle_sql(),
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

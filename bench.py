@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard",
     "minhash_lsh",
+    "neardup_clusters",
     "ann_cosine",
     "ann_ivf",
     "lang_id",

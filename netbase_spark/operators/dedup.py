@@ -272,6 +272,67 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """End-to-end fuzzy dedup with survivor selection: candidate pairs
+    (from :func:`minhash_lsh_pairs` / :func:`simhash_candidates` /
+    :func:`cosine_neardup_pairs`) -> connected components -> one kept
+    document per cluster (highest ``quality_col``, ties to the lowest
+    id — the reference's duplicate-statement rule keeps the first
+    insert, netbase.cpp:760-767; here "first" is the best-quality doc).
+
+    Returns (id_col, cluster_id, keep:int).  ``cluster_id`` is the
+    min-id member of the near-dup component; singleton docs are their
+    own cluster with keep=1.
+
+    Scale shape: ``pairs``/the component mapping are candidate-sized
+    (LSH-bucketed, orders of magnitude smaller than the corpus), so the
+    corpus side does ONE join against the mapping — broadcastable —
+    and only cluster members (again candidate-sized) pass through the
+    survivor window; the 10^12-doc singleton majority is a shuffle-free
+    anti-join with literal columns.
+    """
+    from pyspark.sql import Window
+
+    from netbase_spark.operators.canonicalize import connected_components
+
+    mapping = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    # every node that appears in any pair, mapped to its component rep
+    # (connected_components omits the rep's self-row — restore it so
+    # the survivor window sees whole clusters)
+    member_ids = (
+        pairs.select(F.col("a").alias("m"))
+        .union(pairs.select(F.col("b").alias("m")))
+        .distinct()
+    )
+    members = member_ids.join(
+        mapping.withColumnRenamed("node", "m"), "m", "left"
+    ).select("m", F.coalesce("rep", F.col("m")).alias("cluster_id"))
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    clustered = (
+        docs.join(members, docs[id_col] == members["m"])
+        .withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+        .select(id_col, "cluster_id", "keep")
+    )
+    singles = docs.join(
+        F.broadcast(members), docs[id_col] == members["m"], "left_anti"
+    ).select(
+        id_col,
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1).alias("keep"),
+    )
+    return clustered.unionByName(singles)
+
+
 # --- embedding cosine -------------------------------------------------------
 
 

@@ -180,6 +180,43 @@ def test_merge_all(spark):
     assert not any(r.src == "Q4" or r.dst == "Q4" for r in all_edges.collect())
 
 
+def test_near_dup_clusters_survivor_selection(spark):
+    from netbase_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (4, 50), (5, 80)],
+        "doc_id long, n_chars long",
+    )
+    # component {1,2,3} via chained pairs; 4 and 5 are singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    rows = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    # survivor = max n_chars (doc 2); cluster_id = min member id
+    assert rows == {
+        (1, 1, 0),
+        (2, 1, 1),
+        (3, 1, 0),
+        (4, 4, 1),
+        (5, 5, 1),
+    }
+
+
+def test_near_dup_clusters_quality_tie_min_id(spark):
+    from netbase_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(7, 10), (8, 10)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(8, 7)], "a long, b long")
+    rows = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert rows == {(7, 7, 1), (8, 7, 0)}
+
+
 def test_facet_counts(spark):
     from netbase_spark.operators.query_ops import facet_counts
 
