@@ -623,8 +623,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from contract_ext import EXT_QUERIES
     from contract_ext2 import EXT2_QUERIES
+    from contract_ext3 import EXT3_QUERIES
 
-    return EXT_QUERIES | EXT2_QUERIES | {
+    return EXT_QUERIES | EXT2_QUERIES | EXT3_QUERIES | {
         "alias_table": q_alias_table,
         "best_alias": q_best_alias,
         "dissect_part_names": q_dissect_part_names,
@@ -652,9 +653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from contract_ext import EXT_ORACLES
     from contract_ext2 import EXT2_ORACLES
+    from contract_ext3 import EXT3_ORACLES
 
     norm_label = NORM_SQL.format(c="label")
-    return EXT_ORACLES | EXT2_ORACLES | {
+    return EXT_ORACLES | EXT2_ORACLES | EXT3_ORACLES | {
         "alias_table": f"""
             WITH {LABELS_SQL.strip()}
             SELECT {norm_label} AS name_norm, key, label_type AS source,

@@ -84,6 +84,9 @@ HEADLINE = [
     "findmatch_bare",
     "dup_label_edges",
     "enriched_entities",
+    "geodb_import",
+    "manual_merge",
+    "isa_nodes",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Third batch of driver-contract queries: geodb import, manual
+:merge corrections, and the isA node-set wrapper.
+
+Same conventions as contract_ext / contract_ext2: every query builds
+deterministic input from the sf-dir parquet tables, routes through the
+package operator it certifies, and has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from netbase_spark.relations import TYPE
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sk(col, prefix):
+    return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+
+def _type_triples(spark, sf_dir):
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return supplier.select(
+        _sk("s_suppkey", "S").alias("subj"),
+        F.lit(TYPE).alias("rel"),
+        _sk("s_nationkey", "N").alias("obj"),
+    ).unionByName(
+        nation.select(
+            _sk("n_nationkey", "N").alias("subj"),
+            F.lit(TYPE).alias("rel"),
+            _sk("n_regionkey", "R").alias("obj"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# importGeoDB (cities1000 layout -> include-list melt)
+# ---------------------------------------------------------------------------
+
+
+def q_geodb_import(spark, sf_dir):
+    """``importGeoDB`` (src/import.cpp:2330-2333): the geonames
+    19-column cities layout projected to the include list (latitude,
+    longitude, population, elevation, countrycode) and melted to
+    typed (subj, pred, obj_text, obj_num) cells — subjects from
+    asciiname (nameRowNr=2).  Cities synthesized from the nation
+    table; all cells integral strings so Spark/DuckDB format alike."""
+    from netbase_spark.sources.router import GEODB_COLUMNS, geodb_melt
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    cols = {
+        "geonameid": k.cast("string"),
+        "name": F.col("n_name"),
+        "asciiname": F.concat(F.lit("city_"), k.cast("string")),
+        "alternatenames": F.lit(None).cast("string"),
+        "latitude": (k * 3).cast("string"),
+        "longitude": (k * 7 - 100).cast("string"),
+        "featureclass": F.lit("P"),
+        "featurecode": F.lit("PPL"),
+        "countrycode": F.concat(F.lit("C"), F.col("n_regionkey").cast("string")),
+        "cc2": F.lit(None).cast("string"),
+        "admin1code": F.lit(None).cast("string"),
+        "admin2code": F.lit(None).cast("string"),
+        "admin3code": F.lit(None).cast("string"),
+        "admin4code": F.lit(None).cast("string"),
+        "population": (k * 1000 + 17).cast("string"),
+        "elevation": (k * 10).cast("string"),
+        "gtopo30": F.lit("0"),
+        "timezone": F.lit("UTC"),
+        "modificationdate": F.lit("2016-01-04"),
+    }
+    cities = nation.select(*[v.alias(c) for c, v in cols.items()])
+    assert list(cities.columns) == GEODB_COLUMNS
+    return geodb_melt(cities)
+
+
+ORACLE_GEODB = """
+    SELECT 'city_' || CAST(n_nationkey AS VARCHAR) AS subj,
+           'latitude' AS pred,
+           CAST(n_nationkey * 3 AS VARCHAR) AS obj_text,
+           CAST(n_nationkey * 3 AS DOUBLE) AS obj_num
+    FROM nation
+    UNION ALL
+    SELECT 'city_' || CAST(n_nationkey AS VARCHAR), 'longitude',
+           CAST(n_nationkey * 7 - 100 AS VARCHAR),
+           CAST(n_nationkey * 7 - 100 AS DOUBLE)
+    FROM nation
+    UNION ALL
+    SELECT 'city_' || CAST(n_nationkey AS VARCHAR), 'countrycode',
+           'C' || CAST(n_regionkey AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM nation
+    UNION ALL
+    SELECT 'city_' || CAST(n_nationkey AS VARCHAR), 'population',
+           CAST(n_nationkey * 1000 + 17 AS VARCHAR),
+           CAST(n_nationkey * 1000 + 17 AS DOUBLE)
+    FROM nation
+    UNION ALL
+    SELECT 'city_' || CAST(n_nationkey AS VARCHAR), 'elevation',
+           CAST(n_nationkey * 10 AS VARCHAR),
+           CAST(n_nationkey * 10 AS DOUBLE)
+    FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# manual :merge corrections (target id survives, chains resolve)
+# ---------------------------------------------------------------------------
+
+
+def q_manual_merge(spark, sf_dir):
+    """``:merge a b`` corrections (src/console.cpp:397-407; mergeNode
+    src/netbase.cpp:2610-2638): S(k) with k%10==5 merges into S(k-1),
+    k%10==6 into S(k-1) — a two-hop chain, so k%10==6 must land on
+    S(k-2).  Target ids survive (not min-rep)."""
+    from netbase_spark.operators.canonicalize import manual_merge
+
+    triples = _type_triples(spark, sf_dir).select(
+        "subj", "rel", "obj", F.lit("t").alias("rule"), F.lit("d").alias("doc_id")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    pairs = sup.where((k % 10).isin(5, 6)).select(
+        F.concat(F.lit("S"), (k - 1).cast("string")).alias("target"),
+        F.concat(F.lit("S"), k.cast("string")).alias("node"),
+    )
+    return manual_merge(triples, pairs).select("subj", "rel", "obj")
+
+
+ORACLE_MANUAL_MERGE = """
+    WITH t AS (
+        SELECT 'S' || CAST(CASE WHEN s_suppkey % 10 = 5 THEN s_suppkey - 1
+                                WHEN s_suppkey % 10 = 6 THEN s_suppkey - 2
+                                ELSE s_suppkey END AS VARCHAR) AS subj,
+               CAST(-3 AS INT) AS rel,
+               'N' || CAST(s_nationkey AS VARCHAR) AS obj
+        FROM supplier
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR), CAST(-3 AS INT),
+               'R' || CAST(n_regionkey AS VARCHAR)
+        FROM nation
+    )
+    SELECT DISTINCT subj, rel, obj FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# isA node-set wrapper
+# ---------------------------------------------------------------------------
+
+
+def q_isa_nodes(spark, sf_dir):
+    """``isA(fro, to)`` set form (src/netbase.cpp:2344-2363): of all
+    graph nodes, which are-a R0 — R0 itself, nations typed into R0,
+    and suppliers typed into those nations (closure subsumption)."""
+    from netbase_spark.operators.query_ops import is_a_nodes
+
+    triples = _type_triples(spark, sf_dir)
+    nodes = (
+        triples.select(F.col("subj").alias("node"))
+        .union(triples.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    return is_a_nodes(triples, nodes, "R0")
+
+
+ORACLE_ISA_NODES = """
+    WITH RECURSIVE t AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj,
+               'N' || CAST(s_nationkey AS VARCHAR) AS obj FROM supplier
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+               'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), closure AS (
+        SELECT subj AS node, obj AS anc FROM t
+        UNION
+        SELECT c.node, u.obj FROM closure c JOIN t u ON c.anc = u.subj
+    )
+    SELECT 'R0' AS node
+    UNION
+    SELECT node FROM closure WHERE anc = 'R0'
+"""
+
+
+EXT3_QUERIES = {
+    "geodb_import": q_geodb_import,
+    "manual_merge": q_manual_merge,
+    "isa_nodes": q_isa_nodes,
+}
+
+EXT3_ORACLES = {
+    "geodb_import": ORACLE_GEODB,
+    "manual_merge": ORACLE_MANUAL_MERGE,
+    "isa_nodes": ORACLE_ISA_NODES,
+}

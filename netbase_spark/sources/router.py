@@ -31,18 +31,24 @@ GEODB_INCLUDE = ("latitude", "longitude", "population", "elevation",
                  "countrycode")
 
 
-def import_geodb(spark: SparkSession, path: str) -> DataFrame:
-    """``importGeoDB`` (src/import.cpp:2330-2333): geonames TSV with the
-    include-list projection, melted to (subj, pred, obj[, obj_num])."""
+def geodb_melt(df: DataFrame) -> DataFrame:
+    """The importGeoDB projection+melt over an already-read cities
+    table with the ``GEODB_COLUMNS`` layout (asciiname subjects,
+    include-list cells)."""
     from pyspark.sql import functions as F
 
     from netbase_spark.sources.tabular import melt
 
-    df = spark.read.csv(path, sep="\t").toDF(*GEODB_COLUMNS)
     value_cols = [c for c in GEODB_COLUMNS if c != "asciiname"]
     return melt(
         df, F.col("asciiname"), value_cols, included=list(GEODB_INCLUDE)
     )
+
+
+def import_geodb(spark: SparkSession, path: str) -> DataFrame:
+    """``importGeoDB`` (src/import.cpp:2330-2333): geonames TSV with the
+    include-list projection, melted to (subj, pred, obj[, obj_num])."""
+    return geodb_melt(spark.read.csv(path, sep="\t").toDF(*GEODB_COLUMNS))
 
 
 def import_any(
