@@ -532,51 +532,39 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Heuristic language ID by stopword hits (training-data op)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
-    en = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "is", "of")))
-    de = F.size(F.filter(toks, lambda t: t.isin("der", "die", "das", "und", "ist")))
-    return docs.select(
-        "doc_id",
-        en.alias("en_hits"),
-        de.alias("de_hits"),
-        F.when(en > de, "en").when(de > en, "de").otherwise("unk").alias("lang_guess"),
-    )
+    """Heuristic language ID by stopword hits
+    (netbase_spark.operators.textstats.lang_id)."""
+    from netbase_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 def q_text_quality(spark, sf_dir):
-    """Quality scoring: token counts, stopword ratio, mean token length."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "value")))
-    n_chars = F.length(F.regexp_replace("text", " ", ""))
-    mean_len = F.expr(
-        "(100 * length(regexp_replace(text, ' ', ''))) div size(split(text, ' '))"
-    )
-    return docs.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        n_stop.alias("n_stop"),
-        n_chars.alias("n_chars"),
-        mean_len.alias("mean_len_e2"),
-    )
+    """Quality scoring: token counts, stopword ratio, mean token length
+    (netbase_spark.operators.textstats.text_quality)."""
+    from netbase_spark.operators.textstats import text_quality
+
+    return text_quality(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 def q_token_fingerprint(spark, sf_dir):
-    """Token counting + document fingerprint (md5 of normalized text)."""
-    from netbase_spark.normalize import norm_name_col
+    """Token counting + document fingerprint
+    (netbase_spark.operators.textstats.token_fingerprint)."""
+    from netbase_spark.operators.textstats import token_fingerprint
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
-        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
-            "n_word_tokens"
-        ),
-        F.md5(norm_name_col(F.col("text"))).alias("fp"),
+    return token_fingerprint(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+def q_corpus_filter(spark, sf_dir):
+    """Composed training-data corpus filter
+    (netbase_spark.operators.textstats.clean_corpus): exact-dup rank +
+    language + length + mean-token-length rules, first failing rule as
+    drop_reason, one fingerprint-window shuffle total."""
+    from netbase_spark.operators.textstats import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 def q_spans_flat(spark, sf_dir):
@@ -645,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_fingerprint": q_token_fingerprint,
+        "corpus_filter": q_corpus_filter,
         "spans_flat": q_spans_flat,
         "kg_pipeline_synth": q_kg_pipeline_synth,
     }
@@ -846,6 +835,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_word_tokens,
                    md5({NORM_SQL.format(c="text")}) AS fp
             FROM documents
+        """,
+        "corpus_filter": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN len(list_filter(string_split(text,' '),
+                                 t -> t IN ('the','a','and','is','of'))) >
+                                 len(list_filter(string_split(text,' '),
+                                 t -> t IN ('der','die','das','und','ist'))) THEN 'en'
+                            WHEN len(list_filter(string_split(text,' '),
+                                 t -> t IN ('der','die','das','und','ist'))) >
+                                 len(list_filter(string_split(text,' '),
+                                 t -> t IN ('the','a','and','is','of'))) THEN 'de'
+                            ELSE 'unk' END AS lang_guess,
+                       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                       CAST((100 * length(replace(text, ' ', ''))) //
+                            len(string_split(text, ' ')) AS BIGINT) AS mean_len_e2,
+                       md5({NORM_SQL.format(c="text")}) AS fp
+                FROM documents
+            ), ranked AS (
+                SELECT *, CAST(row_number() OVER (
+                              PARTITION BY fp ORDER BY doc_id) AS INT) AS dup_rank
+                FROM s
+            )
+            SELECT doc_id, lang_guess, n_tokens, mean_len_e2, dup_rank,
+                   CASE WHEN dup_rank > 1 THEN 'exact_dup'
+                        WHEN lang_guess = 'unk' THEN 'lang'
+                        WHEN n_tokens < 20 THEN 'too_short'
+                        WHEN mean_len_e2 < 300 OR mean_len_e2 > 520 THEN 'mean_len'
+                        END AS drop_reason,
+                   CASE WHEN dup_rank > 1 OR lang_guess = 'unk'
+                             OR n_tokens < 20
+                             OR mean_len_e2 < 300 OR mean_len_e2 > 520
+                        THEN 0 ELSE 1 END AS keep
+            FROM ranked
         """,
         "spans_flat": """
             SELECT doc_id, 0 AS span_idx, 'text' AS kind, text AS span_text,

@@ -40,6 +40,7 @@ HEADLINE = [
     "lang_id",
     "text_quality",
     "token_fingerprint",
+    "corpus_filter",
     "spans_flat",
     "n3_parse",
     "csv_melt",

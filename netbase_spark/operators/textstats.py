@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting + fingerprinting, and the composed
+corpus-cleaning filter.
+
+All pure JVM-side column plans (no Python UDF anywhere): the per-doc
+stats are map-only expressions inside whole-stage codegen; the only
+shuffle in :func:`clean_corpus` is the fingerprint window for exact-dup
+ranking (md5 keys are uniform, so no skew at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "and", "is", "of")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist")
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "value")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID by stopword hits: (doc_id, en_hits,
+    de_hits, lang_guess) with ties -> 'unk'."""
+    toks = F.split(text_col, " ")
+    en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    de = F.size(F.filter(toks, lambda t: t.isin(*DE_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        F.when(en > de, "en")
+        .when(de > en, "de")
+        .otherwise("unk")
+        .alias("lang_guess"),
+    )
+
+
+def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality stats: token count, stopword count, char count, mean
+    token length (e2-scaled int so the oracle compares exactly)."""
+    toks = F.split(text_col, " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS))
+        ).alias("n_stop"),
+        F.length(F.regexp_replace(text_col, " ", "")).alias("n_chars"),
+        F.expr(
+            f"(100 * length(regexp_replace({text_col}, ' ', '')))"
+            f" div size(split({text_col}, ' '))"
+        ).alias("mean_len_e2"),
+    )
+
+
+def token_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting (whitespace + word-regex) and document
+    fingerprint: md5 of the wordhash-normalized text."""
+    from netbase_spark.normalize import norm_name_col
+
+    return docs.select(
+        "doc_id",
+        F.size(F.split(text_col, " ")).alias("n_ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '[a-z0-9]+', 0)")
+        ).alias("n_word_tokens"),
+        F.md5(norm_name_col(F.col(text_col))).alias("fp"),
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    mean_len_range: tuple[int, int] = (300, 520),
+) -> DataFrame:
+    """Composed training-data corpus filter: per-doc keep decision with
+    the FIRST failing rule as drop_reason (priority: exact_dup > lang >
+    too_short > mean_len — cheap-to-verify rules first, mirroring the
+    reference's dropBad* line filters at import, src/import.cpp:
+    1744-1791, applied doc-level).
+
+    Rules:
+    - exact_dup: same normalized-text fingerprint as a lower doc_id
+      (first-insert-wins, src/netbase.cpp:760-767);
+    - lang: language heuristic returns 'unk' (tied stopword hits);
+    - too_short: fewer than ``min_tokens`` whitespace tokens;
+    - mean_len: e2-scaled mean token length outside
+      ``mean_len_range`` (gibberish / run-on detector).
+
+    Returns (doc_id, lang_guess, n_tokens, mean_len_e2, dup_rank,
+    drop_reason, keep).  Single pass: all stats are map-side exprs;
+    the one shuffle is the fingerprint window.
+    """
+    from netbase_spark.normalize import norm_name_col
+
+    toks = F.split(text_col, " ")
+    en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    de = F.size(F.filter(toks, lambda t: t.isin(*DE_STOPWORDS)))
+    stats = docs.select(
+        "doc_id",
+        F.when(en > de, "en")
+        .when(de > en, "de")
+        .otherwise("unk")
+        .alias("lang_guess"),
+        F.size(toks).alias("n_tokens"),
+        F.expr(
+            f"(100 * length(regexp_replace({text_col}, ' ', '')))"
+            f" div size(split({text_col}, ' '))"
+        ).alias("mean_len_e2"),
+        F.md5(norm_name_col(F.col(text_col))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    lo, hi = mean_len_range
+    ranked = stats.withColumn("dup_rank", F.row_number().over(w))
+    reason = (
+        F.when(F.col("dup_rank") > 1, "exact_dup")
+        .when(F.col("lang_guess") == "unk", "lang")
+        .when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(
+            (F.col("mean_len_e2") < lo) | (F.col("mean_len_e2") > hi),
+            "mean_len",
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "lang_guess",
+        "n_tokens",
+        "mean_len_e2",
+        "dup_rank",
+        reason.alias("drop_reason"),
+        reason.isNull().cast("int").alias("keep"),
+    )

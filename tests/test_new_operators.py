@@ -217,6 +217,32 @@ def test_near_dup_clusters_quality_tie_min_id(spark):
     assert rows == {(7, 7, 1), (8, 7, 0)}
 
 
+def test_clean_corpus_rule_priority(spark):
+    from netbase_spark.operators.textstats import clean_corpus
+
+    # en, 30 tokens, mean token length 3.3 (in the 3.0-5.2 keep band)
+    good = ("the quick brown fox and the lazy dog is of " * 3).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),  # exact dup of 1 (first-insert-wins)
+            (3, "xyz qrs " * 15),  # no stopwords -> lang unk
+            (4, "the a and is of"),  # en but < 20 tokens -> too_short
+            (5, ("the supercalifragilistic " * 15).strip()),  # mean_len high
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.drop_reason, r.keep)
+        for r in clean_corpus(docs, min_tokens=20).collect()
+    }
+    assert rows[1] == (None, 1)
+    assert rows[2] == ("exact_dup", 0)
+    assert rows[3] == ("lang", 0)
+    assert rows[4] == ("too_short", 0)
+    assert rows[5] == ("mean_len", 0)
+
+
 def test_facet_counts(spark):
     from netbase_spark.operators.query_ops import facet_counts
 
