@@ -51,6 +51,8 @@ KIND_PERSON = -106
 KIND_NUMBER = -123
 KIND_STRING = -126
 KIND_DATE = -127
+FALSE = -200  # not '0' by design (src/relations.hpp:189)
+TRUE = -201
 
 # --- extension relations ---------------------------------------------------
 # The reference materializes these as named relation Nodes created at init
@@ -108,6 +110,11 @@ REL_IDS: dict[str, int] = {v: k for k, v in REL_NAMES.items()}
 # --- predicate canonicalization (reference: src/relations.cpp:479-592) ----
 # name (case/underscore-insensitive, see normalize.norm_name) -> relation id
 PREDICATE_CANON: dict[str, int] = {
+    # wikidata ontology #Item objects resolve to the Entity meta-kind
+    # (src/relations.cpp:481)
+    "item": KIND_ENTITY,
+    "true": TRUE,
+    "false": FALSE,
     "instance": INSTANCE,
     "contains": PART,
     "broader": SUPER_CLASS,
