@@ -64,7 +64,11 @@ def upward_edges(triples: DataFrame) -> DataFrame:
     )
 
 
-def isa_closure(triples: DataFrame, max_iter: int = 10) -> DataFrame:
+def isa_closure(
+    triples: DataFrame,
+    max_iter: int = 10,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
     """(node, anc): transitive subsumption closure — the materialized
     replacement for the reference's memoized ``isA4`` recursion
     (src/query.cpp:2457-2552; memo table ``yetvisitedIsA`` 2466-2470).
@@ -79,8 +83,38 @@ def isa_closure(triples: DataFrame, max_iter: int = 10) -> DataFrame:
 
     Iterative driver-loop frontier joins (Catalyst has no recursion);
     each level localCheckpoints and frees superseded blocks.
+
+    Size-adaptive like ``connected_components``: taxonomies are
+    dimension-sized even at corpus scale, so below ``driver_threshold``
+    edges the closure is one collect + Python BFS (the distributed loop
+    costs ~4 scheduled jobs PER LEVEL); above it, the checkpointed
+    frontier loop guarantees it stays correct.  Paths proven equal by
+    tests/test_new_operators.py::test_isa_closure_driver_equals_distributed.
     """
     from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    if driver_threshold:
+        # one job decides AND fetches: the +1 row proves overflow
+        pairs = upward_edges(triples).limit(driver_threshold + 1).collect()
+    if driver_threshold and len(pairs) <= driver_threshold:
+        adj: dict = {}
+        for r in pairs:
+            adj.setdefault(r[0], set()).add(r[1])
+        rows = []
+        for n in adj:
+            seen: set = set()
+            stack = list(adj[n])
+            while stack:
+                a = stack.pop()
+                if a in seen:
+                    continue
+                seen.add(a)
+                stack.extend(adj.get(a, ()))
+            rows.extend((n, a) for a in seen if a != n)
+        f = triples.schema["subj"].dataType.simpleString()
+        return triples.sparkSession.createDataFrame(
+            rows, f"node {f}, anc {f}"
+        )
 
     edges = _pin(upward_edges(triples))
     # explicit column renames, not alias-qualified self-joins: a

@@ -180,6 +180,31 @@ def test_merge_all(spark):
     assert not any(r.src == "Q4" or r.dst == "Q4" for r in all_edges.collect())
 
 
+def test_isa_closure_driver_equals_distributed(spark):
+    """Driver BFS fast path emits the exact distributed-closure row
+    set, including through Synonym cycles and diamond shapes."""
+    from netbase_spark.operators.query_ops import isa_closure
+    from netbase_spark.relations import INSTANCE, SUB_CLASS, SUPER_CLASS, SYNONYM, TYPE
+
+    triples = spark.createDataFrame(
+        [
+            ("a", TYPE, "b"),
+            ("b", SUPER_CLASS, "c"),
+            ("c", SUB_CLASS, "b"),  # downward edge: b's anc is c (dup path)
+            ("c", SYNONYM, "d"),  # cycle c<->d
+            ("w", INSTANCE, "a"),  # a's anc is w
+            ("d", TYPE, "e"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    fast = {(r.node, r.anc) for r in isa_closure(triples).collect()}
+    slow = {
+        (r.node, r.anc)
+        for r in isa_closure(triples, driver_threshold=0).collect()
+    }
+    assert fast == slow and ("a", "e") in fast
+
+
 def test_near_dup_clusters_survivor_selection(spark):
     from netbase_spark.operators.dedup import near_dup_clusters
 
