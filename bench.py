@@ -58,6 +58,8 @@ HEADLINE = [
     "embed_neardup",
     "ann_bucketed",
     "media_features",
+    "media_resize",
+    "media_frames",
     "windowed_events",
     "sessionize",
     "query_lang",

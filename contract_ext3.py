@@ -186,14 +186,98 @@ ORACLE_ISA_NODES = """
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal resize + frame-sampling plumbing
+# ---------------------------------------------------------------------------
+
+
+def _decoded_media(spark, sf_dir, kind: str, modulo: int):
+    from netbase_spark.operators.media import decode_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.where(F.col("doc_id") % modulo == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(kind).alias("kind"),
+        F.concat(
+            F.lit("commons/"), F.md5(F.col("doc_id").cast("string")),
+            F.lit(".jpg" if kind == "image" else ".webm"),
+        ).alias("media_ref"),
+    )
+    return decode_media(media)
+
+
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize planning (operators/media.py::resize_plan):
+    aspect-preserving integer target dims clamped to max_side=256 over
+    the decoded image metadata, plus thumb refs."""
+    from netbase_spark.operators.media import resize_plan
+
+    return resize_plan(_decoded_media(spark, sf_dir, "image", 2), max_side=256)
+
+
+ORACLE_MEDIA_RESIZE = """
+    WITH media AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'commons/' || md5(CAST(doc_id AS VARCHAR)) || '.jpg' AS media_ref
+        FROM documents WHERE doc_id % 2 = 0
+    ), dims AS (
+        SELECT doc_id, media_ref,
+               CAST(('0x' || substr(md5(media_ref), 1, 4))::BIGINT % 4096 AS INT) AS width,
+               CAST(('0x' || substr(md5(media_ref), 5, 4))::BIGINT % 4096 AS INT) AS height
+        FROM media
+    )
+    SELECT doc_id, media_ref, width, height,
+           CAST(CASE WHEN greatest(width, height) > 256
+                     THEN (width * 256) // greatest(width, height)
+                     ELSE width END AS INT) AS new_width,
+           CAST(CASE WHEN greatest(width, height) > 256
+                     THEN (height * 256) // greatest(width, height)
+                     ELSE height END AS INT) AS new_height,
+           media_ref || '#256px' AS thumb_ref
+    FROM dims
+"""
+
+
+def q_media_frames(spark, sf_dir):
+    """Multimodal frame sampling (operators/media.py::sample_frames):
+    one row per 60s sample point through each video's decoded duration,
+    with #t= fragment refs."""
+    from netbase_spark.operators.media import sample_frames
+
+    return sample_frames(
+        _decoded_media(spark, sf_dir, "video", 3), every_ms=60000
+    )
+
+
+ORACLE_MEDIA_FRAMES = """
+    WITH media AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'commons/' || md5(CAST(doc_id AS VARCHAR)) || '.webm' AS media_ref
+        FROM documents WHERE doc_id % 3 = 0
+    ), timed AS (
+        SELECT doc_id, media_ref,
+               CAST(('0x' || substr(md5(media_ref), 9, 4))::BIGINT % 600000 AS INT) AS duration_ms
+        FROM media
+    )
+    SELECT doc_id, media_ref,
+           CAST(unnest(range(0, duration_ms + 1, 60000)) AS INT) AS frame_ms,
+           media_ref || '#t=' || CAST(unnest(range(0, duration_ms + 1, 60000)) AS VARCHAR) AS frame_ref
+    FROM timed
+"""
+
+
 EXT3_QUERIES = {
     "geodb_import": q_geodb_import,
     "manual_merge": q_manual_merge,
     "isa_nodes": q_isa_nodes,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
 }
 
 EXT3_ORACLES = {
     "geodb_import": ORACLE_GEODB,
     "manual_merge": ORACLE_MANUAL_MERGE,
     "isa_nodes": ORACLE_ISA_NODES,
+    "media_resize": ORACLE_MEDIA_RESIZE,
+    "media_frames": ORACLE_MEDIA_FRAMES,
 }

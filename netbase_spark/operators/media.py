@@ -105,6 +105,64 @@ def decode_media(media: DataFrame) -> DataFrame:
     ).mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
 
 
+def resize_plan(features: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning over decoded metadata: aspect-preserving target
+    dims with the longest side clamped to ``max_side`` (no upscale) and
+    a thumb ref per item.  The dimension math and ref naming are the
+    real Spark-side plumbing (pure JVM column exprs — integer division
+    so the oracle reproduces it exactly); pixel resampling itself is
+    the decoder core's job and stays stubbed in this sandbox like
+    ``_decode_core``.
+    """
+    m = F.greatest("width", "height")
+    scale = m > max_side
+    return features.where(
+        F.col("width").isNotNull() & F.col("height").isNotNull()
+    ).select(
+        "doc_id",
+        "media_ref",
+        "width",
+        "height",
+        F.when(scale, F.expr(f"(width * {max_side}) div greatest(width, height)"))
+        .otherwise(F.col("width"))
+        .cast("int")
+        .alias("new_width"),
+        F.when(scale, F.expr(f"(height * {max_side}) div greatest(width, height)"))
+        .otherwise(F.col("height"))
+        .cast("int")
+        .alias("new_height"),
+        F.concat(F.col("media_ref"), F.lit(f"#{max_side}px")).alias(
+            "thumb_ref"
+        ),
+    )
+
+
+def sample_frames(features: DataFrame, every_ms: int = 60000) -> DataFrame:
+    """Frame-sampling plan for timed media: one row per sample point at
+    ``every_ms`` intervals (0-inclusive through duration), with a
+    ``#t=<ms>`` fragment ref per frame.  JVM-side
+    ``explode(sequence(...))`` — the row fan-out IS the Spark-side
+    work; actual frame extraction is the (stubbed) decoder core's."""
+    return (
+        features.where(F.col("duration_ms").isNotNull())
+        .select(
+            "doc_id",
+            "media_ref",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ms"),
+        )
+        .withColumn(
+            "frame_ref",
+            F.concat(
+                F.col("media_ref"),
+                F.lit("#t="),
+                F.col("frame_ms").cast("string"),
+            ),
+        )
+    )
+
+
 def format_image(name, size: int = 200, thumb: bool = False):
     """``formatImage`` commons-URL scheme (src/netbase.cpp:2455-2467):
     spaces become underscores, a leading ``...File:`` head is cut,

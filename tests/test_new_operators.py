@@ -180,6 +180,33 @@ def test_merge_all(spark):
     assert not any(r.src == "Q4" or r.dst == "Q4" for r in all_edges.collect())
 
 
+def test_media_resize_and_frame_sampling(spark):
+    from netbase_spark.operators.media import resize_plan, sample_frames
+
+    feats = spark.createDataFrame(
+        [
+            ("1", "a.jpg", 512, 256, None),
+            ("2", "b.jpg", 100, 200, None),  # under max_side: unchanged
+            ("3", "c.webm", None, None, 130000),
+        ],
+        "doc_id string, media_ref string, width int, height int, duration_ms int",
+    )
+    r = {
+        row.media_ref: (row.new_width, row.new_height, row.thumb_ref)
+        for row in resize_plan(feats, max_side=256).collect()
+    }
+    assert r == {
+        "a.jpg": (256, 128, "a.jpg#256px"),
+        "b.jpg": (100, 200, "b.jpg#256px"),
+    }
+    frames = sample_frames(feats, every_ms=60000).collect()
+    assert [(f.frame_ms, f.frame_ref) for f in frames] == [
+        (0, "c.webm#t=0"),
+        (60000, "c.webm#t=60000"),
+        (120000, "c.webm#t=120000"),
+    ]
+
+
 def test_isa_closure_driver_equals_distributed(spark):
     """Driver BFS fast path emits the exact distributed-closure row
     set, including through Synonym cycles and diamond shapes."""
