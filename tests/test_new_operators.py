@@ -180,6 +180,40 @@ def test_merge_all(spark):
     assert not any(r.src == "Q4" or r.dst == "Q4" for r in all_edges.collect())
 
 
+def test_bucketed_subj_join_has_no_exchange(spark, tmp_path):
+    """A subj-keyed self-join over the bucketed triple table must plan
+    as a co-located (zero-Exchange) join — the whole point of bucketing
+    at corpus scale."""
+    from netbase_spark.operators.materialize import write_triples_bucketed
+
+    triples = spark.range(200).selectExpr(
+        "concat('S', id % 40) AS subj",
+        "cast(-3 as int) AS rel",
+        "concat('O', id) AS obj",
+    )
+    write_triples_bucketed(
+        triples, "t_bucket_test", buckets=4, path=str(tmp_path / "tb")
+    )
+    try:
+        t = spark.table("t_bucket_test")
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t.alias("a").join(
+                t.alias("b"), F.col("a.subj") == F.col("b.subj")
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:2000]
+            assert j.count() == sum(
+                n * n for n in [5] * 40
+            )  # 40 subjects x 5 rows each
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_test")
+
+
 def test_media_resize_and_frame_sampling(spark):
     from netbase_spark.operators.media import resize_plan, sample_frames
 
