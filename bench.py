@@ -90,6 +90,10 @@ HEADLINE = [
     "geodb_import",
     "manual_merge",
     "isa_nodes",
+    "getnew_alloc",
+    "image_triples",
+    "singleton_nodes",
+    "statement_nr",
 ]
 
 
