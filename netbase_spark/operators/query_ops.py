@@ -257,6 +257,7 @@ def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
     max_depth: int = 10,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Multi-source BFS: edges(src, dst), sources(node) ->
     (node, root, depth) minimal hop count from each source.
@@ -265,8 +266,41 @@ def bfs_distances(
     level persists + materializes, superseded levels unpersist (bounded
     executor memory over long traversals).  ``getFurthest``/``findPath``
     are wrappers over these distances.
+
+    Size-adaptive like ``isa_closure``/``connected_components``: BFS
+    runs on taxonomy/meronymy edge sets, which are dimension-sized, so
+    below ``driver_threshold`` edges one collect + Python BFS replaces
+    ~4 scheduled jobs per level; the distributed loop remains the
+    large-graph guarantee.  Paths proven equal by
+    test_bfs_driver_equals_distributed.
     """
     from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    if driver_threshold:
+        pairs = edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    if driver_threshold and len(pairs) <= driver_threshold:
+        adj: dict = {}
+        for r in pairs:
+            adj.setdefault(r[0], []).append(r[1])
+        rows = []
+        for (root,) in sources.select("node").collect():
+            seen = {root: 0}
+            frontier = [root]
+            for d in range(1, max_depth + 1):
+                nxt = []
+                for n in frontier:
+                    for m in adj.get(n, ()):
+                        if m not in seen:
+                            seen[m] = d
+                            nxt.append(m)
+                if not nxt:
+                    break
+                frontier = nxt
+            rows.extend((n, root, d) for n, d in seen.items())
+        f = sources.schema["node"].dataType.simpleString()
+        return sources.sparkSession.createDataFrame(
+            rows, f"node {f}, root {f}, depth int"
+        )
 
     visited = _pin(
         sources.select(

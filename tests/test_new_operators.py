@@ -266,6 +266,35 @@ def test_isa_closure_driver_equals_distributed(spark):
     assert fast == slow and ("a", "e") in fast
 
 
+def test_bfs_driver_equals_distributed(spark):
+    """Driver BFS fast path emits the exact distributed (node, root,
+    depth) rows — minimal depths through diamonds, cycles, multi-root
+    overlap."""
+    from netbase_spark.operators.query_ops import bfs_distances
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("a", "c"),  # diamond: c at depth 1
+            ("c", "a"),  # cycle
+            ("c", "d"), ("x", "d"),  # d reachable from both roots
+        ],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("a",), ("x",)], "node string")
+    fast = {
+        (r.node, r.root, r.depth)
+        for r in bfs_distances(edges, sources, max_depth=5).collect()
+    }
+    slow = {
+        (r.node, r.root, r.depth)
+        for r in bfs_distances(
+            edges, sources, max_depth=5, driver_threshold=0
+        ).collect()
+    }
+    assert fast == slow
+    assert ("c", "a", 1) in fast and ("d", "x", 1) in fast
+
+
 def test_near_dup_clusters_survivor_selection(spark):
     from netbase_spark.operators.dedup import near_dup_clusters
 
