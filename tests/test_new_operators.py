@@ -318,6 +318,58 @@ def test_near_dup_clusters_survivor_selection(spark):
     }
 
 
+def test_near_dup_clusters_random_graphs_vs_naive(spark):
+    """Seeded random pair graphs vs a naive Python CC + survivor
+    pick — independent of the operator's union-find/window machinery."""
+    import random
+
+    from netbase_spark.operators.dedup import near_dup_clusters
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 40
+        quality = {i: rng.randrange(1000) for i in range(n)}
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(5, 30))
+            }
+        )
+        # naive: label propagation to fixpoint, then best-quality keep
+        rep = {i: i for i in range(n)}
+
+        def find(x):
+            while rep[x] != x:
+                x = rep[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                rep[max(ra, rb)] = min(ra, rb)
+        clusters: dict = {}
+        for i in range(n):
+            clusters.setdefault(find(i), []).append(i)
+        want = set()
+        for members in clusters.values():
+            cid = min(members)
+            best = max(members, key=lambda i: (quality[i], -i))
+            for i in members:
+                want.add((i, cid, 1 if i == best else 0))
+
+        docs = spark.createDataFrame(
+            [(i, quality[i]) for i in range(n)], "doc_id long, n_chars long"
+        )
+        pairs_df = spark.createDataFrame(
+            pairs or [(0, 0)], "a long, b long"
+        ).where(F.col("a") != F.col("b"))
+        got = {
+            (r.doc_id, r.cluster_id, r.keep)
+            for r in near_dup_clusters(docs, pairs_df).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
 def test_near_dup_clusters_quality_tie_min_id(spark):
     from netbase_spark.operators.dedup import near_dup_clusters
 
