@@ -298,8 +298,13 @@ def near_dup_clusters(
     """
     from pyspark.sql import Window
 
-    from netbase_spark.operators.canonicalize import connected_components
+    from netbase_spark.operators.canonicalize import _pin, connected_components
 
+    # the pairs DAG is typically EXPENSIVE (shingle/signature joins);
+    # it feeds the CC probe, the CC solve, the member-id union and two
+    # joins below — materialize once (candidate-sized; stays cached for
+    # the consumer's lifetime)
+    pairs = _pin(pairs.select("a", "b"))
     mapping = connected_components(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
