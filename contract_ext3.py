@@ -266,10 +266,87 @@ ORACLE_MEDIA_FRAMES = """
 """
 
 
+# ---------------------------------------------------------------------------
+# findProperties / getType property retrieval
+# ---------------------------------------------------------------------------
+
+
+def q_find_properties(spark, sf_dir):
+    """``findProperties(name, prop)`` with instance expansion
+    (operators/query_ops.py::find_properties; src/query.cpp:2295-2350):
+    query four nations for Type — direct hits are each nation's region,
+    instance expansion pulls the ACTIVE flag typed onto the nation's
+    even-keyed suppliers, the inverse retry surfaces the suppliers
+    typed INTO the nation.  Direct outranks inverse, top-15 per name."""
+    from netbase_spark.operators.query_ops import find_properties
+    from netbase_spark.relations import INSTANCE
+
+    supplier = _t(spark, sf_dir, "supplier")
+    inst = supplier.select(
+        _sk("s_nationkey", "N").alias("subj"),
+        F.lit(INSTANCE).alias("rel"),
+        _sk("s_suppkey", "S").alias("obj"),
+    )
+    active = supplier.where(F.col("s_suppkey") % 2 == 0).select(
+        _sk("s_suppkey", "S").alias("subj"),
+        F.lit(TYPE).alias("rel"),
+        F.lit("ACTIVE").alias("obj"),
+    )
+    triples = _type_triples(spark, sf_dir).unionByName(inst).unionByName(active)
+    return find_properties(
+        triples, ["N0", "N5", "N7", "N13"], TYPE, result_limit=15
+    )
+
+
+ORACLE_FIND_PROPERTIES = """
+    WITH names(name) AS (VALUES ('N0'), ('N5'), ('N7'), ('N13')),
+    tri AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj, -3 AS rel,
+               'N' || CAST(s_nationkey AS VARCHAR) AS obj FROM supplier
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR), -3,
+               'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'N' || CAST(s_nationkey AS VARCHAR), -4,
+               'S' || CAST(s_suppkey AS VARCHAR) FROM supplier
+        UNION ALL
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR), -3, 'ACTIVE'
+        FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    inst AS (
+        SELECT n.name, t.obj AS node
+        FROM tri t JOIN names n ON t.subj = n.name AND t.rel = -4
+    ),
+    nodes AS (
+        SELECT name, name AS node FROM names
+        UNION ALL SELECT name, node FROM inst
+    ),
+    rel_rows AS (SELECT * FROM tri WHERE rel = -3),
+    hits AS (
+        SELECT n.name, t.obj AS value, 'direct' AS via
+        FROM rel_rows t JOIN nodes n ON t.subj = n.node
+        UNION ALL
+        SELECT n.name, t.subj AS value, 'inverse' AS via
+        FROM rel_rows t JOIN nodes n ON t.obj = n.node
+    ),
+    merged AS (
+        SELECT name, value, MIN(via) AS via FROM hits
+        WHERE name <> value GROUP BY name, value
+    ),
+    ranked AS (
+        SELECT name, value, via,
+               ROW_NUMBER() OVER (PARTITION BY name ORDER BY via, value) AS rk
+        FROM merged
+    )
+    SELECT name, value, via FROM ranked WHERE rk <= 15
+"""
+
+
 EXT3_QUERIES = {
     "geodb_import": q_geodb_import,
     "manual_merge": q_manual_merge,
     "isa_nodes": q_isa_nodes,
+    "find_properties": q_find_properties,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
 }
@@ -278,6 +355,7 @@ EXT3_ORACLES = {
     "geodb_import": ORACLE_GEODB,
     "manual_merge": ORACLE_MANUAL_MERGE,
     "isa_nodes": ORACLE_ISA_NODES,
+    "find_properties": ORACLE_FIND_PROPERTIES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_frames": ORACLE_MEDIA_FRAMES,
 }

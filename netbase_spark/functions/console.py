@@ -26,9 +26,19 @@ from pyspark.sql import functions as F
 class Console:
     """One reference-console session over a triple table."""
 
-    def __init__(self, spark: SparkSession, triples: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame,
+        alias_names: list[str] | None = None,
+        blacklist: set[str] | None = None,
+    ):
         self.spark = spark
         self.triples = triples
+        # gazetteer for :entities; defaults lazily to the node-name set
+        # (ids ARE display names in the console model)
+        self.alias_names = alias_names
+        self.blacklist = blacklist or set()
         self.limit: int | None = 200  # resultLimit default (webserver.cpp:41)
         # :include/:exclude predicate view filters (console.cpp:
         # 1555-1585 testInclude; netbase.js:8 id-predicate hiding)
@@ -184,6 +194,67 @@ class Console:
             from netbase_spark.sources.router import import_any
 
             return import_any(self.spark, rest)
+        if c in (":entities", ":ee"):
+            # entity linking over ad-hoc text (console.cpp ":entities";
+            # webserver.cpp "ee/" handler, 95-527)
+            from netbase_spark.operators.mentions import detect_mentions_text
+
+            if self.alias_names is None:
+                self.alias_names = [
+                    r["k"]
+                    for r in self.triples.select(F.col("subj").alias("k"))
+                    .unionByName(self.triples.select(F.col("obj").alias("k")))
+                    .distinct()
+                    .limit(100000)  # lookupLimit-style bound (netbase.hpp:253)
+                    .collect()
+                ]
+            texts = self.spark.createDataFrame(
+                [("console", rest)], "doc_id string, text string"
+            )
+            return detect_mentions_text(texts, self.alias_names, self.blacklist)
+        if c in (":seo",):
+            # buildSeoIndex lookup (src/netbase.cpp:2555-2593)
+            from netbase_spark.normalize import seo_slug_col
+            from netbase_spark.operators.gazetteer import seo_index
+            from netbase_spark.operators.materialize import node_degrees
+
+            labels = (
+                self.triples.select(F.col("subj").alias("key"))
+                .unionByName(self.triples.select(F.col("obj").alias("key")))
+                .distinct()
+                .select("key", F.col("key").alias("label"))
+            )
+            idx = seo_index(labels, node_degrees(self.triples))
+            probe = self.spark.createDataFrame([(rest,)], "q string").select(
+                seo_slug_col(F.col("q")).alias("slug")
+            )
+            return idx.join(F.broadcast(probe), "slug")
+        if c in (":type",):
+            # getType (src/query.cpp:2128-2133)
+            from netbase_spark.operators.query_ops import get_type
+
+            return get_type(self.triples, [rest.lower()])
+        if c in (":tree", ":subclasses"):
+            line = f"subclasses of {rest}"
+            cmd = ""
+            c = ""
+        if c in (":label", ":abstract") and rest:
+            # setLabel rename (src/netbase.cpp:2385-2427): in the
+            # console model node ids ARE names, so renaming is a
+            # broadcast rewrite of the triple table
+            from netbase_spark.operators.canonicalize import rewrite_triples
+
+            parts = rest.split(None, 1)
+            if len(parts) == 2:
+                mapping = self.spark.createDataFrame(
+                    [(parts[0], parts[1])], "node string, rep string"
+                )
+                self.triples = rewrite_triples(self.triples, mapping)
+                return self.triples
+        if c in (":more",):
+            # :more doubles the page (console.cpp:240-244)
+            self.limit = (self.limit or 200) * 2
+            return None
         if c in (":include", ":exclude"):
             from netbase_spark.operators.mutate import rel_id_for
 

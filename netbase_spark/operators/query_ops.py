@@ -17,7 +17,7 @@ frontier joins with localCheckpoint per level.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from netbase_spark.relations import (
@@ -802,4 +802,94 @@ def is_a_nodes(
     )
     return (
         direct.unionByName(sub).unionByName(pred).unionByName(via_inst).distinct()
+    )
+
+
+def find_properties(
+    triples: DataFrame,
+    names: DataFrame | list[str] | tuple[str, ...],
+    rel: int,
+    allow_inverse: bool = True,
+    result_limit: int | None = 200,
+    instance_cap: int | None = 10000,
+) -> DataFrame:
+    """``findProperties(name, prop)`` (src/query.cpp:2295-2350): expand
+    each query name to itself plus its direct instances
+    (``instanceFilter``, src/query.cpp:2343-2345 — "type of Carlos
+    Barbot" answers from the instance's statements), then gather the
+    property values for ``rel``: objects of ``(node, rel, ?)`` rows
+    plus, when ``allow_inverse``, subjects of ``(?, rel, node)`` rows
+    (the inverse retry, src/query.cpp:2302-2306).  Returns
+    ``(name, value, via)`` with a direct hit preferred when the same
+    value is reachable both ways (the reference pushes direct objects
+    before inverse subjects) and a per-name cap mirroring
+    ``resultLimit`` (src/webserver.cpp:41).
+
+    ``names`` is a one-column ``name`` DataFrame or a Python list of
+    already-normalized keys.  Scale shape: the name side (plus its
+    instance expansion, capped at ``instance_cap`` per name — the
+    reference's lookupLimit=10000 guard, src/netbase.hpp:253-258) is
+    broadcast; the triple side is only ever filtered on ``rel`` — a
+    pushdown that prunes to one predicate partition of the
+    rel-partitioned triple layout — and never shuffled."""
+    spark = triples.sparkSession
+    if isinstance(names, (list, tuple)):
+        names = spark.createDataFrame([(n,) for n in names], "name string")
+    names = names.select("name").distinct()
+
+    inst = (
+        triples.where(F.col("rel") == INSTANCE)
+        .join(F.broadcast(names), F.col("subj") == F.col("name"))
+        .select("name", F.col("obj").alias("node"))
+    )
+    if instance_cap:
+        w = Window.partitionBy("name").orderBy("node")
+        inst = (
+            inst.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= instance_cap)
+            .drop("_rk")
+        )
+    nodes = names.select(
+        "name", F.col("name").alias("node")
+    ).unionByName(inst)
+
+    rel_rows = triples.where(F.col("rel") == rel)
+    direct = rel_rows.join(
+        F.broadcast(nodes), rel_rows["subj"] == nodes["node"]
+    ).select("name", F.col("obj").alias("value"), F.lit("direct").alias("via"))
+    out = direct
+    if allow_inverse:
+        inverse = rel_rows.join(
+            F.broadcast(nodes), rel_rows["obj"] == nodes["node"]
+        ).select(
+            "name", F.col("subj").alias("value"), F.lit("inverse").alias("via")
+        )
+        out = out.unionByName(inverse)
+    # contains() dedup, direct wins ('direct' < 'inverse')
+    out = out.where(F.col("name") != F.col("value")).groupBy(
+        "name", "value"
+    ).agg(F.min("via").alias("via"))
+    if result_limit:
+        w = Window.partitionBy("name").orderBy("via", "value")
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= result_limit)
+            .drop("_rk")
+        )
+    return out
+
+
+def get_type(triples: DataFrame, names: DataFrame | list[str]) -> DataFrame:
+    """``getType`` (src/query.cpp:2128-2133) = first Type property per
+    node, set-form: (name, type).  Direct edges outrank inverse, ties
+    break on value — a deterministic stand-in for the reference's
+    statement-chain-order "first"."""
+    from netbase_spark.relations import TYPE
+
+    props = find_properties(triples, names, TYPE, result_limit=None)
+    w = Window.partitionBy("name").orderBy("via", "value")
+    return (
+        props.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("name", F.col("value").alias("type"))
     )

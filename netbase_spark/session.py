@@ -12,7 +12,12 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str = "48g",
     extra: dict | None = None,
+    inherit_master: bool = False,
 ):
+    """``inherit_master=True`` leaves ``spark.master`` (and driver memory)
+    to whatever launched the JVM — i.e. ``spark-submit --master ...`` per
+    the north rule's cluster run mode; ``cpus`` then only sizes shuffle
+    parallelism."""
     from pyspark.sql import SparkSession
 
     if cpus is None:
@@ -21,9 +26,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    b = SparkSession.builder
+    if not inherit_master:
+        b = b.master(f"local[{cpus}]").config("spark.driver.memory", driver_memory)
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -34,7 +41,6 @@ def get_spark(
         # with parallelism; 16m keeps them wide without hurting at scale
         # (AQE still respects parallelismFirst)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-        .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

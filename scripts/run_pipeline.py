@@ -4,17 +4,31 @@ interleaved corpus: stage metrics, lineage, resume, and P/R vs the
 reference-rule oracle.
 
 Usage: python scripts/run_pipeline.py [--docs 200] [--out DIR] [--resume]
+
+Cluster run mode (north rule): the same script is the spark-submit
+driver — ``scripts/submit_pipeline.sh`` zips the package and runs
+``spark-submit --master local[N] --py-files dist/netbase_spark.zip
+run_pipeline.py --from-submit`` from OUTSIDE the repo, so the package
+reaches the driver and every Python UDF worker only through
+``--py-files`` (the reference is a single shared-memory process,
+src/netbase.hpp:617; distribution via py-files zip is the Spark analog
+of its deploy story).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
+import time
 
-sys.path.insert(0, "/root/repo")
+try:
+    import netbase_spark  # noqa: F401  (spark-submit --py-files / installed)
+except ImportError:  # plain `python scripts/run_pipeline.py` from anywhere
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -23,6 +37,9 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--from-submit", action="store_true",
+                    help="inherit spark.master from spark-submit instead of "
+                         "building a local[N] session")
     args = ap.parse_args()
 
     from netbase_spark.data.fixtures import (
@@ -39,6 +56,7 @@ def main():
 
     out = args.out or tempfile.mkdtemp(prefix="kg_out_")
     spark = get_spark(app="run_pipeline", cpus=args.cpus,
+                      inherit_master=args.from_submit,
                       extra={"spark.ui.showConsoleProgress": "false"})
 
     labels = labels_fixture()
@@ -53,7 +71,10 @@ def main():
     docs = docs_df(spark, args.docs, seed=42, partitions=args.cpus)
 
     pipe = Pipeline(spark, out, resume=True)
+    t0 = time.monotonic()
     triples = pipe.run(docs, labels_df, blacklist_fixture(), raw_triples=syn_df)
+    wall = time.monotonic() - t0  # every stage is materialized by pipe.run;
+    # the collect below only feeds the driver-side P/R check (scaffolding)
     got = {(r.subj, r.rel, r.obj) for r in triples.collect()}
 
     expected = oracle_triples(
@@ -65,6 +86,9 @@ def main():
 
     print(json.dumps({
         "out": out,
+        "master": spark.sparkContext.master,
+        "sec": round(wall, 2),
+        "triples_per_sec": int(len(got) / wall) if wall else 0,
         "stages": pipe.metrics,
         "triples": len(got),
         "oracle_triples": len(expected),

@@ -962,3 +962,52 @@ def test_enrich_entities(spark):
     assert got["topic"] == "place"  # furthest ancestor, not the direct type
     assert got["degree"] == 2
     assert got["seo"] == "alte-stadt"
+
+
+def test_find_properties_instance_expansion_and_inverse(spark):
+    """findProperties semantics (src/query.cpp:2295-2350; testFreebase's
+    findProperties("Carlos Barbot","type") shape, src/tests.cpp:1438):
+    instance expansion contributes the instance's own property values,
+    inverse subjects appear only with allow_inverse, direct wins the
+    via tie."""
+    from netbase_spark.operators.query_ops import find_properties, get_type
+
+    t = _tri(
+        spark,
+        [
+            ("carlos barbot", INSTANCE, "barbot_q1"),  # instanceFilter edge
+            ("barbot_q1", TYPE, "person"),             # instance's type
+            ("carlos barbot", TYPE, "author"),         # own direct type
+            ("fan_page", TYPE, "carlos barbot"),       # inverse subject
+            ("person", TYPE, "class"),                 # unrelated to query
+        ],
+    )
+    got = {
+        (r["name"], r["value"], r["via"])
+        for r in find_properties(t, ["carlos barbot"], TYPE).collect()
+    }
+    assert got == {
+        ("carlos barbot", "author", "direct"),
+        ("carlos barbot", "person", "direct"),
+        ("carlos barbot", "fan_page", "inverse"),
+    }
+    no_inv = {
+        r["value"]
+        for r in find_properties(
+            t, ["carlos barbot"], TYPE, allow_inverse=False
+        ).collect()
+    }
+    assert no_inv == {"author", "person"}
+    # direct beats inverse when the same value is reachable both ways
+    t2 = _tri(
+        spark,
+        [("a", TYPE, "b"), ("b", TYPE, "a")],
+    )
+    got2 = {
+        (r["value"], r["via"])
+        for r in find_properties(t2, ["a"], TYPE).collect()
+    }
+    assert got2 == {("b", "direct")}
+    # getType picks one deterministic first type per name
+    ty = {r["name"]: r["type"] for r in get_type(t, ["carlos barbot"]).collect()}
+    assert ty == {"carlos barbot": "author"}

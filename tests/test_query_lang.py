@@ -187,3 +187,44 @@ def test_console_nl_forms_and_view_filters(spark):
     con.execute(":include color")
     rows = con.execute("rex").collect()
     assert [r["rel"] for r in rows] == [rel_id_for("color")]
+
+
+def test_console_entities_seo_type_tree_label_more(spark):
+    """Round-2 console additions: :entities ad-hoc EL (console.cpp
+    ':entities'/webserver 'ee/'), :seo slug lookup (netbase.cpp:
+    2555-2593), :type (query.cpp:2128), :tree subclass walk, :label
+    rename rewrite (netbase.cpp:2385-2427), :more page doubling
+    (console.cpp:240-244)."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.functions.console import Console
+    from netbase_spark.relations import SUB_CLASS, TYPE
+
+    t = spark.createDataFrame(
+        [
+            ("new york", TYPE, "city", "r", None),
+            ("city", SUB_CLASS, "metropolis", "r", None),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    con = Console(spark, t)
+
+    ents = {r["alias_key"] for r in con.execute(":entities I love New York").collect()}
+    assert "new york" in ents
+
+    seo = con.execute(":seo New_York").collect()
+    assert len(seo) == 1 and seo[0]["key"] == "new york"
+
+    ty = con.execute(":type new york").collect()
+    assert ty and ty[0]["type"] == "city"
+
+    tree = {r["node"] for r in con.execute(":tree city").collect()}
+    assert tree == {"metropolis"}
+
+    con.execute(":label city gotham")
+    assert con.triples.where(F.col("obj") == "gotham").count() == 1
+    assert con.triples.where(F.col("obj") == "city").count() == 0
+
+    con.execute("limit 5")
+    con.execute(":more")
+    assert con.limit == 10
