@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--from-submit", action="store_true",
                     help="inherit spark.master from spark-submit instead of "
                          "building a local[N] session")
+    ap.add_argument("--no-oracle", action="store_true",
+                    help="skip the driver-side P/R check (single-threaded "
+                         "pure-Python oracle — scaffolding, not pipeline; "
+                         "use for large-corpus throughput runs where P/R is "
+                         "already gated at smaller doc counts)")
     args = ap.parse_args()
 
     from netbase_spark.data.fixtures import (
@@ -74,32 +79,37 @@ def main():
     t0 = time.monotonic()
     triples = pipe.run(docs, labels_df, blacklist_fixture(), raw_triples=syn_df)
     wall = time.monotonic() - t0  # every stage is materialized by pipe.run;
-    # the collect below only feeds the driver-side P/R check (scaffolding)
-    got = {(r.subj, r.rel, r.obj) for r in triples.collect()}
-
-    expected = oracle_triples(
-        labels, docs_local(args.docs, seed=42), blacklist_fixture(), synonym_pairs()
-    )
-    tp = len(got & expected)
-    p = tp / len(got) if got else 0.0
-    r = tp / len(expected) if expected else 0.0
+    # everything below only feeds the driver-side P/R check (scaffolding)
+    if args.no_oracle:
+        n_triples = triples.count()
+        p = r = None
+    else:
+        got = {(r.subj, r.rel, r.obj) for r in triples.collect()}
+        n_triples = len(got)
+        expected = oracle_triples(
+            labels, docs_local(args.docs, seed=42), blacklist_fixture(),
+            synonym_pairs()
+        )
+        tp = len(got & expected)
+        p = tp / len(got) if got else 0.0
+        r = tp / len(expected) if expected else 0.0
 
     print(json.dumps({
         "out": out,
         "master": spark.sparkContext.master,
         "sec": round(wall, 2),
-        "triples_per_sec": int(len(got) / wall) if wall else 0,
+        "triples_per_sec": int(n_triples / wall) if wall else 0,
         "stages": pipe.metrics,
-        "triples": len(got),
-        "oracle_triples": len(expected),
-        "precision": round(p, 4),
-        "recall": round(r, 4),
-        "pr_gate": bool(p >= 0.95 and r >= 0.95),
+        "triples": n_triples,
+        "oracle_triples": None if p is None else len(expected),
+        "precision": None if p is None else round(p, 4),
+        "recall": None if r is None else round(r, 4),
+        "pr_gate": None if p is None else bool(p >= 0.95 and r >= 0.95),
     }, indent=2))
 
     if not args.keep and args.out is None:
         shutil.rmtree(out, ignore_errors=True)
-    if not (p >= 0.95 and r >= 0.95):
+    if p is not None and not (p >= 0.95 and r >= 0.95):
         sys.exit(1)
 
 

@@ -5,12 +5,13 @@
 # reach the driver and the Python UDF workers ONLY through --py-files —
 # exactly what a multi-executor cluster submission exercises.
 #
-# Usage: scripts/submit_pipeline.sh [cores] [docs]
+# Usage: scripts/submit_pipeline.sh [cores] [docs] [extra run_pipeline args...]
 set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CORES="${1:-8}"
 DOCS="${2:-2000}"
+shift $(( $# > 2 ? 2 : $# ))
 
 mkdir -p "$REPO/dist"
 rm -f "$REPO/dist/netbase_spark.zip"
@@ -25,4 +26,4 @@ spark-submit \
   --master "local[$CORES]" \
   --driver-memory "${DRIVER_MEM:-24g}" \
   --py-files "$REPO/dist/netbase_spark.zip" \
-  run_pipeline.py --from-submit --cpus "$CORES" --docs "$DOCS"
+  run_pipeline.py --from-submit --cpus "$CORES" --docs "$DOCS" "$@"

@@ -808,3 +808,85 @@ def test_geodb_query_battery(spark, tmp_path):
         for r in run_graph_query("all cities with countrycode=AD", triples).collect()
     )
     assert a == b
+
+
+# --- testImportExport (src/tests.cpp:673-758) ------------------------------
+
+
+def test_import_export_name_hierarchy(spark):
+    """The firstname subsumption battery: instances climb Instance
+    edges; ``is_a`` (= Parent = SuperClass, src/netbase.hpp:544,
+    src/relations.cpp:163) edges added LATER extend the closure —
+    isA(Ahney, name) only holds once ``female firstname is_a name``
+    is asserted; allInstances collects through subclass expansion
+    (checks at src/tests.cpp:696-757)."""
+    from netbase_spark.operators.query_ops import all_instances, is_a_nodes
+
+    def isa(tri, node, to):
+        nodes = tri.sparkSession.createDataFrame([(node,)], "node string")
+        return is_a_nodes(tri, nodes, to).count() > 0
+
+    t = _spark_triples(
+        spark,
+        [
+            ("female firstname", INSTANCE, "zilla"),
+            ("female firstname", INSTANCE, "ahney"),
+            ("female firstname", INSTANCE, "jenny"),
+            ("male firstname", INSTANCE, "james"),
+        ],
+    )
+    assert isa(t, "zilla", "female firstname")   # check(isA(a(Zilla), _(female firstname)))
+    assert isa(t, "james", "male firstname")     # check(isA(word(James), _(male firstname)))
+    assert not isa(t, "zilla", "name")           # no is_a edge yet
+
+    # addStatement(a(female firstname), is_a, a(name)) -> isA(Ahney, name)
+    t2 = t.unionByName(
+        _spark_triples(spark, [("female firstname", SUPER_CLASS, "name")])
+    )
+    assert isa(t2, "ahney", "name")
+    assert isa(t2, "zilla", "name")
+    assert isa(t2, "female firstname", "name")
+    assert not isa(t2, "james", "name")          # male branch not linked yet
+
+    # addStatement(a(firstname), is_a, a(name)) + branch links
+    t3 = t2.unionByName(
+        _spark_triples(
+            spark,
+            [
+                ("female firstname", SUPER_CLASS, "firstname"),
+                ("male firstname", SUPER_CLASS, "firstname"),
+                ("firstname", SUPER_CLASS, "name"),
+            ],
+        )
+    )
+    assert isa(t3, "zilla", "firstname")         # check(isA(a(Zilla), a(firstname)))
+    assert isa(t3, "female firstname", "firstname")
+    assert isa(t3, "james", "name")              # check(isA(word(James), _(name)))
+
+    # allInstances(name) > both branches; female branch excludes james
+    all_names = {r["node"] for r in all_instances(t3, "name").collect()}
+    assert {"zilla", "ahney", "jenny", "james"} <= all_names
+    fem = {r["node"] for r in all_instances(t3, "female firstname").collect()}
+    assert {"zilla", "ahney", "jenny"} <= fem and "james" not in fem
+
+
+# --- testLabelInstances (src/tests.cpp:1819-1822) --------------------------
+
+
+def test_label_instances(spark):
+    """allInstances includes nodes attached via a reverse Label edge
+    (instanceFilter climbs reverse Type/Label, src/query.cpp:
+    1197-1224; the reference asserts allInstances(amazon) contains a
+    label-linked node)."""
+    from netbase_spark.operators.query_ops import all_instances
+    from netbase_spark.relations import LABEL
+
+    t = _spark_triples(
+        spark,
+        [
+            ("amazon river", LABEL, "amazon"),
+            ("amazon", INSTANCE, "amazon com"),
+        ],
+    )
+    got = {r["node"] for r in all_instances(t, "amazon").collect()}
+    assert "amazon river" in got and "amazon com" in got
