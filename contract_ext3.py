@@ -342,8 +342,75 @@ ORACLE_FIND_PROPERTIES = """
 """
 
 
+# ---------------------------------------------------------------------------
+# getImage fallback chain -> commons URL
+# ---------------------------------------------------------------------------
+
+
+def q_image_lookup(spark, sf_dir):
+    """``getImage`` predicate fallback chain + ``formatImage``
+    (src/netbase.cpp:2455-2489): every part gets a low-priority
+    ``wiki image`` property; every third also a higher-priority
+    ``image`` property (http URLs pass through, ``File:`` heads are
+    cut) which must win the chain."""
+    from netbase_spark.operators.media import get_image
+    from netbase_spark.operators.mutate import rel_id_for
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    subj = _sk("p_partkey", "P")
+    wiki = part.select(
+        subj.alias("subj"),
+        F.lit(rel_id_for("wiki image")).alias("rel"),
+        F.concat(F.lit("img "), k.cast("string")).alias("obj"),
+    )
+    primary = part.where(k % 3 == 0).select(
+        subj.alias("subj"),
+        F.lit(rel_id_for("image")).alias("rel"),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("http://example.com/p"), k.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("File:primary "), k.cast("string")))
+        .alias("obj"),
+    )
+    return get_image(wiki.unionByName(primary))
+
+
+ORACLE_IMAGE_LOOKUP = """
+    WITH props AS (
+        SELECT 'P' || CAST(p_partkey AS VARCHAR) AS subj, 0 AS prio,
+               CASE WHEN p_partkey % 2 = 0
+                    THEN 'http://example.com/p' || CAST(p_partkey AS VARCHAR)
+                    ELSE 'File:primary ' || CAST(p_partkey AS VARCHAR) END AS obj
+        FROM part WHERE p_partkey % 3 = 0
+        UNION ALL
+        SELECT 'P' || CAST(p_partkey AS VARCHAR), 1,
+               'img ' || CAST(p_partkey AS VARCHAR)
+        FROM part
+    ),
+    best AS (
+        SELECT subj, obj,
+               ROW_NUMBER() OVER (PARTITION BY subj ORDER BY prio, obj) AS rk
+        FROM props
+    ),
+    named AS (
+        SELECT subj,
+               regexp_replace(replace(obj, ' ', '_'), '^.*?File:', '') AS nm
+        FROM best WHERE rk = 1
+    )
+    SELECT subj,
+           CASE WHEN starts_with(nm, 'http') THEN nm
+                ELSE 'http://upload.wikimedia.org/wikipedia/commons/'
+                     || substr(md5(nm), 1, 1) || '/' || substr(md5(nm), 1, 2)
+                     || '/' || nm END AS url
+    FROM named
+"""
+
+
 EXT3_QUERIES = {
     "geodb_import": q_geodb_import,
+    "image_lookup": q_image_lookup,
     "manual_merge": q_manual_merge,
     "isa_nodes": q_isa_nodes,
     "find_properties": q_find_properties,
@@ -353,6 +420,7 @@ EXT3_QUERIES = {
 
 EXT3_ORACLES = {
     "geodb_import": ORACLE_GEODB,
+    "image_lookup": ORACLE_IMAGE_LOOKUP,
     "manual_merge": ORACLE_MANUAL_MERGE,
     "isa_nodes": ORACLE_ISA_NODES,
     "find_properties": ORACLE_FIND_PROPERTIES,

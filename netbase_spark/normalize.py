@@ -30,12 +30,21 @@ def norm_name(s: str | None) -> str | None:
     return s.lower()
 
 
+# generateSEOUrl's transliteration table (src/util.cpp:986-1003): the
+# active (non-commented) replacements only — umlauts, eszett, é.
+# Lowercasing happens first, so the uppercase rows collapse into these.
+_SEO_XLAT = (("ä", "ae"), ("ü", "ue"), ("ö", "oe"), ("ß", "ss"), ("é", "e"))
+
+
 def seo_slug(s: str | None) -> str | None:
-    """SEO slug alias (generateSEOUrl, src/netbase.cpp:2555-2593):
-    normalized name with spaces -> '-' and non-alnum dropped."""
+    """SEO slug alias (generateSEOUrl, src/netbase.cpp:2555-2593,
+    src/util.cpp:986-1040): normalized name, German umlauts/ß/é
+    transliterated, spaces -> '-', remaining non-alnum dropped."""
     n = norm_name(s)
     if n is None:
         return None
+    for frm, to in _SEO_XLAT:
+        n = n.replace(frm, to)
     n = re.sub(r"[^a-z0-9 ]+", "", n)
     n = re.sub(r" +", "-", n.strip())
     return n or None
@@ -71,6 +80,8 @@ def seo_slug_col(col):
     from pyspark.sql import functions as F
 
     c = norm_name_col(col)
+    for frm, to in _SEO_XLAT:
+        c = F.regexp_replace(c, frm, to)
     c = F.regexp_replace(c, r"[^a-z0-9 ]+", "")
     c = F.regexp_replace(F.trim(c), r" +", "-")
     return c

@@ -222,3 +222,48 @@ def import_image_triples(
         F.lit(rel_id_for("wiki image")).alias("rel"),
         "obj",
     )
+
+
+# getImage's predicate fallback chain (src/netbase.cpp:2469-2489), in
+# priority order: the first image-ish property a node has wins.
+IMAGE_PREDICATE_CHAIN = (
+    "image",
+    "wiki image",
+    "product image url",
+    "bild",
+    "wappen",
+    "positionskarte",
+)
+
+
+def get_image(
+    triples: DataFrame, size: int = 200, thumb: bool = False
+) -> DataFrame:
+    """``getImage(node)`` for EVERY node at once (src/netbase.cpp:
+    2469-2489): probe the image-predicate fallback chain in priority
+    order, take the first hit per subject, and format it as a commons
+    URL (``formatImage``).  Nodes with no image property produce no
+    row — the reference's ``""`` return.
+
+    Physical plan: one pushdown ``rel IN (...)`` filter (prunes to the
+    image rel partitions of the predicate-partitioned triple table),
+    a priority lookup via a CASE chain (no join — the chain is 6
+    constants), and one map-side-combinable ``min_by`` per subject.
+    No shuffle beyond the single aggregation; scale-safe at any node
+    count.
+    """
+    from netbase_spark.operators.mutate import rel_id_for
+
+    prio = {rel_id_for(p): i for i, p in enumerate(IMAGE_PREDICATE_CHAIN)}
+    rank = F.lit(None).cast("int")
+    for rid, i in sorted(prio.items(), key=lambda kv: kv[1], reverse=True):
+        rank = F.when(F.col("rel") == rid, F.lit(i)).otherwise(rank)
+    hits = triples.where(F.col("rel").isin(list(prio))).select(
+        "subj", rank.alias("_prio"), F.col("obj").alias("_img")
+    )
+    best = hits.groupBy("subj").agg(
+        F.min_by("_img", F.struct("_prio", "_img")).alias("image")
+    )
+    return best.select(
+        "subj", format_image(F.col("image"), size=size, thumb=thumb).alias("url")
+    )

@@ -890,3 +890,66 @@ def test_label_instances(spark):
     )
     got = {r["node"] for r in all_instances(t, "amazon").collect()}
     assert "amazon river" in got and "amazon com" in got
+
+
+# --- testImages (src/tests.cpp:760-776) -------------------------------------
+
+
+def test_images_lookup_battery(spark):
+    """getImage("alabama")/getImage("Alabama") non-empty after the
+    image import, getImage junk -> empty (src/tests.cpp:767-775);
+    the fallback chain prefers ``image`` over ``wiki image``
+    (src/netbase.cpp:2469-2483) and formatImage cuts ``File:`` heads
+    and passes http through (src/netbase.cpp:2455-2467)."""
+    from netbase_spark.normalize import norm_name
+    from netbase_spark.operators.media import get_image
+    from netbase_spark.operators.mutate import rel_id_for
+
+    t = spark.createDataFrame(
+        [
+            ("alabama", rel_id_for("wiki image"), "File:Alabama flag.png"),
+            ("alabama", rel_id_for("image"), "Alabama seal.png"),
+            ("montgomery", rel_id_for("bild"), "http://example.com/m.jpg"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    urls = {r["subj"]: r["url"] for r in get_image(t).collect()}
+    # case-insensitive probe = normalize the query first (getAbstract)
+    assert urls[norm_name("Alabama")] == urls["alabama"]
+    # 'image' beats 'wiki image' in the chain; File:/space handling
+    assert urls["alabama"].endswith("/Alabama_seal.png")
+    assert urls["alabama"].startswith(
+        "http://upload.wikimedia.org/wikipedia/commons/"
+    )
+    # http objects pass through untouched
+    assert urls["montgomery"] == "http://example.com/m.jpg"
+    # junk -> no row (the reference's "" return)
+    assert "abagsfadd" not in urls
+
+
+# --- testBrandNewStuff SEO battery (src/tests.cpp:1846-1862) ----------------
+
+
+def test_seo_umlaut_slugs(spark):
+    """generateSEOUrl("München") -> "muenchen" (transliteration table
+    src/util.cpp:986-1003) resolvable via hasWord(seo, true); an
+    unknown truncated slug ("muetter-in-muenche") resolves to nothing
+    (src/tests.cpp:1846-1859)."""
+    from netbase_spark.normalize import seo_slug
+    from netbase_spark.operators.gazetteer import seo_index
+
+    assert seo_slug("München") == "muenchen"
+    assert seo_slug("Entität #-104 (kind: intern #-100)") == (
+        "entitaet-104-kind-intern-100"
+    )
+    labels = spark.createDataFrame(
+        [("Q1", "München"), ("Q2", "Aristar PREM192719 Premium")],
+        "key string, label string",
+    )
+    degrees = spark.createDataFrame(
+        [("Q1", 5), ("Q2", 1)], "node string, degree long"
+    )
+    idx = {r["slug"]: r["key"] for r in seo_index(labels, degrees).collect()}
+    assert idx["muenchen"] == "Q1"                 # hasWord(seo) != 0
+    assert idx["aristar-prem192719-premium"] == "Q2"
+    assert "muetter-in-muenche" not in idx         # hasWord(...) == 0
