@@ -186,6 +186,38 @@ def run_graph_query(
         if name != str(rid):
             props = props.withColumnRenamed(str(rid), name)
     out = insts.join(props, "node", "left").withColumnRenamed("node", "name")
+    # bare terms also match nodes where ANY field VALUE equals the
+    # term — parseFilter's anyField leg, ``(Any, Equals, term) OR
+    # (Any, term, Any)`` (src/query.cpp:400-406); testDummyLogic's
+    # "where funny" hits the Attribute edge's OBJECT named funny
+    # (src/tests.cpp:294-389).  One broadcastable semi-aggregation over
+    # the (tiny) matching-object rows; injected as a coalesce into the
+    # pivot column so compile_filter's isNotNull leaf sees it too.
+    bare_all = {bare_term} if bare_term is not None else set(bare_cols)
+    if bare_all:
+        vals = {b.replace("_", " ").lower() for b in bare_all}
+        val_hits = (
+            triples.where(F.lower(F.col("obj")).isin(list(vals)))
+            .groupBy(F.col("subj").alias("_vh_node"))
+            .agg(F.collect_set(F.lower(F.col("obj"))).alias("_obj_vals"))
+        )
+        out = out.join(
+            val_hits, out["name"] == val_hits["_vh_node"], "left"
+        ).drop("_vh_node")
+        for b in bare_all:
+            out = out.withColumn(
+                b,
+                F.coalesce(
+                    F.col(b) if b in out.columns else F.lit(None).cast("string"),
+                    F.when(
+                        F.array_contains(
+                            F.col("_obj_vals"), b.replace("_", " ").lower()
+                        ),
+                        F.lit("1"),
+                    ),
+                ),
+            )
+        out = out.drop("_obj_vals")
     if bare_term is not None:
         cond = F.lower(F.col("name")).contains(bare_term.lower())
         if bare_term in out.columns:

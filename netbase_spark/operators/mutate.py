@@ -79,11 +79,22 @@ def parse_sentence(s: str) -> tuple[str, int, str] | None:
     strip -> (subj_norm, rel_id, obj_norm), else None."""
     import re
 
+    from netbase_spark.relations import MEMBER
+
     s = (s or "").strip()
     m = re.match(r"^(\S+)\.(\S+?)=(\S+)$", s)
     if m:
         subj, pred, obj = m.groups()
     else:
+        # valueless dotted form "a.b" -> (a, Member, b)
+        # (parseFilter, src/query.cpp:398-412; learn("testDummy.funny")
+        # in testDummyLogic src/tests.cpp:294)
+        m2 = re.match(r"^(\S+)\.(\D\S*)$", s)
+        if m2:
+            sn, on = norm_name(m2.group(1)), norm_name(m2.group(2))
+            if not sn or not on:
+                return None
+            return (sn, MEMBER, on)
         toks = [t for t in s.split(" ") if t and t.lower() not in ("a", "the")]
         if len(toks) != 3:
             return None
@@ -97,22 +108,31 @@ def parse_sentence(s: str) -> tuple[str, int, str] | None:
 def parse_sentences(sentences: DataFrame, col: str = "sentence") -> DataFrame:
     """sentences(col) -> triples(subj, rel, obj, rule='learn', doc_id)
     — JVM-side parse, malformed rows dropped."""
+    from netbase_spark.relations import MEMBER
+
     c = F.trim(F.col(col))
     dotted = F.regexp_extract(c, r"^(\S+)\.(\S+?)=(\S+)$", 0) != ""
     d_subj = F.regexp_extract(c, r"^(\S+)\.(\S+?)=(\S+)$", 1)
     d_pred = F.regexp_extract(c, r"^(\S+)\.(\S+?)=(\S+)$", 2)
     d_obj = F.regexp_extract(c, r"^(\S+)\.(\S+?)=(\S+)$", 3)
+    # valueless "a.b" -> (a, Member, b); numeric tails ("3.14") are
+    # values, not property splits (src/query.cpp:398-416)
+    member = ~dotted & (F.regexp_extract(c, r"^(\S+)\.(\D\S*)$", 0) != "")
+    m_subj = F.regexp_extract(c, r"^(\S+)\.(\D\S*)$", 1)
+    m_obj = F.regexp_extract(c, r"^(\S+)\.(\D\S*)$", 2)
     toks = F.filter(
         F.split(c, " "),
         lambda t: (t != "") & ~F.lower(t).isin("a", "the"),
     )
     three = F.size(toks) == 3
-    subj = F.when(dotted, d_subj).when(three, toks[0])
-    pred = F.when(dotted, d_pred).when(three, toks[1])
-    obj = F.when(dotted, d_obj).when(three, toks[2])
+    subj = F.when(dotted, d_subj).when(member, m_subj).when(three, toks[0])
+    obj = F.when(dotted, d_obj).when(member, m_obj).when(three, toks[2])
+    rel = F.when(dotted, rel_id_col(d_pred)).when(
+        member, F.lit(MEMBER)
+    ).when(three, rel_id_col(toks[1]))
     out = sentences.select(
         norm_name_col(subj).alias("subj"),
-        rel_id_col(pred).alias("rel"),
+        rel.alias("rel"),
         norm_name_col(obj).alias("obj"),
         F.lit("learn").alias("rule"),
         F.lit(None).cast("string").alias("doc_id"),

@@ -229,22 +229,58 @@ def find_statements(
     return result
 
 
-def class_of(nodes: DataFrame, triples: DataFrame, rel_priority: list[int]) -> DataFrame:
+def class_of(
+    nodes: DataFrame,
+    triples: DataFrame,
+    rel_priority: list[int],
+    inferred_priority: int | None = None,
+    rel_names: DataFrame | None = None,
+) -> DataFrame:
     """``getClass`` fallback chain: first matching relation in
     ``rel_priority`` wins; min(obj) breaks ties deterministically.
-    One aggregation, no N-way left-join chain."""
+    One aggregation, no N-way left-join chain.
+
+    ``inferred_priority`` enables ``getInferredClass`` (src/query.cpp:
+    2134-2147): a statement whose OBJECT is the node names the node's
+    class by its PREDICATE ("x.son=milan" => milan is_a son) — custom
+    predicates only (rel > 0 or rel < -1000, minus the two hardcoded
+    skips).  Priorities are 10 per ``rel_priority`` step (index i ->
+    10*i), so ``inferred_priority=35`` slots the leg between the 4th
+    and 5th relation — the reference runs it after Type/-10106,
+    before Synonym.
+    ``rel_names(rel, name)`` maps predicate ids to class names (a
+    dimension table, broadcast); without it the rel id's string form
+    is used."""
     cands = (
         nodes.join(triples, nodes["node"] == triples["subj"])
         .where(F.col("rel").isin(rel_priority))
         .select("node", "rel", "obj")
     )
-    # priority = index in rel_priority (map literal, evaluated JVM-side)
+    # priority = 10 * index in rel_priority (map literal, JVM-side)
     prio = F.create_map(
-        *[F.lit(x) for i, r in enumerate(rel_priority) for x in (r, i)]
+        *[F.lit(x) for i, r in enumerate(rel_priority) for x in (r, 10 * i)]
     )[F.col("rel")]
+    cands = cands.withColumn("prio", prio)
+    if inferred_priority is not None:
+        inf = (
+            nodes.join(triples, nodes["node"] == triples["obj"])
+            .where(
+                ((F.col("rel") > 0) | (F.col("rel") < -1000))
+                & ~F.col("rel").isin([-10031, -10361])
+            )
+            .select("node", "rel")
+        )
+        if rel_names is not None:
+            inf = inf.join(F.broadcast(rel_names), "rel").select(
+                "node", "rel", F.col("name").alias("obj")
+            )
+        else:
+            inf = inf.select("node", "rel", F.col("rel").cast("string").alias("obj"))
+        cands = cands.unionByName(
+            inf.withColumn("prio", F.lit(inferred_priority))
+        )
     best = (
-        cands.withColumn("prio", prio)
-        .groupBy("node")
+        cands.groupBy("node")
         .agg(F.min(F.struct("prio", "obj")).alias("b"))
         .select("node", F.col("b.obj").alias("class"))
     )

@@ -41,6 +41,13 @@ def get_spark(
         # with parallelism; 16m keeps them wide without hurting at scale
         # (AQE still respects parallelismFirst)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # dictionary-compressed snapshot tables (triples ~2.2 bytes/row)
+        # pack into fewer 128m input splits than there are cores, putting
+        # a parallelism FLOOR under every stage that re-reads a snapshot
+        # (measured: the rewrite stage ran on <=4 splits at any core
+        # count).  A minimum split count keeps checkpoint re-reads as
+        # wide as the cluster; harmless at 100 TB where files >> 128m.
+        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

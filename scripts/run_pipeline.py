@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--from-submit", action="store_true",
                     help="inherit spark.master from spark-submit instead of "
                          "building a local[N] session")
+    ap.add_argument("--corpus", action="store_true",
+                    help="read the docs from the pre-materialized parquet "
+                         "corpus table (/tmp/netbase_corpus, written once, "
+                         "idempotent) instead of generating them in-session; "
+                         "the input contract is a pre-existing document "
+                         "TABLE, so throughput/scaling runs use this")
     ap.add_argument("--no-oracle", action="store_true",
                     help="skip the driver-side P/R check (single-threaded "
                          "pure-Python oracle — scaffolding, not pipeline; "
@@ -73,7 +79,16 @@ def main():
         [(s, r, o, "raw", None) for s, r, o in raw_synonym_edges()],
         "subj string, rel int, obj string, rule string, doc_id string",
     )
-    docs = docs_df(spark, args.docs, seed=42, partitions=args.cpus)
+    if args.corpus:
+        from netbase_spark.plans.synth_pipeline import materialize_corpus
+
+        # fixed 64-file layout so the table does not encode whichever
+        # parallelism happened to write it first (see bench.py)
+        docs = spark.read.parquet(
+            materialize_corpus(spark, args.docs, seed=42, partitions=64)
+        )
+    else:
+        docs = docs_df(spark, args.docs, seed=42, partitions=args.cpus)
 
     pipe = Pipeline(spark, out, resume=True)
     t0 = time.monotonic()

@@ -1011,3 +1011,36 @@ def test_find_properties_instance_expansion_and_inverse(spark):
     # getType picks one deterministic first type per name
     ty = {r["name"]: r["type"] for r in get_type(t, ["carlos barbot"]).collect()}
     assert ty == {"carlos barbot": "author"}
+
+
+def test_class_of_inferred_from_inverse_predicate(spark):
+    """``getInferredClass`` (src/query.cpp:2134-2147): a statement
+    whose OBJECT is the node names its class by the PREDICATE
+    ("x.son=milan" => class(milan)=son) — custom predicates only,
+    ranked after the direct chain but before Synonym."""
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.operators.query_ops import class_of
+    from netbase_spark.relations import SUPER_CLASS, SYNONYM
+
+    son = rel_id_for("son")  # hash id > 0 (custom predicate)
+    t = spark.createDataFrame(
+        [
+            ("x", son, "milan"),
+            ("milan", SYNONYM, "mailand"),   # weaker than inferred
+            ("paris", SUPER_CLASS, "city"),  # direct chain wins
+            ("y", son, "paris"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    nodes = spark.createDataFrame([("milan",), ("paris",), ("z",)], "node string")
+    rel_names = spark.createDataFrame([(son, "son")], "rel int, name string")
+    got = {
+        r["node"]: r["class"]
+        for r in class_of(
+            nodes, t, [SUPER_CLASS, SYNONYM], inferred_priority=5,
+            rel_names=rel_names,
+        ).collect()
+    }
+    assert got["milan"] == "son"    # inferred beats Synonym (prio 5 < 10)
+    assert got["paris"] == "city"   # SuperClass (prio 0) beats inferred
+    assert got["z"] == "Entity"     # unchanged fallback

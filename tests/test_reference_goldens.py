@@ -953,3 +953,84 @@ def test_seo_umlaut_slugs(spark):
     assert idx["muenchen"] == "Q1"                 # hasWord(seo) != 0
     assert idx["aristar-prem192719-premium"] == "Q2"
     assert "muetter-in-muenche" not in idx         # hasWord(...) == 0
+
+
+# --- testDummyLogic (src/tests.cpp:265-493) ---------------------------------
+
+
+def test_dummy_logic_battery(spark):
+    """The reference's core query-language battery: learn dotted forms
+    ("testDummy.funny" -> Member edge, "testDummy.size=11" -> property,
+    src/query.cpp:398-470), insert dedup (src/tests.cpp:305-306), the
+    isA chain over Instance+SubClass edges (src/tests.cpp:317-324),
+    and the NL query forms at src/tests.cpp:377-420.  Node-id note:
+    our node ids ARE names, so the instance is 'testdummy 1' under
+    abstract 'testdummy' (the reference's separate the-node)."""
+    from netbase_spark.functions.query_lang import run_graph_query
+    from netbase_spark.operators.mutate import learn, rel_id_for
+    from netbase_spark.operators.query_ops import is_a_nodes
+    from netbase_spark.relations import ATTRIBUTE, MEMBER
+
+    base = _spark_triples(
+        spark,
+        [
+            ("testdummy", INSTANCE, "testdummy 1"),
+            ("person", INSTANCE, "beth"),
+            ("ceo", INSTANCE, "karsten"),
+            ("ceo", SUPER_CLASS, "manager"),     # addStatement(manager, SubClass, CEO)
+            ("manager", SUPER_CLASS, "worker"),  # manager is_a worker
+            ("beth", ATTRIBUTE, "cute"),         # addStatement(beth, Attribute, cute)
+        ],
+    )
+    base = base.select(
+        "subj", "rel", "obj",
+        F.lit("fixture").alias("rule"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+    sentences = spark.createDataFrame(
+        [("testdummy_1.funny",), ("testdummy_1.size=11",)], "sentence string"
+    )
+    t = learn(base, sentences)
+    got = {(r.subj, r.rel, r.obj) for r in t.collect()}
+    assert ("testdummy 1", MEMBER, "funny") in got      # a.b -> Member
+    assert ("testdummy 1", rel_id_for("size"), "11") in got  # a.b=c
+
+    # "dont duplicate edges" (src/tests.cpp:305-306): re-learning is a no-op
+    assert learn(t, sentences).count() == t.count()
+
+    # isA chain (src/tests.cpp:317-324): karsten -> CEO -> manager -> worker
+    def isa(node, to):
+        nodes = spark.createDataFrame([(node,)], "node string")
+        return is_a_nodes(t, nodes, to).count() > 0
+
+    assert isa("ceo", "manager")
+    assert isa("karsten", "ceo")
+    assert isa("karsten", "manager")
+    assert isa("karsten", "worker")
+
+    # NL query battery (src/tests.cpp:377-420)
+    def names(q):
+        return {r["name"] for r in run_graph_query(q, t).collect()}
+
+    for q in (
+        "select * from testDummy where funny",
+        "select * from testDummy where size=11",
+        "select * from testDummy where size=11 and funny",
+        "select * from testDummy where size=11 and testDummy.funny",
+        "testDummy that are funny",
+        "all testDummys",
+        "testDummy where size=11",
+        "testDummy with size=11",
+        "testDummys with size=11",
+        "testDummys with size=11 and testDummy.funny",
+        "testDummy with size>10",
+    ):
+        assert "testdummy 1" in names(q), q
+    assert "testdummy 1" not in names(
+        "select * from testDummy where size=11 and testDummy.bunny"
+    )
+    assert names("select * from testDummy where size=12") == set()
+
+    # "select * from person where cute" -> beth via the Attribute
+    # object (anyField leg, src/query.cpp:400-406; tests.cpp:440-445)
+    assert "beth" in names("select * from person where cute")
