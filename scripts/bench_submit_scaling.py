@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence through the north rule's ACTUAL
+run mode: `spark-submit --py-files dist/netbase_spark.zip` (via
+scripts/submit_pipeline.sh) at local[N] and local[4N] over the SAME
+pre-materialized parquet corpus, full pipeline (all stages + snapshot
+writes), P/R oracle skipped (it is single-threaded driver scaffolding,
+gated separately at smaller doc counts).
+
+Appends a "spark-submit" section to BENCH/BASELINE.md (the in-process
+bench.py section above it is written by scripts/bench_scaling.py).
+
+Usage: python scripts/bench_submit_scaling.py [--n 4] [--docs 800000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def submit(cores: int, docs: int) -> dict:
+    # CPU-pin the whole process tree (JVM task threads, GC, parquet
+    # compression, AND the Python UDF workers) to exactly `cores`
+    # physical cores: an unpinned local[4] JVM spills its auxiliary
+    # threads + 4 Arrow workers onto the host's idle cores (measured
+    # load ~9 during a "4-core" run), inflating the N baseline and
+    # understating scaling efficiency — a single-host artifact a real
+    # N-executor cluster does not have.
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}",
+         os.path.join(REPO, "scripts", "submit_pipeline.sh"),
+         str(cores), str(docs), "--corpus", "--no-oracle"],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"submit at {cores} cores failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-4000:]}"
+        )
+    m = re.search(r"^\{.*\}", out.stdout, re.DOTALL | re.MULTILINE)
+    if not m:
+        raise RuntimeError(f"no JSON in submit stdout:\n{out.stdout[-2000:]}")
+    return json.loads(m.group(0))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--docs", type=int, default=800000)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    # pre-materialize once so neither timed run pays generation
+    from netbase_spark.plans.synth_pipeline import materialize_corpus  # noqa: F401
+    from netbase_spark.session import get_spark
+
+    spark = get_spark(app="mat_corpus", cpus=16,
+                      extra={"spark.ui.showConsoleProgress": "false"})
+    materialize_corpus(spark, args.docs, seed=42, partitions=64)
+    spark.stop()
+
+    # best-of-K per config: the sandbox VM's run-to-run variance is 2x
+    lo_runs = [submit(args.n, args.docs) for _ in range(args.repeats)]
+    hi_runs = [submit(args.n * 4, args.docs) for _ in range(args.repeats)]
+    lo = min(lo_runs, key=lambda r: r["sec"])
+    hi = min(hi_runs, key=lambda r: r["sec"])
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4
+
+    md = f"""
+
+## spark-submit --py-files (the north rule's run mode)
+
+Same measurement, but through `scripts/submit_pipeline.sh`: the package
+reaches the driver and every Python UDF worker ONLY via
+`spark-submit --py-files dist/netbase_spark.zip`, launched from outside
+the repo — i.e. exactly the artifact a multi-executor cluster would
+receive.  FULL pipeline (every stage incl. per-stage parquet snapshots,
+lineage and metrics), reading the same pre-materialized 64-file corpus
+table; P/R oracle skipped (`--no-oracle`: it is single-threaded driver
+scaffolding, and P/R=1.0 is gated by the same spark-submit job at
+smaller doc counts and by `pytest`).  Each submission is `taskset`-pinned
+to exactly its core count (JVM + GC + parquet compression + Python/Arrow
+UDF workers all inside the budget): unpinned, a local[4] JVM spills its
+auxiliary threads and 4 Arrow workers onto the host's idle cores
+(measured load ~9 during a "4-core" run), inflating the N baseline —
+a single-host artifact a real N-executor cluster does not have.
+
+| parallelism | docs | triples | seconds | triples/sec |
+|---|---|---|---|---|
+| local[{args.n}] (N) | {args.docs} | {lo["triples"]} | {lo["sec"]} | {lo["triples_per_sec"]} |
+| local[{args.n * 4}] (4N) | {args.docs} | {hi["triples"]} | {hi["sec"]} | {hi["triples_per_sec"]} |
+
+**Scaling efficiency (spark-submit, full pipeline)** =
+(tps@4N / tps@N) / 4 = **{eff:.3f}** (target >= 0.8).
+
+Best of {args.repeats} submission(s) per config; all wall seconds:
+N={[r["sec"] for r in lo_runs]}, 4N={[r["sec"] for r in hi_runs]}.
+
+Per-stage seconds (best run):
+
+| stage | N={args.n} | 4N={args.n * 4} |
+|---|---|---|
+""" + "\n".join(
+        f"| {s['stage']} | {s['secs']} | {h['secs']} |"
+        for s, h in zip(lo["stages"], hi["stages"])
+    ) + f"""
+
+The full pipeline carries a fixed label-side tail (alias-table build,
+union-find canonicalization, per-stage snapshot barriers over
+dimension-sized data) that does not shrink with doc-side cores, so its
+efficiency is the conservative bound; the fused construct above
+isolates the corpus-proportional path.
+"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    base = open(path).read() if os.path.exists(path) else "# BENCH/BASELINE\n"
+    cut = base.find("\n## spark-submit")
+    if cut != -1:  # idempotent re-run replaces the section
+        base = base[:cut]
+    with open(path, "w") as f:
+        f.write(base.rstrip("\n") + md)
+    print(json.dumps({
+        "n": args.n, "docs": args.docs,
+        "tps_lo": lo["triples_per_sec"], "tps_hi": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "all_sec": {"lo": [r["sec"] for r in lo_runs],
+                    "hi": [r["sec"] for r in hi_runs]},
+    }))
+
+
+if __name__ == "__main__":
+    main()
