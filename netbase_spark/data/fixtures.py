@@ -139,3 +139,46 @@ def raw_synonym_edges() -> list[tuple[str, int, str]]:
 def mentionable_labels() -> list[str]:
     """Primary + alt labels that the doc generator may embed in text."""
     return [r["label"] for r in labels_fixture() if len(r["label"]) <= 40]
+
+
+def labels_spark_df(spark):
+    """Fixture labels as a JVM-NATIVE DataFrame: goes through pandas so
+    the Arrow path materializes the rows inside the JVM.  A plain
+    ``createDataFrame(list_of_tuples)`` keeps the data as pickled Python
+    rows — every downstream job then spawns Python workers just to
+    deserialize an 80-row dimension (measured ~3 s/core of pure import
+    overhead per pipeline run)."""
+    import pandas as pd
+
+    from netbase_spark.schemas import LABELS_SCHEMA
+
+    rows = labels_fixture()
+    pdf = pd.DataFrame(
+        {
+            "key": [r["key"] for r in rows],
+            "label": [r["label"] for r in rows],
+            "label_type": [r["label_type"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+        }
+    )
+    return spark.createDataFrame(pdf, LABELS_SCHEMA).coalesce(1)
+
+
+def synonym_spark_df(spark):
+    """raw_synonym_edges as a JVM-native 5-column triple DataFrame
+    (same rationale as :func:`labels_spark_df`)."""
+    import pandas as pd
+
+    rows = raw_synonym_edges()
+    pdf = pd.DataFrame(
+        {
+            "subj": [s for s, _, _ in rows],
+            "rel": pd.Series([r for _, r, _ in rows], dtype="int32"),
+            "obj": [o for _, _, o in rows],
+            "rule": ["raw"] * len(rows),
+            "doc_id": pd.Series([None] * len(rows), dtype="object"),
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "subj string, rel int, obj string, rule string, doc_id string"
+    ).coalesce(1)

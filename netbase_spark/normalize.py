@@ -57,10 +57,13 @@ def de_camel(s: str | None) -> str | None:
     return re.sub(r"(?<=[a-z0-9])(?=[A-Z])", " ", s)
 
 
+_NUM_TOKEN = re.compile(r"^[+-]?\d+")
+
+
 def is_number_token(s: str) -> bool:
     """atoi(start) truthiness used by findEntites' "no numbers hack"
     (src/query.cpp:2026): leading integer != 0 rejects the span."""
-    m = re.match(r"^[+-]?\d+", s.strip())
+    m = _NUM_TOKEN.match(s.strip())
     return bool(m) and int(m.group(0)) != 0
 
 

@@ -52,12 +52,12 @@ def _broadcast_gazetteer(spark, alias_struct, blacklist):
     """One broadcast per scan: (alias set/map, first-token index,
     blacklist).  The first-token index is built on the driver so every
     executor deserializes the finished structure."""
-    from netbase_spark.oracle.rules import first_token_index
+    from netbase_spark.oracle.rules import first_token_index, max_alias_word_count
 
     keys = alias_struct.keys() if isinstance(alias_struct, dict) else alias_struct
     ftoks = first_token_index(keys)
     return spark.sparkContext.broadcast(
-        (alias_struct, ftoks, frozenset(blacklist))
+        (alias_struct, ftoks, frozenset(blacklist), max_alias_word_count(keys))
     )
 
 
@@ -70,7 +70,7 @@ def _make_mention_scan(bc, german: bool, distinct_per_doc: bool):
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from netbase_spark.oracle.rules import filter_candidates, find_mentions
 
-        alias_set, ftoks, blacklist_f = bc.value
+        alias_set, ftoks, blacklist_f, max_aw = bc.value
         lookup = lambda nn: nn if nn and nn in alias_set else None  # noqa: E731
         # NOTE: window growth must stay at the reference's MAX_WORDS —
         # capping at the longest alias token count is NOT safe because
@@ -82,7 +82,7 @@ def _make_mention_scan(bc, german: bool, distinct_per_doc: bool):
                 cands = filter_candidates(
                     find_mentions(
                         text or "", lookup, blacklist_f, german,
-                        first_tokens=ftoks,
+                        first_tokens=ftoks, max_span_words=max_aw,
                     )
                 )
                 if distinct_per_doc:
@@ -158,7 +158,7 @@ def _make_triple_scan(bc, german: bool = False):
     def scan(batches):
         from netbase_spark.oracle.rules import filter_candidates, find_mentions
 
-        amap, ftoks, blacklist_f = bc.value
+        amap, ftoks, blacklist_f, max_aw = bc.value
         lookup = lambda nn: nn if nn and nn in amap else None  # noqa: E731
         for pdf in batches:
             out_s, out_o = [], []
@@ -166,7 +166,7 @@ def _make_triple_scan(bc, german: bool = False):
                 cands = filter_candidates(
                     find_mentions(
                         text or "", lookup, blacklist_f, german,
-                        first_tokens=ftoks,
+                        first_tokens=ftoks, max_span_words=max_aw,
                     )
                 )
                 seen: set[str] = set()

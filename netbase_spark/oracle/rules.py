@@ -264,6 +264,32 @@ MIN_CHARS = 2  # src/query.cpp:2000
 
 _PUNCT = str.maketrans({c: " " for c in ".?!()%"})  # src/query.cpp:1982-1987
 
+# Memoized norm_name for the scan hot path.  norm_name is pure, so the
+# cache changes nothing semantically; natural-language token/span
+# distributions are Zipfian, so hit rates are high.  Per-process,
+# size-capped (a worker scanning 10^5 docs/task would otherwise grow it
+# unboundedly).
+_NORM_CACHE: dict[str, str] = {}
+_NORM_CACHE_MAX = 1_000_000
+
+
+def _norm_cached(s: str) -> str:
+    r = _NORM_CACHE.get(s)
+    if r is None:
+        if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
+            _NORM_CACHE.clear()
+        r = _NORM_CACHE[s] = norm_name(s)
+    return r
+
+
+def max_alias_word_count(alias_names) -> int:
+    """Driver-side hint for :func:`find_mentions`: the max word count of
+    any alias.  A window whose NONEMPTY-normalizing token count exceeds
+    this (+1 for the trailing-char stem retry, which can delete a
+    1-char final token) can never match — its normalized form has at
+    least that many words.  Pure pruning: never changes results."""
+    return max((len(a.split(" ")) for a in alias_names if a), default=0)
+
 
 def first_token_index(alias_names) -> frozenset[str]:
     """Prefilter set for :func:`find_mentions`: the first normalized
@@ -291,6 +317,7 @@ def find_mentions(
     german: bool = False,
     max_words: int = MAX_WORDS,
     first_tokens: frozenset[str] | None = None,
+    max_span_words: int | None = None,
 ) -> list[tuple[str, int, int]]:
     """Gazetteer sliding-window scan (findEntites, src/query.cpp:1980-2063).
 
@@ -302,15 +329,22 @@ def find_mentions(
     positions that cannot begin any alias.
     """
     q = text.translate(_PUNCT)
-    words = [w for w in q.split(" ")]
+    words = q.split(" ")
     found: list[tuple[str, int, int]] = []
     n = len(words)
     max_words = min(max_words, MAX_WORDS)
+    # per-word normalized forms (memoized) + nonempty prefix counts for
+    # the word-count pruning bound (see max_alias_word_count)
+    nw = [_norm_cached(w) if w else "" for w in words]
+    if max_span_words is not None:
+        cnt = [0] * (n + 1)
+        for k in range(n):
+            cnt[k + 1] = cnt[k] + (1 if nw[k] else 0)
     for i in range(n):
         if not words[i]:
             continue
         if first_tokens is not None:
-            t0 = norm_name(words[i]) or ""
+            t0 = nw[i]
             t0 = t0.split(" ", 1)[0]
             # empty-normalizing tokens (pure punctuation) fall through:
             # the span's normalized form then starts at a LATER word
@@ -334,25 +368,28 @@ def find_mentions(
                 if not passes:
                     continue
         for j in range(i + 1, min(i + 1 + max_words, n + 1)):
+            if max_span_words is not None and cnt[j] - cnt[i] > max_span_words + 1:
+                break  # nonempty count only grows with j — prune the rest
             span = " ".join(words[i:j])
             if len(span) < MIN_CHARS:
                 continue
-            key = alias_lookup(norm_name(span))
+            key = alias_lookup(_norm_cached(span))
             if key is None and span.endswith("s"):  # minimal stemming (2014-2018)
-                key = alias_lookup(norm_name(span[:-1]))
+                key = alias_lookup(_norm_cached(span[:-1]))
             if key is None and german and span.endswith("e"):  # (2019-2023)
-                key = alias_lookup(norm_name(span[:-1]))
-            if is_number_token(span):  # "no numbers hack" (2026)
-                key = None
+                key = alias_lookup(_norm_cached(span[:-1]))
+            if key is not None and is_number_token(span):
+                key = None  # "no numbers hack" (2026) — only matters on a hit
             if key is not None:
-                if norm_name(key) in blacklist:  # forbidden[wordhash(name)] (2030)
+                if _norm_cached(key) in blacklist:  # forbidden[wordhash] (2030)
                     continue
                 found.append((key, i, j - i))
                 # reversed bigram probe "<span> <previous word>" (2036-2040)
                 if i > 0 and words[i - 1]:
                     ename = f"{span} {words[i - 1]}"
-                    if norm_name(ename) not in blacklist:
-                        key2 = alias_lookup(norm_name(ename))
+                    en = _norm_cached(ename)
+                    if en not in blacklist:
+                        key2 = alias_lookup(en)
                         if key2 is not None:
                             found.append((key2, i - 1, j - i + 1))
     return found
@@ -362,7 +399,7 @@ def filter_candidates(cands: list[tuple[str, int, int]]) -> list[tuple[str, int,
     """Longest-match-wins: drop candidates whose key is a strict
     substring of another candidate's key, case-insensitively
     (filterCandidates/containsSubstring, src/query.cpp:1899-1942)."""
-    names = [norm_name(k) for k, _, _ in cands]
+    names = [_norm_cached(k) for k, _, _ in cands]
     keep = []
     for idx, (k, i, n) in enumerate(cands):
         me = names[idx]

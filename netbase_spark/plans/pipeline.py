@@ -18,6 +18,7 @@ Per-stage metrics (rows in/out, wall seconds, partitions) append to
 
 from __future__ import annotations
 
+import glob
 import os
 import time
 
@@ -40,38 +41,55 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _file_stats(path: str) -> list[tuple[int, int]]:
+    """Per-output-partition (file_index, num_rows) from parquet FOOTERS —
+    driver-side metadata only, no scan.  At 100 TB this is the only
+    affordable way to record per-partition lineage: re-reading every
+    stage snapshot just to count rows per partition would double the
+    pipeline's I/O (and it measurably capped scaling efficiency in the
+    sandbox — one full re-scan + shuffle per stage)."""
+    import pyarrow.parquet as pq
+
+    return [
+        (i, pq.read_metadata(f).num_rows)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(path, "part-*.parquet"))))
+    ]
+
+
 class Pipeline:
     def __init__(self, spark: SparkSession, out_dir: str, resume: bool = True):
         self.spark = spark
         self.out = out_dir
         self.resume = resume
         self.metrics: list[dict] = []
+        self._lineage: list[tuple[str, int, int]] = []
 
     def _stage(self, name: str, build) -> DataFrame:
-        """Run (or resume) a stage; record metrics + per-partition lineage."""
+        """Run (or resume) a stage; record metrics + per-partition lineage.
+        Rows and lineage come from parquet footers (`_file_stats`), so a
+        stage costs exactly one Spark job: its own write."""
         path = os.path.join(self.out, name)
         t0 = time.time()
         if self.resume and _done(path):
-            df = self.spark.read.parquet(path)
+            rows = sum(n for _, n in _file_stats(path))
             self.metrics.append(
-                {"stage": name, "resumed": True, "rows": df.count(), "secs": 0.0}
+                {"stage": name, "resumed": True, "rows": rows, "secs": 0.0}
             )
-            return df
+            return self.spark.read.parquet(path)
         df = build()
         df.write.mode("overwrite").parquet(path)
-        out_df = self.spark.read.parquet(path)
-        rows = out_df.count()
+        stats = _file_stats(path)
         secs = time.time() - t0
-        lineage = (
-            out_df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("output_rows"))
-            .withColumn("stage", F.lit(name))
-        )
-        lineage.write.mode("append").parquet(os.path.join(self.out, "_lineage"))
+        self._lineage.extend((name, pid, n) for pid, n in stats)
         self.metrics.append(
-            {"stage": name, "resumed": False, "rows": rows, "secs": round(secs, 3)}
+            {
+                "stage": name,
+                "resumed": False,
+                "rows": sum(n for _, n in stats),
+                "secs": round(secs, 3),
+            }
         )
-        return out_df
+        return self.spark.read.parquet(path)
 
     def run(
         self,
@@ -124,13 +142,50 @@ class Pipeline:
         self._stage("degrees", lambda: node_degrees(triples))
 
         write_triples(triples, os.path.join(self.out, "triples_by_rel"))
-
-        metrics_df = self.spark.createDataFrame(
-            [
-                (m["stage"], bool(m["resumed"]), int(m["rows"]), float(m["secs"]))
-                for m in self.metrics
-            ],
-            "stage string, resumed boolean, rows long, secs double",
-        )
-        metrics_df.write.mode("append").parquet(os.path.join(self.out, "_metrics"))
+        self._flush_run_metadata()
         return triples
+
+    def _flush_run_metadata(self) -> None:
+        """Append this run's lineage + metrics as parquet, written
+        driver-side with pyarrow (both tables are O(stages) rows — no
+        reason to spin Spark jobs for them)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        run_id = uuid.uuid4().hex[:12]
+        if self._lineage:
+            ldir = os.path.join(self.out, "_lineage")
+            os.makedirs(ldir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "stage": [s for s, _, _ in self._lineage],
+                        "partition_id": pa.array(
+                            [p for _, p, _ in self._lineage], pa.int32()
+                        ),
+                        "output_rows": pa.array(
+                            [n for _, _, n in self._lineage], pa.int64()
+                        ),
+                    }
+                ),
+                os.path.join(ldir, f"part-{run_id}.parquet"),
+            )
+        mdir = os.path.join(self.out, "_metrics")
+        os.makedirs(mdir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "stage": [m["stage"] for m in self.metrics],
+                    "resumed": pa.array(
+                        [bool(m["resumed"]) for m in self.metrics], pa.bool_()
+                    ),
+                    "rows": pa.array([int(m["rows"]) for m in self.metrics], pa.int64()),
+                    "secs": pa.array(
+                        [float(m["secs"]) for m in self.metrics], pa.float64()
+                    ),
+                }
+            ),
+            os.path.join(mdir, f"part-{run_id}.parquet"),
+        )

@@ -45,8 +45,8 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
     callers persist/count)."""
     from netbase_spark.data.fixtures import (
         blacklist_fixture,
-        labels_fixture,
-        raw_synonym_edges,
+        labels_spark_df,
+        synonym_spark_df,
     )
     from netbase_spark.operators.canonicalize import (
         connected_components,
@@ -62,13 +62,8 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
         build_alias_table,
     )
     from netbase_spark.operators.mentions import scan_mention_triples
-    from netbase_spark.schemas import LABELS_SCHEMA
 
-    labels = labels_fixture()
-    labels_df = spark.createDataFrame(
-        [(r["key"], r["label"], r["label_type"], r["lang"]) for r in labels],
-        LABELS_SCHEMA,
-    )
+    labels_df = labels_spark_df(spark)
     aliases = build_alias_table(labels_df, with_seo=False)
     # sameAs-class merge edges come from the LABEL side only (dissect
     # rules + synonym fixtures); the doc side emits MENTIONED_IN edges
@@ -80,12 +75,7 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
     label_side = (
         dissect_triples(labels_df)
         .unionByName(alias_instance_edges(labels_df))
-        .unionByName(
-            spark.createDataFrame(
-                [(s, r, o, "raw", None) for s, r, o in raw_synonym_edges()],
-                "subj string, rel int, obj string, rule string, doc_id string",
-            )
-        )
+        .unionByName(synonym_spark_df(spark))
         .persist()
     )
     mapping = connected_components(sameas_edges(label_side))

@@ -56,13 +56,13 @@ def main():
     from netbase_spark.data.fixtures import (
         blacklist_fixture,
         labels_fixture,
-        raw_synonym_edges,
+        labels_spark_df,
         synonym_pairs,
+        synonym_spark_df,
     )
     from netbase_spark.data.synth import docs_df, docs_local
     from netbase_spark.oracle.rules import oracle_triples
     from netbase_spark.plans.pipeline import Pipeline
-    from netbase_spark.schemas import LABELS_SCHEMA
     from netbase_spark.session import get_spark
 
     out = args.out or tempfile.mkdtemp(prefix="kg_out_")
@@ -71,14 +71,8 @@ def main():
                       extra={"spark.ui.showConsoleProgress": "false"})
 
     labels = labels_fixture()
-    labels_df = spark.createDataFrame(
-        [(r["key"], r["label"], r["label_type"], r["lang"]) for r in labels],
-        LABELS_SCHEMA,
-    )
-    syn_df = spark.createDataFrame(
-        [(s, r, o, "raw", None) for s, r, o in raw_synonym_edges()],
-        "subj string, rel int, obj string, rule string, doc_id string",
-    )
+    labels_df = labels_spark_df(spark)
+    syn_df = synonym_spark_df(spark)
     if args.corpus:
         from netbase_spark.plans.synth_pipeline import materialize_corpus
 
