@@ -310,6 +310,55 @@ def first_token_index(alias_names) -> frozenset[str]:
     return frozenset(toks)
 
 
+def find_mentions_naive(
+    text: str,
+    alias_lookup,
+    blacklist: set[str],
+    german: bool = False,
+    max_words: int = MAX_WORDS,
+) -> list[tuple[str, int, int]]:
+    """The PRISTINE transcription of findEntites (src/query.cpp:1980-2063):
+    punctuation->space, sliding window up to ``max_words``, per-span
+    normalization, trailing-s (German -e) stem retry on the RAW span,
+    numbers hack, blacklist, reversed-bigram probe.  No caching, no
+    prefilters, no pruning — this is the semantic ground truth.  The
+    engine's :func:`find_mentions` is an optimized twin proven equal by
+    property tests (tests/test_oracle_rules.py); :func:`oracle_triples`
+    uses THIS path so an optimization bug shows up as a P/R failure
+    instead of being masked by shared code."""
+    q = text.translate(_PUNCT)
+    words = q.split(" ")
+    found: list[tuple[str, int, int]] = []
+    n = len(words)
+    max_words = min(max_words, MAX_WORDS)
+    for i in range(n):
+        if not words[i]:
+            continue
+        for j in range(i + 1, min(i + 1 + max_words, n + 1)):
+            span = " ".join(words[i:j])
+            if len(span) < MIN_CHARS:  # src/query.cpp:2000
+                continue
+            key = alias_lookup(norm_name(span))
+            if key is None and span.endswith("s"):  # minimal stemming (2014-2018)
+                key = alias_lookup(norm_name(span[:-1]))
+            if key is None and german and span.endswith("e"):  # (2019-2023)
+                key = alias_lookup(norm_name(span[:-1]))
+            if is_number_token(span):  # "no numbers hack" (2026)
+                key = None
+            if key is not None:
+                if norm_name(key) in blacklist:  # forbidden[wordhash] (2030)
+                    continue
+                found.append((key, i, j - i))
+                # reversed bigram probe "<span> <previous word>" (2036-2040)
+                if i > 0 and words[i - 1]:
+                    ename = f"{span} {words[i - 1]}"
+                    if norm_name(ename) not in blacklist:
+                        key2 = alias_lookup(norm_name(ename))
+                        if key2 is not None:
+                            found.append((key2, i - 1, j - i + 1))
+    return found
+
+
 def find_mentions(
     text: str,
     alias_lookup,
@@ -319,27 +368,45 @@ def find_mentions(
     first_tokens: frozenset[str] | None = None,
     max_span_words: int | None = None,
 ) -> list[tuple[str, int, int]]:
-    """Gazetteer sliding-window scan (findEntites, src/query.cpp:1980-2063).
+    """Optimized twin of :func:`find_mentions_naive` (same results,
+    property-tested): memoized per-word norms, incremental normalized
+    spans for "safe" words, span lengths from prefix sums, raw spans
+    built only on the rare hit/stem paths.
 
-    ``alias_lookup(name_norm)`` returns a matched-alias key or None.
-    Returns [(alias_key, start_word, n_words)] before longest-match
-    filtering.  ``max_words`` may be capped at the longest alias token
-    count (semantics-identical: longer spans can never match).
+    A word is SAFE when ``norm_name(w) == w.lower()`` and ``w.isascii()``
+    — then normalization is compositional: the norm of a span of safe
+    words is the space-join of the per-word norms (norm_name only strips
+    at span EDGES and only collapses separator runs, and a safe word
+    contains neither strippable edges nor separators), so the inner loop
+    extends the normalized span by one concat instead of re-normalizing
+    the whole span.  The ascii guard keeps ``str.lower`` a per-character
+    1:1 map (no final-sigma contextual casing), which the stem retry's
+    ``run[:-1]`` arithmetic relies on.
+
     ``first_tokens`` (from :func:`first_token_index`) skips start
-    positions that cannot begin any alias.
+    positions that cannot begin any alias; ``max_span_words`` (from
+    :func:`max_alias_word_count`) stops window growth past the longest
+    alias.  Both are pure pruning: they may falsely PASS (the full probe
+    then rejects) but never falsely reject.
     """
     q = text.translate(_PUNCT)
     words = q.split(" ")
     found: list[tuple[str, int, int]] = []
     n = len(words)
     max_words = min(max_words, MAX_WORDS)
-    # per-word normalized forms (memoized) + nonempty prefix counts for
-    # the word-count pruning bound (see max_alias_word_count)
+    # per-word normalized forms (memoized), safety flags, prefix sums of
+    # char lengths (span length = chars + separators) and nonempty-norm
+    # counts (for the word-count pruning bound)
     nw = [_norm_cached(w) if w else "" for w in words]
-    if max_span_words is not None:
-        cnt = [0] * (n + 1)
-        for k in range(n):
-            cnt[k + 1] = cnt[k] + (1 if nw[k] else 0)
+    safe = [
+        bool(w) and w.isascii() and nw[k] == w.lower()
+        for k, w in enumerate(words)
+    ]
+    plen = [0] * (n + 1)
+    cnt = [0] * (n + 1)
+    for k in range(n):
+        plen[k + 1] = plen[k] + len(words[k])
+        cnt[k + 1] = cnt[k] + (1 if nw[k] else 0)
     for i in range(n):
         if not words[i]:
             continue
@@ -367,18 +434,44 @@ def find_mentions(
                     )
                 if not passes:
                     continue
+        # the numbers hack tests the span's LEADING integer, which lives
+        # entirely inside words[i] (digits cannot cross the separator)
+        num_i = is_number_token(words[i])
+        run: str | None = None  # incremental normalized span (safe path)
+        all_safe = True
         for j in range(i + 1, min(i + 1 + max_words, n + 1)):
             if max_span_words is not None and cnt[j] - cnt[i] > max_span_words + 1:
                 break  # nonempty count only grows with j — prune the rest
-            span = " ".join(words[i:j])
-            if len(span) < MIN_CHARS:
+            w = words[j - 1]
+            if all_safe:
+                if safe[j - 1]:
+                    piece = nw[j - 1]
+                    run = piece if run is None else run + " " + piece
+                elif w:
+                    all_safe = False
+            if plen[j] - plen[i] + (j - i - 1) < MIN_CHARS:
                 continue
-            key = alias_lookup(_norm_cached(span))
-            if key is None and span.endswith("s"):  # minimal stemming (2014-2018)
-                key = alias_lookup(_norm_cached(span[:-1]))
-            if key is None and german and span.endswith("e"):  # (2019-2023)
-                key = alias_lookup(_norm_cached(span[:-1]))
-            if key is not None and is_number_token(span):
+            last = w[-1] if w else " "
+            if all_safe and run is not None:
+                key = alias_lookup(run)
+                if key is None and (
+                    last == "s" or (german and last == "e")
+                ):  # stemming (2014-2018, 2019-2023)
+                    # span[:-1] drops the raw trailing char; a 1-char last
+                    # word leaves a separator that norm strips too, and a
+                    # safe word's INTERIOR quote can land on the new edge
+                    # ("Tesla's" -> "tesla'" -> "tesla"), so re-strip it
+                    stem = (run[:-1] if len(w) >= 2 else run[:-2]).rstrip("\"' ")
+                    key = alias_lookup(stem)
+                span = None
+            else:
+                span = " ".join(words[i:j])
+                key = alias_lookup(_norm_cached(span))
+                if key is None and last == "s":
+                    key = alias_lookup(_norm_cached(span[:-1]))
+                if key is None and german and last == "e":
+                    key = alias_lookup(_norm_cached(span[:-1]))
+            if key is not None and num_i:
                 key = None  # "no numbers hack" (2026) — only matters on a hit
             if key is not None:
                 if _norm_cached(key) in blacklist:  # forbidden[wordhash] (2030)
@@ -386,6 +479,8 @@ def find_mentions(
                 found.append((key, i, j - i))
                 # reversed bigram probe "<span> <previous word>" (2036-2040)
                 if i > 0 and words[i - 1]:
+                    if span is None:
+                        span = " ".join(words[i:j])
                     ename = f"{span} {words[i - 1]}"
                     en = _norm_cached(ename)
                     if en not in blacklist:
@@ -395,11 +490,13 @@ def find_mentions(
     return found
 
 
-def filter_candidates(cands: list[tuple[str, int, int]]) -> list[tuple[str, int, int]]:
-    """Longest-match-wins: drop candidates whose key is a strict
-    substring of another candidate's key, case-insensitively
-    (filterCandidates/containsSubstring, src/query.cpp:1899-1942)."""
-    names = [_norm_cached(k) for k, _, _ in cands]
+def filter_candidates_naive(
+    cands: list[tuple[str, int, int]],
+) -> list[tuple[str, int, int]]:
+    """Pristine longest-match-wins (filterCandidates/containsSubstring,
+    src/query.cpp:1899-1942): drop candidates whose normalized key is a
+    strict substring of another candidate's normalized key."""
+    names = [norm_name(k) for k, _, _ in cands]
     keep = []
     for idx, (k, i, n) in enumerate(cands):
         me = names[idx]
@@ -407,6 +504,26 @@ def filter_candidates(cands: list[tuple[str, int, int]]) -> list[tuple[str, int,
         if not swallowed:
             keep.append((k, i, n))
     return keep
+
+
+def filter_candidates(cands: list[tuple[str, int, int]]) -> list[tuple[str, int, int]]:
+    """Optimized twin of :func:`filter_candidates_naive` (property-tested
+    equal): dedupe names first (equal names never swallow each other),
+    and test each unique name only against strictly longer ones."""
+    if len(cands) <= 1:
+        return list(cands)
+    names = [_norm_cached(k) for k, _, _ in cands]
+    by_len = sorted(set(names), key=len)
+    swallowed: set[str] = set()
+    for idx, me in enumerate(by_len):
+        lme = len(me)
+        for other in by_len[idx + 1 :]:
+            if len(other) > lme and me in other:
+                swallowed.add(me)
+                break
+    if not swallowed:
+        return list(cands)
+    return [c for c, me in zip(cands, names) if me not in swallowed]
 
 
 # --- end-to-end oracle ------------------------------------------------------
@@ -464,15 +581,15 @@ def oracle_triples(
             return nn
         return None
 
-    # NOTE: the oracle deliberately runs WITHOUT the first_tokens
-    # prefilter — the engine uses it as an optimization, and keeping the
-    # oracle on the unfiltered path means a prefilter bug shows up as a
-    # P/R failure instead of being masked by shared code.
+    # NOTE: the oracle deliberately runs the NAIVE scan twins — the
+    # engine's optimized find_mentions/filter_candidates never touch
+    # this path, so an optimization bug shows up as a P/R failure
+    # instead of being masked by shared code.
     for doc in docs:
         text = " ".join(
             sp["text"] for sp in doc["spans"] if sp["kind"] == "text" and sp["text"]
         )
-        cands = filter_candidates(find_mentions(text, lookup, blacklist))
+        cands = filter_candidates_naive(find_mentions_naive(text, lookup, blacklist))
         seen_alias = set()
         for alias_key, _i, _n in cands:
             if alias_key in seen_alias:

@@ -191,3 +191,63 @@ def test_oracle_end_to_end_canonicalizes():
     assert ("automobile", INSTANCE, "Q1") in got  # Q2 merged into Q1
     assert ("Q3", MENTIONED_IN, "0") in got
     assert ("widget", INSTANCE, "Q3") in got  # head rule on "red widget"
+
+
+def test_optimized_scan_equals_naive_property():
+    # Property: the optimized find_mentions (memoized norms, incremental
+    # safe-span normalization, prefix-sum lengths, prefilter + word-count
+    # pruning) returns EXACTLY what the pristine transcription returns,
+    # over tokens engineered to hit every fast/slow boundary: quoted and
+    # underscored words (non-compositional normalization), 1-char "s"
+    # words (stem drops the separator too), non-ascii casing (final
+    # sigma), numbers, empties, blacklist hits, bigram probes.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from netbase_spark.oracle.rules import (
+        filter_candidates,
+        filter_candidates_naive,
+        find_mentions,
+        find_mentions_naive,
+        first_token_index,
+        max_alias_word_count,
+    )
+
+    aliases = {
+        "tesla", "red widget", "battle of hastings", "kiel", "cars",
+        "o'brien", '"quoted"', "a s", "x", "ΑΣ".lower(), "tab word",
+        "very long alias of six words",
+    }
+    ftoks = first_token_index(aliases)
+    maxw = max_alias_word_count(aliases)
+    blacklist = {"the", "tab word"}
+
+    def lookup(nn):
+        return nn if nn in aliases else None
+
+    tokens = st.sampled_from(
+        [
+            "Tesla's", "Tesla", "teslas", "red", "widgets", "s", "S",
+            "battle", "of", "hastings", "Kiel", "e.V", "O'Briens",
+            '"quoted"s', "cars'", "123", "", "the", "(red)", "x",
+            "a", "ΑΣ", "tab\tword", "under_score", "dash-word", "é",
+            "very", "long", "alias", "six", "words", '"', "_", "-",
+        ]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(tokens, min_size=0, max_size=12))
+    def check(words):
+        text = " ".join(words)
+        for german in (False, True):
+            naive = find_mentions_naive(text, lookup, blacklist, german)
+            fast = find_mentions(
+                text, lookup, blacklist, german,
+                first_tokens=ftoks, max_span_words=maxw,
+            )
+            assert fast == naive, (text, german)
+            assert filter_candidates(fast) == filter_candidates_naive(naive), (
+                text, german,
+            )
+
+    check()
