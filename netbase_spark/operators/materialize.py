@@ -96,12 +96,23 @@ def statement_nr(triples: DataFrame, forced_rule: str = "forced") -> DataFrame:
     return triples.withColumn("nr", F.row_number().over(w))
 
 
-def write_triples(triples: DataFrame, path: str) -> None:
+def write_triples(triples: DataFrame, path: str, files_per_rel: int = 8) -> None:
     """Partitioned triple table: partition by rel (predicate-class
     pruning — the Instance-gap ordering analog, src/netbase.cpp:468-481:
-    type/property scans never touch mention/instance partitions)."""
+    type/property scans never touch mention/instance partitions).
+
+    The pre-write shuffle keys on (rel, salt), NOT rel alone: rel has
+    ~10 distinct values and one hub class (mention edges) carries ~90%
+    of rows, so a plain ``repartition("rel")`` funnels the whole table
+    through <=10 tasks — one of them with 90% of the data — and the
+    write runs at the same wall time on 4 cores as on 64 (measured ~20s
+    fixed in the scaling bench).  Salting by subj-hash keeps the write
+    as wide as ``rels x files_per_rel`` while bounding output files per
+    rel directory; at 100 TB size ``files_per_rel`` to
+    data/target_file_size instead."""
+    salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(files_per_rel))
     (
-        triples.repartition("rel")
+        triples.repartition(F.col("rel"), salt)
         .write.mode("overwrite")
         .partitionBy("rel")
         .parquet(path)

@@ -124,13 +124,14 @@ class Pipeline:
             ),
         )
 
-        def build_raw():
-            raw = mention_triples.unionByName(extract)
-            if raw_triples is not None:
-                raw = raw.unionByName(raw_triples)
-            return raw
-
-        raw = self._stage("raw_triples", build_raw)
+        # raw = union of three already-snapshotted inputs.  NOT its own
+        # snapshot stage: materializing the union is a byte-for-byte
+        # copy of mention_triples + extract_triples (at 100 TB, a full
+        # extra write+read of the whole triple set) and resume already
+        # recovers it for free from the input stages' parquet.
+        raw = mention_triples.unionByName(extract)
+        if raw_triples is not None:
+            raw = raw.unionByName(raw_triples)
 
         mapping = self._stage(
             "canonical_map",

