@@ -47,13 +47,15 @@ def _file_stats(path: str) -> list[tuple[int, int]]:
     affordable way to record per-partition lineage: re-reading every
     stage snapshot just to count rows per partition would double the
     pipeline's I/O (and it measurably capped scaling efficiency in the
-    sandbox — one full re-scan + shuffle per stage)."""
+    sandbox — one full re-scan + shuffle per stage).  The recursive glob
+    also covers hive-partitioned stage outputs (rel=*/part-*)."""
     import pyarrow.parquet as pq
 
-    return [
-        (i, pq.read_metadata(f).num_rows)
-        for i, f in enumerate(sorted(glob.glob(os.path.join(path, "part-*.parquet"))))
-    ]
+    files = sorted(
+        glob.glob(os.path.join(path, "part-*.parquet"))
+        or glob.glob(os.path.join(path, "*", "part-*.parquet"))
+    )
+    return [(i, pq.read_metadata(f).num_rows) for i, f in enumerate(files)]
 
 
 class Pipeline:
@@ -64,10 +66,12 @@ class Pipeline:
         self.metrics: list[dict] = []
         self._lineage: list[tuple[str, int, int]] = []
 
-    def _stage(self, name: str, build) -> DataFrame:
+    def _stage(self, name: str, build, write=None) -> DataFrame:
         """Run (or resume) a stage; record metrics + per-partition lineage.
         Rows and lineage come from parquet footers (`_file_stats`), so a
-        stage costs exactly one Spark job: its own write."""
+        stage costs exactly one Spark job: its own write.  ``write``
+        overrides the plain parquet snapshot (e.g. the rel-partitioned
+        final layout) — resume re-reads whatever layout was written."""
         path = os.path.join(self.out, name)
         t0 = time.time()
         if self.resume and _done(path):
@@ -77,7 +81,10 @@ class Pipeline:
             )
             return self.spark.read.parquet(path)
         df = build()
-        df.write.mode("overwrite").parquet(path)
+        if write is not None:
+            write(df, path)
+        else:
+            df.write.mode("overwrite").parquet(path)
         stats = _file_stats(path)
         secs = time.time() - t0
         self._lineage.extend((name, pid, n) for pid, n in stats)
@@ -137,12 +144,19 @@ class Pipeline:
             "canonical_map",
             lambda: connected_components(sameas_edges(raw)),
         )
-        triples = self._stage("triples", lambda: rewrite_triples(raw, mapping))
+        # the canonical triple table is written ONCE, directly in its
+        # final rel-partitioned layout (predicate pruning): a plain
+        # snapshot followed by a separate partitioned copy was a second
+        # full-table write+read that cannot scale with doc-side cores
+        triples = self._stage(
+            "triples",
+            lambda: rewrite_triples(raw, mapping),
+            write=write_triples,
+        )
 
         self._stage("adjacency", lambda: adjacency(triples))
         self._stage("degrees", lambda: node_degrees(triples))
 
-        write_triples(triples, os.path.join(self.out, "triples_by_rel"))
         self._flush_run_metadata()
         return triples
 
