@@ -22,8 +22,10 @@ def node_degrees(triples: DataFrame, salt_buckets: int = 32) -> DataFrame:
     reducers — stage 2 sums the partials.  Equivalent to a plain
     group-count (verified by the DuckDB oracle) but skew-safe at scale.
     """
-    nodes = triples.select(F.col("subj").alias("node")).unionAll(
-        triples.select(F.col("obj").alias("node"))
+    # one scan, not subj-select UNION obj-select: the union form reads
+    # the triple table twice (at 100 TB, a second full pass for free)
+    nodes = triples.select(
+        F.explode(F.array(F.col("subj"), F.col("obj"))).alias("node")
     )
     salted = nodes.withColumn(
         "salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
@@ -35,20 +37,26 @@ def node_degrees(triples: DataFrame, salt_buckets: int = 32) -> DataFrame:
 def adjacency(triples: DataFrame) -> DataFrame:
     """(node, dir, nbr, rel): both traversal directions of every triple —
     the statement-chain replacement; partition/bucket by node for
-    point-lookup pruning."""
-    fwd = triples.select(
-        F.col("subj").alias("node"),
-        F.lit("out").alias("dir"),
-        F.col("obj").alias("nbr"),
-        "rel",
+    point-lookup pruning.
+
+    One explode, not fwd-select UNION rev-select: the union form plans
+    two full scans of the triple table (at 100 TB the second pass is a
+    100-TB read for free)."""
+    both = F.array(
+        F.struct(
+            F.col("subj").alias("node"),
+            F.lit("out").alias("dir"),
+            F.col("obj").alias("nbr"),
+            F.col("rel"),
+        ),
+        F.struct(
+            F.col("obj").alias("node"),
+            F.lit("in").alias("dir"),
+            F.col("subj").alias("nbr"),
+            F.col("rel"),
+        ),
     )
-    rev = triples.select(
-        F.col("obj").alias("node"),
-        F.lit("in").alias("dir"),
-        F.col("subj").alias("nbr"),
-        "rel",
-    )
-    return fwd.unionByName(rev)
+    return triples.select(F.explode(both).alias("e")).select("e.*")
 
 
 def reify(triples: DataFrame) -> DataFrame:
@@ -109,8 +117,16 @@ def write_triples(triples: DataFrame, path: str, files_per_rel: int = 8) -> None
     fixed in the scaling bench).  Salting by subj-hash keeps the write
     as wide as ``rels x files_per_rel`` while bounding output files per
     rel directory; at 100 TB size ``files_per_rel`` to
-    data/target_file_size instead."""
-    salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(files_per_rel))
+    data/target_file_size instead.
+
+    The salt width takes a floor of 2x the cluster parallelism: with a
+    fixed width w, the hub rel's ~90% of rows land on exactly w reduce
+    tasks, so the write (and every later scan of those w files) stops
+    scaling beyond w cores — measured as the triples stage running 2x,
+    not 4x, faster at 4N cores."""
+    sc = triples.sparkSession.sparkContext
+    buckets = max(files_per_rel, 2 * sc.defaultParallelism)
+    salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(buckets))
     (
         triples.repartition(F.col("rel"), salt)
         .write.mode("overwrite")
