@@ -104,26 +104,36 @@ def statement_nr(triples: DataFrame, forced_rule: str = "forced") -> DataFrame:
     return triples.withColumn("nr", F.row_number().over(w))
 
 
-def write_triples(triples: DataFrame, path: str, files_per_rel: int = 8) -> None:
+def write_triples(
+    triples: DataFrame, path: str, files_per_rel: int | None = None
+) -> None:
     """Partitioned triple table: partition by rel (predicate-class
     pruning — the Instance-gap ordering analog, src/netbase.cpp:468-481:
     type/property scans never touch mention/instance partitions).
 
-    The pre-write shuffle keys on (rel, salt), NOT rel alone: rel has
-    ~10 distinct values and one hub class (mention edges) carries ~90%
-    of rows, so a plain ``repartition("rel")`` funnels the whole table
-    through <=10 tasks — one of them with 90% of the data — and the
-    write runs at the same wall time on 4 cores as on 64 (measured ~20s
-    fixed in the scaling bench).  Salting by subj-hash keeps the write
-    as wide as ``rels x files_per_rel`` while bounding output files per
-    rel directory; at 100 TB size ``files_per_rel`` to
-    data/target_file_size instead.
+    Default (``files_per_rel=None``): write straight from the input's
+    existing distribution — the right mode when the plan already ends
+    in a uniform full-table exchange (the dedup in ``rewrite_triples``
+    repartitions on (subj, rel, obj), which is skew-free because the
+    key includes subj+obj).  The dynamic-partition writer splits each
+    task's rows by rel locally, so the hive layout costs NO extra
+    shuffle; per-rel file count == shuffle partition count, so the hub
+    rel's files scale with the cluster instead of capping write (and
+    every later scan) parallelism.  A second (rel, salt) exchange here
+    measurably halved 16-core stage throughput for nothing: it re-
+    shuffled 100% of rows only to bound the hub rel to a fixed file
+    count.
 
-    The salt width takes a floor of 2x the cluster parallelism: with a
-    fixed width w, the hub rel's ~90% of rows land on exactly w reduce
-    tasks, so the write (and every later scan of those w files) stops
-    scaling beyond w cores — measured as the triples stage running 2x,
-    not 4x, faster at 4N cores."""
+    Explicit ``files_per_rel``: shuffle on (rel, salt) before writing —
+    for inputs that do NOT already end in an exchange (e.g. console
+    snapshots of an un-shuffled union), where a plain
+    ``repartition("rel")`` would funnel ~90% of rows (the mention hub
+    class) through one task.  The salt width takes a floor of 2x the
+    cluster parallelism so the write stays as wide as the cluster; at
+    100 TB, size it to data/target_file_size instead."""
+    if files_per_rel is None:
+        triples.write.mode("overwrite").partitionBy("rel").parquet(path)
+        return
     sc = triples.sparkSession.sparkContext
     buckets = max(files_per_rel, 2 * sc.defaultParallelism)
     salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(buckets))
