@@ -172,7 +172,9 @@ def _make_triple_scan(bc, german: bool = False):
                 seen: set[str] = set()
                 for key, _i, _n in cands:
                     ent = amap[key]
-                    if ent not in seen:
+                    # self-loop guard: parity with rewrite_triples'
+                    # subj != obj filter on the staged path
+                    if ent != doc_id and ent not in seen:
                         seen.add(ent)
                         out_s.append(ent)
                         out_o.append(doc_id)

@@ -3,10 +3,26 @@ checkpoint resume.
 
 Stage graph (north_rule):
 
-    labels ──> gazetteer(aliases) ──┐
-    docs ──> mentions ──> link ─────┼──> raw triples ──> canonicalize ──> triples
-    labels ──> dissect + alias edges┘                                      ├─> adjacency
-                                                                           └─> degrees
+    labels ──> gazetteer(aliases) ───────────────┐ (compose alias->rank-1
+    labels ──> dissect + alias edges ──> CC map ──┤  entity->canonical rep,
+                                                  v  one broadcast dict)
+    docs ──────────> fused scan+link+canonicalize ──> mention triples ─┐
+    label triples ──> rewrite through CC map + dedup ──────────────────┴──> triples
+                                                                            ├─> adjacency
+                                                                            └─> degrees
+
+Canonicalization is LABEL-SIDE-FIRST: sameAs-class merge edges come only
+from dissect rules / label conflicts / synonym fixtures, never from the
+doc scan (rel=MENTIONED_IN), so the union-find map exists before any
+document is read and composes into the scan's broadcast gazetteer.
+Mention triples are then born canonical AND born distinct (obj=doc_id
+puts the doc id in the dedup key, so the scan's per-doc seen-set IS
+global distinctness) — the corpus-sized triple set never pays a dedup
+exchange.  The previous shape (raw mention triples -> broadcast-join
+link -> union -> global dropDuplicates) spent ~50 non-scaling seconds
+at 47M triples/16 cores shuffling + hash-aggregating 100% of rows to
+remove the 1.6% of duplicates, and was the single largest flat cost in
+the N->4N scaling profile.
 
 Every stage writes parquet under ``<out>/<stage>/``; a stage whose
 output already exists (``_SUCCESS``) is skipped on resume — the Iceberg
@@ -31,10 +47,14 @@ from netbase_spark.operators.canonicalize import (
     sameas_edges,
 )
 from netbase_spark.operators.extraction import alias_instance_edges, dissect_triples
-from netbase_spark.operators.gazetteer import alias_keys_local, build_alias_table
-from netbase_spark.operators.linking import link_mentions
-from netbase_spark.operators.materialize import adjacency, node_degrees, write_triples
-from netbase_spark.operators.mentions import detect_mentions
+from netbase_spark.operators.gazetteer import build_alias_table
+from netbase_spark.operators.linking import alias_canonical_map
+from netbase_spark.operators.materialize import (
+    adjacency,
+    degrees_from_adjacency,
+    write_triples,
+)
+from netbase_spark.operators.mentions import scan_mention_triples
 
 
 def _done(path: str) -> bool:
@@ -112,50 +132,55 @@ class Pipeline:
         # gazetteer names for the scan come from label/altLabel rows only
         # (SEO slugs are lookup aliases, not scan surface forms)
         scan_aliases = aliases.where(F.col("source") != "seo")
-        alias_names = alias_keys_local(scan_aliases)
 
-        mentions = self._stage(
-            "mentions",
-            lambda: detect_mentions(
-                docs, alias_names, blacklist, german, distinct_per_doc=True
-            ),
-        )
-        mention_triples = self._stage(
-            "mention_triples",
-            lambda: link_mentions(mentions, scan_aliases, already_distinct=True),
-        )
         extract = self._stage(
             "extract_triples",
             lambda: dissect_triples(labels, german).unionByName(
                 alias_instance_edges(labels)
             ),
         )
-
-        # raw = union of three already-snapshotted inputs.  NOT its own
-        # snapshot stage: materializing the union is a byte-for-byte
-        # copy of mention_triples + extract_triples (at 100 TB, a full
-        # extra write+read of the whole triple set) and resume already
-        # recovers it for free from the input stages' parquet.
-        raw = mention_triples.unionByName(extract)
+        # label_side = union of already-snapshotted dimension inputs;
+        # NOT its own snapshot stage (resume recovers it for free)
+        label_side = extract
         if raw_triples is not None:
-            raw = raw.unionByName(raw_triples)
+            label_side = label_side.unionByName(raw_triples)
 
+        # sameAs-class edges are label-side-only (the scan emits
+        # MENTIONED_IN exclusively), so the canonical map resolves
+        # BEFORE any document is read
         mapping = self._stage(
             "canonical_map",
-            lambda: connected_components(sameas_edges(raw)),
+            lambda: connected_components(sameas_edges(label_side)),
         )
+
+        # fused scan -> link -> canonicalize: alias -> rank-1 entity ->
+        # canonical rep composed into one broadcast dict; the doc side
+        # runs as a single mapInPandas — no join, no shuffle, no dedup
+        # exchange (per-doc distinct == global distinct, obj=doc_id)
+        a2e = alias_canonical_map(scan_aliases, mapping)
+        mention_triples = self._stage(
+            "mention_triples",
+            lambda: scan_mention_triples(docs, a2e, blacklist, german),
+        )
+
         # the canonical triple table is written ONCE, directly in its
-        # final rel-partitioned layout (predicate pruning): a plain
-        # snapshot followed by a separate partitioned copy was a second
-        # full-table write+read that cannot scale with doc-side cores
+        # final rel-partitioned layout (predicate pruning).  The mention
+        # side flows snapshot-parquet -> dynamic-partition write with no
+        # exchange; only the dimension-sized label side pays the
+        # rewrite-and-dedup shuffle inside rewrite_triples.
         triples = self._stage(
             "triples",
-            lambda: rewrite_triples(raw, mapping),
+            lambda: mention_triples.unionByName(
+                rewrite_triples(label_side, mapping)
+            ),
             write=write_triples,
         )
 
-        self._stage("adjacency", lambda: adjacency(triples))
-        self._stage("degrees", lambda: node_degrees(triples))
+        adj = self._stage("adjacency", lambda: adjacency(triples))
+        # degree = group-count over the adjacency table's node column
+        # (column-pruned scan of an already-written table) instead of a
+        # second full triple scan + explode — same result by construction
+        self._stage("degrees", lambda: degrees_from_adjacency(adj))
 
         self._flush_run_metadata()
         return triples

@@ -57,10 +57,8 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
         alias_instance_edges,
         dissect_triples,
     )
-    from netbase_spark.operators.gazetteer import (
-        best_entity_per_alias,
-        build_alias_table,
-    )
+    from netbase_spark.operators.gazetteer import build_alias_table
+    from netbase_spark.operators.linking import alias_canonical_map
     from netbase_spark.operators.mentions import scan_mention_triples
 
     labels_df = labels_spark_df(spark)
@@ -79,12 +77,7 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .persist()
     )
     mapping = connected_components(sameas_edges(label_side))
-    rep = {r["node"]: r["rep"] for r in mapping.collect()}
-    alias_to_entity = {
-        r["name_norm"]: rep.get(r["key"], r["key"])
-        for r in best_entity_per_alias(aliases).collect()
-    }
     mention_triples = scan_mention_triples(
-        docs, alias_to_entity, blacklist_fixture()
+        docs, alias_canonical_map(aliases, mapping), blacklist_fixture()
     )
     return mention_triples.unionByName(rewrite_triples(label_side, mapping))

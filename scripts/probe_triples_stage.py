@@ -78,6 +78,16 @@ def main():
         # the package path as wired in the pipeline (rewrite_triples +
         # write_triples defaults)
         "v5": lambda p: _pkg_write(rewrite_triples(raw, mapping), p),
+        # dedup path, plain parquet write (no partitionBy): isolates the
+        # dynamic-partition writer's sort+multi-file overhead
+        "v6": lambda p: rewrite_triples(raw, mapping).write.mode(
+            "overwrite").parquet(p),
+        # dedup path, noop sink: pure scan+join+exchange+agg compute
+        "v7": lambda p: rewrite_triples(raw, mapping).write.mode(
+            "overwrite").format("noop").save(),
+        # no dedup, noop sink: pure scan+broadcast-join+filter compute
+        "v8": lambda p: rewrite_nodedup(raw, mapping).write.mode(
+            "overwrite").format("noop").save(),
     }
 
     out = {}
@@ -87,7 +97,8 @@ def main():
         t0 = time.monotonic()
         variants[name](path)
         secs = time.monotonic() - t0
-        rows = spark.read.parquet(path).count()
+        rows = (None if name in ("v7", "v8")
+                else spark.read.parquet(path).count())
         out[name] = {"secs": round(secs, 2), "rows": rows}
         print(json.dumps({name: out[name]}), flush=True)
         shutil.rmtree(path, ignore_errors=True)

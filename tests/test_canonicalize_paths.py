@@ -59,6 +59,28 @@ def test_salted_degrees_equal_plain_groupby(spark):
     assert salted == plain
 
 
+def test_degrees_from_adjacency_equals_node_degrees(spark):
+    """The pipeline derives degrees from the materialized adjacency
+    table (column-pruned group-count) — must equal the triple-scan
+    node_degrees for any triple set."""
+    from netbase_spark.operators.materialize import (
+        adjacency,
+        degrees_from_adjacency,
+    )
+
+    tri = spark.createDataFrame(
+        [(f"s{i % 7}", -301, f"o{i % 3}") for i in range(200)]
+        + [("hub", -4, f"o{i}") for i in range(50)],
+        "subj string, rel int, obj string",
+    )
+    via_adj = {
+        (r["node"], r["degree"])
+        for r in degrees_from_adjacency(adjacency(tri)).collect()
+    }
+    direct = {(r["node"], r["degree"]) for r in node_degrees(tri).collect()}
+    assert via_adj == direct and ("hub", 50) in via_adj
+
+
 def test_triples_by_rel_partition_pruning(spark, tmp_path):
     """write_triples partitions by rel so predicate lookups prune
     partitions — the Instance-gap ordering analog (netbase.cpp:468-481):
