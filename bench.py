@@ -235,8 +235,10 @@ def main():
     # fixed partition count: the corpus table layout must not depend on
     # the parallelism of whichever run happened to write it first (an
     # 8-file corpus caps a 16-core scan at 8 tasks)
-    fresh = not os.path.exists(f"/tmp/netbase_corpus/docs_{args.docs}_42/_SUCCESS")
-    corpus = materialize_corpus(spark, args.docs, seed=42, partitions=64)
+    fresh = not os.path.exists(
+        f"/tmp/netbase_corpus/docs_{args.docs}_42_256/_SUCCESS"
+    )
+    corpus = materialize_corpus(spark, args.docs, seed=42, partitions=256)
     warm = materialize_corpus(spark, 200, seed=7, partitions=8)
     if fresh:
         # generating the corpus churns every Python worker and the JVM

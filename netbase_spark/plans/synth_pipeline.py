@@ -20,7 +20,9 @@ def materialize_corpus(
 
     from netbase_spark.data.synth import docs_df
 
-    path = path or f"/tmp/netbase_corpus/docs_{n_docs}_{seed}"
+    # file count is part of the cache key: the fixed layout must not
+    # silently come from whichever partitioning wrote the table first
+    path = path or f"/tmp/netbase_corpus/docs_{n_docs}_{seed}_{partitions or 'auto'}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs_df(spark, n_docs, seed=seed, partitions=partitions).write.mode(
             "overwrite"

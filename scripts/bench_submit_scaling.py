@@ -63,7 +63,7 @@ def main():
 
     spark = get_spark(app="mat_corpus", cpus=16,
                       extra={"spark.ui.showConsoleProgress": "false"})
-    materialize_corpus(spark, args.docs, seed=42, partitions=64)
+    materialize_corpus(spark, args.docs, seed=42, partitions=256)
     spark.stop()
 
     # best-of-K per config: the sandbox VM's run-to-run variance is 2x
@@ -82,14 +82,17 @@ reaches the driver and every Python UDF worker ONLY via
 `spark-submit --py-files dist/netbase_spark.zip`, launched from outside
 the repo — i.e. exactly the artifact a multi-executor cluster would
 receive.  FULL pipeline (every stage incl. per-stage parquet snapshots,
-lineage and metrics), reading the same pre-materialized 64-file corpus
+lineage and metrics), reading the same pre-materialized 256-file corpus
 table; P/R oracle skipped (`--no-oracle`: it is single-threaded driver
 scaffolding, and P/R=1.0 is gated by the same spark-submit job at
-smaller doc counts and by `pytest`).  An untimed warmup job (one task
-per core through mapInPandas + a parquet write) precedes each timed
-region: JVM codegen/committer init and Python/Arrow worker spin-up are
-one-time costs a long-running cluster job amortizes to zero, and on a
-4-core budget they'd otherwise bill ~10s against the N run alone.
+smaller doc counts and by `pytest`).  An untimed FULL-pipeline warmup
+at 200 docs precedes each timed region: every stage's codegen compile,
+JIT, committer init, and Python/Arrow worker spin-up are one-time costs
+a long-running cluster job amortizes to zero, and on a 4-core budget
+they'd otherwise bill ~15s against the N run alone.  The driver JVM
+gets 48g (it hosts ALL executor threads in local mode; at 24g the
+post-scan explode/write stages GC-thrashed 6-13x, an artifact of
+squeezing a whole cluster's heap into one process).
 Each submission is `taskset`-pinned
 to exactly its core count (JVM + GC + parquet compression + Python/Arrow
 UDF workers all inside the budget): unpinned, a local[4] JVM spills its

@@ -47,12 +47,14 @@ def main():
                          "the input contract is a pre-existing document "
                          "TABLE, so throughput/scaling runs use this")
     ap.add_argument("--warmup", action="store_true",
-                    help="run a tiny untimed job first (one task per core "
-                         "through mapInPandas + a parquet write) so the "
-                         "timed region measures steady-state throughput, "
-                         "not JVM codegen/committer init and Python/Arrow "
-                         "worker spin-up — one-time costs a long-running "
-                         "cluster job amortizes to zero")
+                    help="run the full pipeline once at 200 docs (untimed, "
+                         "throwaway out dir) so the timed region measures "
+                         "steady-state throughput: every stage's codegen "
+                         "compile, JIT, committer init, and Python/Arrow "
+                         "worker spin-up are one-time costs a long-running "
+                         "cluster job amortizes to zero — on a 4-core "
+                         "budget they otherwise bill ~15s against the N "
+                         "run alone")
     ap.add_argument("--no-oracle", action="store_true",
                     help="skip the driver-side P/R check (single-threaded "
                          "pure-Python oracle — scaffolding, not pipeline; "
@@ -83,28 +85,20 @@ def main():
     if args.corpus:
         from netbase_spark.plans.synth_pipeline import materialize_corpus
 
-        # fixed 64-file layout so the table does not encode whichever
+        # fixed 256-file layout so the table does not encode whichever
         # parallelism happened to write it first (see bench.py)
         docs = spark.read.parquet(
-            materialize_corpus(spark, args.docs, seed=42, partitions=64)
+            materialize_corpus(spark, args.docs, seed=42, partitions=256)
         )
     else:
         docs = docs_df(spark, args.docs, seed=42, partitions=args.cpus)
 
     if args.warmup:
-        import pandas as _pd  # noqa: F401
-
-        def _ident(batches):
-            yield from batches
-
         wdir = tempfile.mkdtemp(prefix="kg_warm_")
-        (
-            spark.range(args.cpus * 4, numPartitions=args.cpus)
-            .selectExpr("cast(id as string) as s")
-            .mapInPandas(_ident, schema="s string")
-            .write.mode("overwrite").parquet(wdir)
+        wdocs = docs_df(spark, 200, seed=7, partitions=args.cpus)
+        Pipeline(spark, wdir, resume=False).run(
+            wdocs, labels_df, blacklist_fixture(), raw_triples=syn_df
         )
-        spark.read.parquet(wdir).count()
         shutil.rmtree(wdir, ignore_errors=True)
 
     pipe = Pipeline(spark, out, resume=True)

@@ -24,6 +24,6 @@ cp "$REPO/scripts/run_pipeline.py" "$WORK/"
 cd "$WORK"
 spark-submit \
   --master "local[$CORES]" \
-  --driver-memory "${DRIVER_MEM:-24g}" \
+  --driver-memory "${DRIVER_MEM:-48g}" \
   --py-files "$REPO/dist/netbase_spark.zip" \
   run_pipeline.py --from-submit --cpus "$CORES" --docs "$DOCS" "$@"
