@@ -233,6 +233,41 @@ def q_entity_link(spark, sf_dir):
     )
 
 
+def q_link_ranked(spark, sf_dir):
+    """prior x context-coherence candidate ranking (north-star's batched
+    prior*context-similarity linking) via
+    operators/ranking.py::rank_link_candidates: part-name aliases all
+    carry prior 1, so the winner per mention is decided by how many
+    OTHER same-doc rank-1 entities are chain-adjacent (P_k ~ P_k+1) to
+    the candidate, ties on min entity key — i.e. getThe plus coherence."""
+    from netbase_spark.operators.gazetteer import build_alias_table
+    from netbase_spark.operators.ranking import rank_link_candidates
+
+    part = _t(spark, sf_dir, "part")
+    labels = part.select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("key"),
+        F.col("p_name").alias("label"),
+        F.lit("label").alias("label_type"),
+        F.lit("en").alias("lang"),
+    )
+    aliases = build_alias_table(labels, with_seo=False)
+    mentions = _mentions_df(spark, sf_dir).select(
+        "doc_id", F.col("alias").alias("alias_key")
+    )
+    edges = part.where(F.col("p_partkey") % 10 != 9).select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), (F.col("p_partkey") + 1).cast("string")).alias("dst"),
+    )
+    r = rank_link_candidates(mentions, aliases, edges)
+    return r.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "alias_key",
+        "entity",
+        "coh",
+        "score",
+    )
+
+
 def q_mention_counts(spark, sf_dir):
     """Two-stage salted aggregation of mention counts per entity —
     the hub-skew pattern from north_rule (equivalent to a plain count)."""
@@ -620,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissect_paren_names": q_dissect_paren_names,
         "mention_scan": q_mention_scan,
         "entity_link": q_entity_link,
+        "link_ranked": q_link_ranked,
         "mention_counts": q_mention_counts,
         "cc_chain": q_cc_chain,
         "degree_rank": q_degree_rank,
@@ -701,6 +737,50 @@ def oracle_sql() -> dict[str, str]:
                 FROM part GROUP BY p_name
             )
             SELECT m.doc_id, b.entity FROM mentions m JOIN best b USING (alias)
+        """,
+        "link_ranked": f"""
+            WITH {MENTIONS_SQL.strip()},
+            cands AS (
+                SELECT m.doc_id, m.alias AS alias_key,
+                       'P' || CAST(p.p_partkey AS VARCHAR) AS entity
+                FROM mentions m JOIN part p ON m.alias = p.p_name
+            ),
+            best AS (
+                SELECT p_name AS alias,
+                       min('P' || CAST(p_partkey AS VARCHAR)) AS entity
+                FROM part GROUP BY p_name
+            ),
+            ctx AS (
+                SELECT m.doc_id, m.alias, b.entity
+                FROM mentions m JOIN best b USING (alias)
+            ),
+            chain AS (
+                SELECT 'P' || CAST(p_partkey AS VARCHAR) AS src,
+                       'P' || CAST(p_partkey + 1 AS VARCHAR) AS dst
+                FROM part WHERE p_partkey % 10 <> 9
+            ),
+            nbrs AS (
+                SELECT src AS entity, dst AS nbr FROM chain
+                UNION SELECT dst, src FROM chain
+            ),
+            coh AS (
+                SELECT c.doc_id, c.alias_key, c.entity,
+                       count(DISTINCT x.entity) AS coh
+                FROM cands c
+                LEFT JOIN nbrs n ON n.entity = c.entity
+                LEFT JOIN ctx x ON x.doc_id = c.doc_id
+                     AND x.entity = n.nbr AND x.alias <> c.alias_key
+                GROUP BY c.doc_id, c.alias_key, c.entity
+            )
+            SELECT doc_id, alias_key, entity,
+                   CAST(coh AS BIGINT) AS coh,
+                   CAST(1 + coh AS BIGINT) AS score
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, alias_key
+                    ORDER BY (1 + coh) DESC, entity ASC) AS rn
+                FROM coh
+            ) WHERE rn = 1
         """,
         "mention_counts": f"""
             WITH {MENTIONS_SQL.strip()},

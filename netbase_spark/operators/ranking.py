@@ -1,0 +1,112 @@
+"""Batched prior x context-similarity ranking for entity-link candidates.
+
+The reference resolves an ambiguous surface form with ``getThe`` alone —
+prior / first-Instance order (src/netbase.cpp:2276-2341).  At corpus
+scale that prior is composed with DOCUMENT-CONTEXT coherence: a
+candidate entity that is graph-adjacent to the other entities mentioned
+in the same document outranks a higher-prior but unrelated candidate
+(the north-star "score entity-link candidates with batched
+prior x context-similarity ranking").
+
+score(doc, alias, entity) = prior * (1 + coherence), where coherence is
+the number of DISTINCT context entities (the rank-1 ``getThe`` link of
+every OTHER alias detected in the same document) adjacent to the
+candidate in the relatedness graph.  Winner per (doc, alias): score
+desc, entity key asc — so with a degenerate graph the ranking collapses
+exactly to ``getThe``.
+
+Spark-first shape, sized for the 10^12-doc corpus:
+- gazetteer (full candidate table, rank-1 context map) and relatedness
+  graph are dimension-bounded -> broadcast; the candidate and neighbor
+  expansions are map-side only.
+- the corpus side pays one doc_id-keyed shuffle (the context join) and
+  two map-side-combinable hash aggregations (countDistinct per
+  candidate, min_by per mention); no corpus-sized window, no driver
+  collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from netbase_spark.operators.gazetteer import best_entity_per_alias
+
+
+def relatedness_neighbors(edges: DataFrame) -> DataFrame:
+    """Undirected (entity, nbr) pairs from an edge list (src, dst)."""
+    fwd = edges.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+    rev = edges.select(F.col("dst").alias("entity"), F.col("src").alias("nbr"))
+    return fwd.unionByName(rev).dropDuplicates(["entity", "nbr"])
+
+
+def rank_link_candidates(
+    mentions: DataFrame, aliases: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Rank every candidate entity of every mention by
+    prior x (1 + context coherence); return the winner per mention.
+
+    mentions: (doc_id, alias_key), distinct per doc (the scan's
+        ``distinct_per_doc`` output).
+    aliases:  full alias table (name_norm, key, prior) — ALL candidates
+        per surface form, not the rank-1 row.
+    edges:    (src, dst) entity-relatedness edges (graph side).
+
+    Returns (doc_id, alias_key, entity, prior, coh, score); score is
+    exact integer arithmetic (BIGINT) so engine/oracle hashes agree.
+    """
+    cand_side = F.broadcast(
+        aliases.select(
+            F.col("name_norm").alias("alias_key"),
+            F.col("key").alias("entity"),
+            F.col("prior").cast("long").alias("prior"),
+        )
+    )
+    ctx_map = F.broadcast(
+        best_entity_per_alias(aliases).select(
+            F.col("name_norm").alias("ctx_alias"),
+            F.col("key").alias("ctx_entity"),
+        )
+    )
+    nbrs = F.broadcast(relatedness_neighbors(edges))
+
+    m = mentions.select("doc_id", "alias_key")
+    # context = rank-1 entity of every alias in the doc (map-side join)
+    ctx = m.select(F.col("doc_id").alias("c_doc"), F.col("alias_key").alias("ctx_alias")).join(
+        ctx_map, "ctx_alias"
+    )
+    # candidate x neighbor expansion, both map-side (degree-bounded fanout)
+    expanded = (
+        m.join(cand_side, "alias_key")
+        .join(nbrs, "entity", "left")
+    )
+    # one corpus shuffle: match candidate neighbors against same-doc
+    # context entities contributed by OTHER aliases
+    hits = expanded.join(
+        ctx,
+        (expanded["doc_id"] == ctx["c_doc"])
+        & (expanded["nbr"] == ctx["ctx_entity"])
+        & (ctx["ctx_alias"] != expanded["alias_key"]),
+        "left",
+    )
+    scored = (
+        hits.groupBy("doc_id", "alias_key", "entity", "prior")
+        .agg(F.countDistinct("ctx_entity").alias("coh"))
+        .withColumn("score", F.col("prior") * (F.lit(1).cast("long") + F.col("coh")))
+    )
+    # argmax with deterministic tie-break (score desc, entity asc) as a
+    # partial-aggregable min_by over an orderable struct — no window
+    winner = scored.groupBy("doc_id", "alias_key").agg(
+        F.min_by(
+            F.struct("entity", "prior", "coh", "score"),
+            F.struct((-F.col("score")).alias("neg_score"), F.col("entity").alias("ent")),
+        ).alias("w")
+    )
+    return winner.select(
+        "doc_id",
+        "alias_key",
+        F.col("w.entity").alias("entity"),
+        F.col("w.prior").alias("prior"),
+        F.col("w.coh").alias("coh"),
+        F.col("w.score").alias("score"),
+    )
