@@ -26,6 +26,7 @@ HEADLINE = [
     "dissect_paren_names",
     "mention_scan",
     "entity_link",
+    "link_ranked",
     "mention_counts",
     "cc_chain",
     "degree_rank",
