@@ -55,6 +55,7 @@ from netbase_spark.operators.materialize import (
     write_triples,
 )
 from netbase_spark.operators.mentions import scan_mention_triples
+from netbase_spark.plans.table_io import write_snapshot
 
 
 def _done(path: str) -> bool:
@@ -104,7 +105,7 @@ class Pipeline:
         if write is not None:
             write(df, path)
         else:
-            df.write.mode("overwrite").parquet(path)
+            write_snapshot(df, path, fmt="parquet")
         stats = _file_stats(path)
         secs = time.time() - t0
         self._lineage.extend((name, pid, n) for pid, n in stats)

@@ -1098,3 +1098,33 @@ def test_rank_link_prior_beats_weak_coherence(spark):
         for r in rank_link_candidates(mentions, aliases, edges).collect()
     }
     assert got[(1, "acme")] == ("E1", 3)  # 3*(1+0) > 1*(1+1)
+
+
+def test_table_io_snapshot_roundtrip_and_iceberg_gate(spark, tmp_path):
+    """plans/table_io.py: parquet snapshots round-trip (incl. a
+    partitioned layout); fmt='iceberg' without a configured catalog
+    fails loudly with the runtime explanation, never silently."""
+    import pytest
+
+    from netbase_spark.plans.table_io import (
+        iceberg_catalogs,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "subj string, rel int, obj string"
+    )
+    p = str(tmp_path / "snap")
+    write_snapshot(df, p, fmt="parquet", partition_by=["rel"])
+    back = read_snapshot(spark, p, fmt="parquet")
+    assert {tuple(r) for r in back.select("subj", "obj").collect()} == {
+        ("a", "x"),
+        ("b", "y"),
+    }
+
+    assert iceberg_catalogs(spark) == []  # sandbox has no Iceberg runtime
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_snapshot(df, "cat.db.t", fmt="iceberg")
+    with pytest.raises(ValueError):
+        write_snapshot(df, p, fmt="orc")
