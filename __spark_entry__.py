@@ -638,9 +638,10 @@ def q_kg_pipeline_synth(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: gazetteer mention detection + entity linking over the
-    sf0.001 corpus (enriched docs), returning linked mention edges."""
-    return q_entity_link(spark, "/root/testdata/sf0.001")
+    """Flagship: gazetteer mention detection + batched prior x
+    context-coherence entity linking over the sf0.001 corpus, returning
+    the winning entity per mention with its coherence and score."""
+    return q_link_ranked(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
