@@ -469,9 +469,29 @@ def q_wikidata_stages(spark, sf_dir):
         F.lit(ent), nk, F.lit("> <http://www.wikidata.org/prop/P361> "),
         F.lit(ent), (F.col("n_regionkey") + 1000).cast("string"),
         F.lit("> .")).alias("value"))
-    return import_wikidata(
-        props, primary, fillup, alts, taxonomy, instances, statements
-    )
+    # ONE localCheckpoint of the tagged union of the (dimension-sized)
+    # synthesized dumps: without it, predicate pushdown inlines the
+    # full resolve_term CASE tree — with the concat() line synthesis
+    # substituted in — into every scan's Filter condition (8 scans x
+    # ~22 KB = the 199 KB plan-text WARN in PLANS.md).  A real
+    # deployment reads the dumps with spark.read.text, where the same
+    # filters land on a plain column.
+    from netbase_spark.sources.wikidata import import_wikidata_tagged
+
+    stage_dfs = [
+        ("property", props),
+        ("term_primary", primary),
+        ("term_fillup", fillup),
+        ("term_alt", alts),
+        ("taxonomy", taxonomy),
+        ("instances", instances),
+        ("statements", statements),
+    ]
+    tagged = None
+    for rule, df in stage_dfs:
+        t = df.select("value", F.lit(rule).alias("rule"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return import_wikidata_tagged(tagged.localCheckpoint())
 
 
 ORACLE_WIKIDATA = """

@@ -48,15 +48,21 @@ def resolve_term(c: Column) -> Column:
     )
 
 
-def parse_nt_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+def parse_nt_lines(
+    lines: DataFrame, col: str = "value", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """lines(col: one NT statement per row) -> (subj, pred, obj).
 
     Malformed lines and dropped external-ID predicates are filtered out
     (dropBadPredicate); filters sit directly on the scan so they push
-    down before any downstream join.
+    down before any downstream join.  ``keep`` names passthrough
+    columns (e.g. a stage tag) — tagging + unioning raw lines BEFORE
+    one shared parse keeps the resolve_term expression tree out of
+    every branch of a multi-stage import (plan-size guard, PLANS.md).
     """
     c = F.col(col)
     parsed = lines.select(
+        *[F.col(k) for k in keep],
         resolve_term(F.regexp_extract(c, NT_LINE_RE, 1)).alias("subj"),
         resolve_term(F.regexp_extract(c, NT_LINE_RE, 2)).alias("pred"),
         resolve_term(F.regexp_extract(c, NT_LINE_RE, 3)).alias("obj"),

@@ -78,37 +78,68 @@ def import_wikidata(
     stage; the N3 stages resolve predicates through the canonical
     registry (``canonicalize_predicates``).
     """
+    # Tag + union the RAW lines first, then parse once: seven copies of
+    # the resolve_term expression tree once inflated this plan to
+    # 199 KB (the YAGO importer's blowup class, PLANS.md guard); one
+    # shared parse keeps it branch-free.
+    stages = [
+        ("property", properties_lines),
+        ("term_primary", terms_primary_lines),
+        ("term_fillup", terms_fillup_lines),
+        ("term_alt", alt_lines),
+        ("taxonomy", taxonomy_lines),
+        ("instances", instances_lines),
+        ("statements", statements_lines),
+    ]
+    tagged = None
+    for rule, df in stages:
+        t = df.select(F.col("value"), F.lit(rule).alias("rule"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return import_wikidata_tagged(tagged)
+
+
+def import_wikidata_tagged(tagged: DataFrame) -> DataFrame:
+    """Same orchestration over ONE pre-tagged line table (value, rule)
+    — the shape a cluster job gets for free by tagging each dump file's
+    lines with its stage (e.g. from ``input_file_name()``), so every
+    dump is scanned exactly once and the parse tree appears exactly
+    once in the plan."""
     from netbase_spark.relations import PREDICATE_CANON
     from netbase_spark.sources.n3 import canonicalize_predicates
 
-    def label_rows(df: DataFrame, rule: str) -> DataFrame:
-        return df.select(
-            F.col("key").alias("subj"),
-            F.lit(LABEL).alias("rel"),
-            F.col("label").alias("obj"),
-            F.lit(rule).alias("rule"),
+    parsed = parse_nt_lines(tagged, keep=("rule",))
+
+    label_stages = ("property", "term_primary", "term_fillup", "term_alt")
+    labels = (
+        parsed.where(F.col("rule").isin(*label_stages))
+        .where(
+            ((F.col("rule") == "term_alt") & F.col("pred").isin(*_ALT_PREDS))
+            | ((F.col("rule") != "term_alt") & F.col("pred").isin(*_LABEL_PREDS))
         )
-
-    props = parse_wiki_labels(properties_lines)
-    primary = parse_wiki_labels(terms_primary_lines)
-    fillup = fill_up_missing(primary, parse_wiki_labels(terms_fillup_lines))
-    alts = parse_wiki_labels(alt_lines, alt=True)
-
-    def nt_rows(lines: DataFrame, rule: str) -> DataFrame:
-        mapping = {k: v for k, v in PREDICATE_CANON.items()}
-        t = canonicalize_predicates(
-            parse_nt_lines(lines).withColumn("pred", F.lower(F.col("pred"))),
-            mapping,
-        )
-        return t.select("subj", "rel", "obj", F.lit(rule).alias("rule"))
-
-    out = (
-        label_rows(props, "property")
-        .unionByName(label_rows(primary, "term_primary"))
-        .unionByName(label_rows(fillup, "term_fillup"))
-        .unionByName(label_rows(alts, "term_alt"))
-        .unionByName(nt_rows(taxonomy_lines, "taxonomy"))
-        .unionByName(nt_rows(instances_lines, "instances"))
-        .unionByName(nt_rows(statements_lines, "statements"))
+        .select("rule", F.col("subj").alias("key"), F.col("obj").alias("label"))
+        .where(F.col("key").rlike("^[QP][0-9]+$"))
+        .dropDuplicates(["rule", "key", "label"])
     )
-    return out.dropDuplicates(["subj", "rel", "obj", "rule"])
+    primary_keys = (
+        labels.where(F.col("rule") == "term_primary").select("key").distinct()
+    )
+    label_out = labels.where(F.col("rule") != "term_fillup").unionByName(
+        fill_up_missing(primary_keys, labels.where(F.col("rule") == "term_fillup"))
+    )
+    label_rows = label_out.select(
+        F.col("key").alias("subj"),
+        F.lit(LABEL).alias("rel"),
+        F.col("label").alias("obj"),
+        "rule",
+    )
+
+    nt_rows = canonicalize_predicates(
+        parsed.where(~F.col("rule").isin(*label_stages)).withColumn(
+            "pred", F.lower(F.col("pred"))
+        ),
+        dict(PREDICATE_CANON),
+    ).select("subj", "rel", "obj", "rule")
+
+    return label_rows.unionByName(nt_rows).dropDuplicates(
+        ["subj", "rel", "obj", "rule"]
+    )
