@@ -435,8 +435,6 @@ def q_wikidata_stages(spark, sf_dir):
     only for keys without a primary one), alt labels after the terms,
     then taxonomy/instances/simple-statements N3 with canonical
     predicate resolution."""
-    from netbase_spark.sources.wikidata import import_wikidata
-
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     nk = F.col("n_nationkey").cast("string")
@@ -476,21 +474,22 @@ def q_wikidata_stages(spark, sf_dir):
     # ~22 KB = the 199 KB plan-text WARN in PLANS.md).  A real
     # deployment reads the dumps with spark.read.text, where the same
     # filters land on a plain column.
-    from netbase_spark.sources.wikidata import import_wikidata_tagged
+    from netbase_spark.sources.wikidata import (
+        import_wikidata_tagged,
+        tag_stage_lines,
+    )
 
-    stage_dfs = [
-        ("property", props),
-        ("term_primary", primary),
-        ("term_fillup", fillup),
-        ("term_alt", alts),
-        ("taxonomy", taxonomy),
-        ("instances", instances),
-        ("statements", statements),
-    ]
-    tagged = None
-    for rule, df in stage_dfs:
-        t = df.select("value", F.lit(rule).alias("rule"))
-        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tag_stage_lines(
+        [
+            ("property", props),
+            ("term_primary", primary),
+            ("term_fillup", fillup),
+            ("term_alt", alts),
+            ("taxonomy", taxonomy),
+            ("instances", instances),
+            ("statements", statements),
+        ]
+    )
     return import_wikidata_tagged(tagged.localCheckpoint())
 
 

@@ -17,19 +17,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-ICEBERG_CATALOG_IMPL = "org.apache.iceberg.spark.SparkCatalog"
+ICEBERG_CATALOG_PREFIX = "org.apache.iceberg.spark.Spark"  # SparkCatalog / SparkSessionCatalog
 
 
 def iceberg_catalogs(spark: SparkSession) -> list[str]:
     """Names of configured Iceberg catalogs (``spark.sql.catalog.<name>``
-    set to the Iceberg SparkCatalog impl); [] in the parquet sandbox."""
-    return [
+    set to SparkCatalog or SparkSessionCatalog); [] in the parquet
+    sandbox.  Checks both the static SparkConf and the runtime SQL conf
+    (``SET``) — catalogs registered after session start never appear in
+    ``sparkContext.getConf()``."""
+    pairs = dict(spark.sparkContext.getConf().getAll())
+    pairs.update(
+        (r["key"], r["value"])
+        for r in spark.sql("SET").collect()
+        if r["key"].startswith("spark.sql.catalog.")
+    )
+    return sorted(
         k.split(".")[3]
-        for k, v in spark.sparkContext.getConf().getAll()
+        for k, v in pairs.items()
         if k.startswith("spark.sql.catalog.")
         and k.count(".") == 3
-        and v == ICEBERG_CATALOG_IMPL
-    ]
+        and v.startswith(ICEBERG_CATALOG_PREFIX)
+    )
 
 
 def write_snapshot(

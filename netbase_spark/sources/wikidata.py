@@ -78,10 +78,6 @@ def import_wikidata(
     stage; the N3 stages resolve predicates through the canonical
     registry (``canonicalize_predicates``).
     """
-    # Tag + union the RAW lines first, then parse once: seven copies of
-    # the resolve_term expression tree once inflated this plan to
-    # 199 KB (the YAGO importer's blowup class, PLANS.md guard); one
-    # shared parse keeps it branch-free.
     stages = [
         ("property", properties_lines),
         ("term_primary", terms_primary_lines),
@@ -91,19 +87,33 @@ def import_wikidata(
         ("instances", instances_lines),
         ("statements", statements_lines),
     ]
+    return import_wikidata_tagged(tag_stage_lines(stages))
+
+
+def tag_stage_lines(stages: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Union per-stage line tables into ONE tagged (value, rule) table.
+    Tagging the RAW lines before one shared parse keeps the
+    resolve_term expression tree out of every stage branch (seven
+    copies once inflated the wikidata plan to 199 KB — the YAGO
+    importer's blowup class, PLANS.md guard)."""
     tagged = None
     for rule, df in stages:
         t = df.select(F.col("value"), F.lit(rule).alias("rule"))
         tagged = t if tagged is None else tagged.unionByName(t)
-    return import_wikidata_tagged(tagged)
+    return tagged
 
 
 def import_wikidata_tagged(tagged: DataFrame) -> DataFrame:
     """Same orchestration over ONE pre-tagged line table (value, rule)
-    — the shape a cluster job gets for free by tagging each dump file's
-    lines with its stage (e.g. from ``input_file_name()``), so every
-    dump is scanned exactly once and the parse tree appears exactly
-    once in the plan."""
+    — the shape a cluster job gets by tagging each dump file's lines
+    with its stage (e.g. from ``input_file_name()``).  The parse tree
+    appears once per CONSUMER branch (labels, NT statements — two),
+    not once per stage (seven); each branch's rule filter prunes to
+    its stage's files when the tagged table is partitioned by rule,
+    and a deployment that wants exactly one physical scan snapshots
+    the parsed relation as a pipeline stage first."""
+    from pyspark.sql import Window
+
     from netbase_spark.relations import PREDICATE_CANON
     from netbase_spark.sources.n3 import canonicalize_predicates
 
@@ -120,11 +130,14 @@ def import_wikidata_tagged(tagged: DataFrame) -> DataFrame:
         .where(F.col("key").rlike("^[QP][0-9]+$"))
         .dropDuplicates(["rule", "key", "label"])
     )
-    primary_keys = (
-        labels.where(F.col("rule") == "term_primary").select("key").distinct()
+    # fill-up-missing as one per-key window instead of an anti-join, so
+    # the labels branch is consumed ONCE (no second scan of the dumps
+    # just to list primary keys)
+    has_primary = F.max((F.col("rule") == "term_primary").cast("int")).over(
+        Window.partitionBy("key")
     )
-    label_out = labels.where(F.col("rule") != "term_fillup").unionByName(
-        fill_up_missing(primary_keys, labels.where(F.col("rule") == "term_fillup"))
+    label_out = labels.withColumn("_hp", has_primary).where(
+        (F.col("rule") != "term_fillup") | (F.col("_hp") == 0)
     )
     label_rows = label_out.select(
         F.col("key").alias("subj"),
