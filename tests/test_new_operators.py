@@ -1128,3 +1128,25 @@ def test_table_io_snapshot_roundtrip_and_iceberg_gate(spark, tmp_path):
         write_snapshot(df, "cat.db.t", fmt="iceberg")
     with pytest.raises(ValueError):
         write_snapshot(df, p, fmt="orc")
+
+
+def test_iceberg_catalog_detection_runtime_conf(spark):
+    """iceberg_catalogs sees catalogs registered AFTER session start
+    (runtime SQL conf) and both SparkCatalog flavors; cleans up after
+    itself so the shared session stays Iceberg-free."""
+    from netbase_spark.plans.table_io import iceberg_catalogs
+
+    assert iceberg_catalogs(spark) == []
+    spark.conf.set(
+        "spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set(
+        "spark.sql.catalog.spark_catalog",
+        "org.apache.iceberg.spark.SparkSessionCatalog",
+    )
+    try:
+        assert iceberg_catalogs(spark) == ["lake", "spark_catalog"]
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+        spark.conf.unset("spark.sql.catalog.spark_catalog")
+    assert iceberg_catalogs(spark) == []
