@@ -1150,3 +1150,72 @@ def test_iceberg_catalog_detection_runtime_conf(spark):
         spark.conf.unset("spark.sql.catalog.lake")
         spark.conf.unset("spark.sql.catalog.spark_catalog")
     assert iceberg_catalogs(spark) == []
+
+
+def test_rank_link_candidates_matches_naive_reference(spark):
+    """Cross-check rank_link_candidates against a pure-Python reference
+    on random (mentions, aliases, edges) instances: same winner, prior,
+    coherence, and score for every (doc, alias) — guards the min_by
+    struct tie-break and the double-left-join coherence count."""
+    import random
+    from collections import defaultdict
+
+    from netbase_spark.operators.ranking import rank_link_candidates
+
+    def naive(mentions, aliases, edges):
+        cand = defaultdict(list)
+        for name, key, prior in aliases:
+            cand[name].append((key, prior))
+        best = {
+            name: sorted(lst, key=lambda kp: (-kp[1], kp[0]))[0][0]
+            for name, lst in cand.items()
+        }
+        nbr = defaultdict(set)
+        for s, d in edges:
+            nbr[s].add(d)
+            nbr[d].add(s)
+        docs = defaultdict(set)
+        for doc, alias in mentions:
+            docs[doc].add(alias)
+        out = {}
+        for doc, alset in docs.items():
+            for alias in alset:
+                if alias not in cand:
+                    continue
+                ctx = {best[a2] for a2 in alset if a2 != alias and a2 in best}
+                scored = [
+                    (key, prior, len(ctx & nbr[key]), prior * (1 + len(ctx & nbr[key])))
+                    for key, prior in cand[alias]
+                ]
+                out[(doc, alias)] = sorted(scored, key=lambda t: (-t[3], t[0]))[0]
+        return out
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_alias, n_ent = 12, 10
+        alias_names = [f"a{i}" for i in range(n_alias)]
+        ents = [f"E{i}" for i in range(n_ent)]
+        aliases = [
+            (a, e, rng.randint(1, 3))
+            for a in alias_names
+            for e in rng.sample(ents, rng.randint(1, 3))
+        ]
+        mentions = [
+            (d, a)
+            for d in range(8)
+            for a in rng.sample(alias_names, rng.randint(1, 5))
+        ]
+        edges = [tuple(rng.sample(ents, 2)) for _ in range(12)]
+
+        got = {
+            (r["doc_id"], r["alias_key"]): (
+                r["entity"], r["prior"], r["coh"], r["score"]
+            )
+            for r in rank_link_candidates(
+                spark.createDataFrame(mentions, "doc_id long, alias_key string"),
+                spark.createDataFrame(aliases, "name_norm string, key string, prior long"),
+                spark.createDataFrame(edges, "src string, dst string"),
+            ).collect()
+        }
+        want = naive(mentions, aliases, edges)
+        assert got == want, f"trial {trial}: {got} != {want}"
