@@ -135,9 +135,12 @@ def simhash_candidates(
             .where(F.col("_bucket_n") <= bucket_cap)
             .drop("_bucket_n")
         )
-    # persist: the self-join reads this subtree twice; it is tiny
-    # (n_docs x n_bands rows of ints) vs the signature computation
-    banded = banded.persist()
+    # localCheckpoint (not persist): the self-join reads this subtree
+    # twice and it is tiny (n_docs x n_bands rows of ints) vs the
+    # signature computation; checkpoint blocks are freed by the context
+    # cleaner when the result is dropped, while a bare persist() stays
+    # registered in the SQL cache manager for the session lifetime
+    banded = banded.localCheckpoint()
     l = banded.select(F.col("doc_id").alias("a"), "band", "bv")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bv")
     return (
@@ -261,7 +264,7 @@ def minhash_lsh_pairs(
             .where(F.col("_bucket_n") <= bucket_cap)
             .drop("_bucket_n")
         )
-    band_rows = band_rows.persist()
+    band_rows = band_rows.localCheckpoint()  # reused by self-join; GC-freed
     l = band_rows.select(F.col("doc_id").alias("a"), "band", "bv")
     r = band_rows.select(F.col("doc_id").alias("b"), "band", "bv")
     return (
@@ -385,6 +388,7 @@ def cosine_neardup_pairs(
                 a_ids = pdf[id_col].to_numpy()
                 a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
                 a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+                a_norms[a_norms == 0] = 1.0  # zero vectors: sim 0, not NaN
                 sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
                 e4 = np.floor(sims * 10000).astype(np.int64)
                 keep = (e4 >= thr) & (a_ids[:, None] < b_ids[None, :])
@@ -410,6 +414,7 @@ def cosine_neardup_pairs(
         b_ids = np.array([r[0] for r in rows])
         b_mat = np.array([r[1] for r in rows], dtype=np.float64)
         b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        b_norms[b_norms == 0] = 1.0  # zero vectors: sim 0, not NaN
         bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norms))
         part = left.mapInPandas(
             make_block(bc), schema=f"a {id_t}, b {id_t}, sim_e4 long"
@@ -453,7 +458,13 @@ def ann_lsh_buckets(
 
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
-        schema = "vec_id long, bucket int"
+        # empty-input shape must match the normal path: actual id/vec
+        # dtypes, and the embedding column when keep_vec is set
+        id_t = emb.schema[id_col].dataType.simpleString()
+        schema = f"{id_col} {id_t}, bucket int"
+        if keep_vec:
+            vec_t = emb.schema[vec_col].dataType.simpleString()
+            schema += f", {vec_col} {vec_t}"
         return emb.sparkSession.createDataFrame([], schema)
     dims = int(first["d"])
     bc = emb.sparkSession.sparkContext.broadcast(
@@ -496,7 +507,7 @@ def ann_topk_bucketed(
 
     # persist: consumed twice (query-row lookup + candidate join) — one
     # gemm pass instead of two
-    with_b = ann_lsh_buckets(emb, n_planes, keep_vec=True).persist()
+    with_b = ann_lsh_buckets(emb, n_planes, keep_vec=True).localCheckpoint()
     qb = with_b.where(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
     )
@@ -510,9 +521,10 @@ def ann_topk_bucketed(
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             qv = np.array(pdf["qv"].iloc[0], dtype=np.float64)
-            sims = (mat @ qv) / (
-                np.sqrt((mat * mat).sum(axis=1)) * np.sqrt((qv * qv).sum())
-            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0] = 1.0  # zero vectors: sim 0, not NaN
+            qn = np.sqrt((qv * qv).sum()) or 1.0
+            sims = (mat @ qv) / (norms * qn)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -628,7 +640,7 @@ def ivf_topk(
     import numpy as np
 
     cent = ivf_centroids(emb, n_cells, iters, id_col, vec_col)
-    assigned = ivf_assign(emb, cent, id_col, vec_col).persist()
+    assigned = ivf_assign(emb, cent, id_col, vec_col).localCheckpoint()
     qrow = emb.where(F.col(id_col) == query_id).select(vec_col).first()
     qv = np.array(qrow[0], dtype=np.float64)
     cn = np.sqrt((cent * cent).sum(axis=1))

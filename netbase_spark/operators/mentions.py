@@ -35,16 +35,24 @@ from netbase_spark.schemas import MENTIONS_SCHEMA
 
 
 def doc_text(docs: DataFrame) -> DataFrame:
-    """(doc_id, text): ordered space-join of text spans — JVM-side."""
+    """(doc_id, text): ordered space-join of text spans — JVM-side.
+
+    Null/empty text spans are SKIPPED, matching the oracle's truthy
+    filter (oracle/rules.py::oracle_triples): joining them in would
+    inject empty tokens that shift word indices and consume MAX_WORDS
+    window slots, making the engine miss mentions the oracle finds."""
     spans_sorted = F.array_sort(
-        F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+        F.filter(
+            "spans",
+            lambda s: (s["kind"] == F.lit("text"))
+            & s["text"].isNotNull()
+            & (s["text"] != F.lit("")),
+        ),
         lambda a, b: F.when(a["offset"] < b["offset"], -1)
         .when(a["offset"] > b["offset"], 1)
         .otherwise(0),
     )
-    txt = F.array_join(
-        F.transform(spans_sorted, lambda s: F.coalesce(s["text"], F.lit(""))), " "
-    )
+    txt = F.array_join(F.transform(spans_sorted, lambda s: s["text"]), " ")
     return docs.select("doc_id", txt.alias("text"))
 
 

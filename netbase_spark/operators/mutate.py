@@ -22,6 +22,7 @@ the DuckDB oracle can reproduce ids bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -175,11 +176,14 @@ def set_value(
     (subj, rel) if different — single-valued property semantics: any
     existing (subj, rel, *) rows are dropped, the new fact added."""
     rel = rel_id_for(pred_name)
-    keep = triples.where(~((F.col("subj") == subj) & (F.col("rel") == rel)))
+    # filter on the SAME normalized node key the insert uses — a raw
+    # (e.g. capitalized) caller name must still replace the stored row,
+    # not leave it beside the new one
+    key = norm_name(subj) or subj
+    keep = triples.where(~((F.col("subj") == key) & (F.col("rel") == rel)))
     spark = triples.sparkSession
     row = spark.createDataFrame(
-        [(norm_name(subj) or subj, rel, norm_name(new_obj) or new_obj,
-          "update", None)],
+        [(key, rel, norm_name(new_obj) or new_obj, "update", None)],
         "subj string, rel int, obj string, rule string, doc_id string",
     )
     return keep.unionByName(row.select(*triples.columns))
@@ -264,16 +268,24 @@ def get_new_names(
     """
     base = norm_name_col(F.col(name_col)).alias("base")
     req = names.select(base).where(F.length("base") > 0)
+    # _taken = HIGHEST existing ordinal per base (bare name counts as 1),
+    # not a row count: with non-contiguous suffixes (bare name deleted,
+    # or '~k' imported) a count under-shoots and re-allocates an id that
+    # already exists, silently merging two entities
+    suffix = F.regexp_extract("n", r"~(\d+)$", 1)
     existing = (
         triples.select(F.col("subj").alias("n"))
         .unionByName(triples.select(F.col("obj").alias("n")))
         .distinct()
-        .select(F.regexp_replace("n", r"~\d+$", "").alias("base"))
+        .select(
+            F.regexp_replace("n", r"~\d+$", "").alias("base"),
+            F.coalesce(F.nullif(suffix, F.lit("")).cast("int"), F.lit(1)).alias("k"),
+        )
         # keep only requested base names so the broadcast side below
         # stays dimension-sized even over a web-scale node set
         .join(F.broadcast(req.distinct()), "base", "leftsemi")
         .groupBy("base")
-        .agg(F.count("*").alias("_taken"))
+        .agg(F.max("k").alias("_taken"))
     )
     w = Window.partitionBy("base").orderBy("base")
     ranked = req.withColumn("_rn", F.row_number().over(w)).join(
@@ -301,6 +313,10 @@ def replay(triples: DataFrame, log_path: str) -> DataFrame:
     spark = triples.sparkSession
     try:
         log = spark.read.parquet(log_path)
-    except Exception:
-        return triples
+    except AnalysisException as e:
+        # ONLY an absent log is a no-op; a corrupt/unreadable log must
+        # surface, not silently drop every logged mutation
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return triples
+        raise
     return upsert_triples(triples, log.select(*triples.columns))

@@ -143,6 +143,13 @@ def isa_closure(
             _unpin(closure)
         closure = new_closure
         frontier = nxt
+    # free superseded checkpoints at exit (the _pin invariant): the
+    # returned closure is independently checkpointed, so the seed edge
+    # set and the last frontier are dead weight in executor storage
+    if closure is not edges:
+        _unpin(edges)
+    if frontier is not closure and frontier is not edges:
+        _unpin(frontier)
     return closure
 
 
@@ -452,39 +459,12 @@ def topic_of(
     (node, topic).  The guard lists are exactly the reference's manual
     answer to hub-entity skew — broadcast into the join filters here.
     """
-    from netbase_spark.operators.canonicalize import _pin, _unpin
+    from pyspark.sql import Window
 
     e = edges.select(F.col("src"), F.col("dst"))
     if drop:
         e = e.where(~F.col("dst").isin(list(drop)))
-    cur = _pin(
-        nodes.select(
-            F.col("node").alias("start"), F.col("node").alias("cur"),
-            F.lit(0).alias("depth"),
-        )
-    )
-    seen = cur
-    frontier = cur
-    for d in range(1, max_depth + 1):
-        probe = frontier
-        if stop:
-            probe = probe.where(~F.col("cur").isin(list(stop)))
-        nxt = _pin(
-            probe.join(e, probe["cur"] == e["src"])
-            .select("start", F.col("dst").alias("cur"), F.lit(d).alias("depth"))
-            .dropDuplicates(["start", "cur"])
-        )
-        if nxt.isEmpty():
-            _unpin(nxt)
-            break
-        new_seen = _pin(seen.unionByName(nxt))
-        if frontier is not seen:
-            _unpin(frontier)
-        _unpin(seen)
-        seen = new_seen
-        frontier = nxt
-    from pyspark.sql import Window
-
+    seen = _topic_bfs(nodes, e, stop, max_depth)
     w = Window.partitionBy("start").orderBy(F.col("depth").desc(), F.col("cur").asc())
     return (
         seen.withColumn("rn", F.row_number().over(w))
@@ -650,7 +630,13 @@ def sort_topics(
 
 
 def _topic_bfs(nodes, e, stop, max_depth):
-    """Shared upward BFS for topic_of/sort_topics: (start, cur, depth)."""
+    """Shared upward BFS for topic_of/sort_topics: (start, cur, depth),
+    depth = FIRST-visit distance.  The per-start visited anti-join is
+    load-bearing: Synonym edges are bidirectional in ``upward_edges``,
+    so without it any synonym pair ping-pongs the frontier to max_depth
+    and the depth-desc furthest-ancestor pick returns a cycle member
+    instead of the true topic (the reference's ``yetvisited`` set,
+    src/query.cpp:1511-1564)."""
     from netbase_spark.operators.canonicalize import _pin, _unpin
 
     cur = _pin(
@@ -669,6 +655,7 @@ def _topic_bfs(nodes, e, stop, max_depth):
             probe.join(e, probe["cur"] == e["src"])
             .select("start", F.col("dst").alias("cur"), F.lit(d).alias("depth"))
             .dropDuplicates(["start", "cur"])
+            .join(seen.select("start", "cur"), ["start", "cur"], "left_anti")
         )
         if nxt.isEmpty():
             _unpin(nxt)
@@ -679,6 +666,8 @@ def _topic_bfs(nodes, e, stop, max_depth):
         _unpin(seen)
         seen = new_seen
         frontier = nxt
+    if frontier is not seen:  # free the last frontier's checkpoint
+        _unpin(frontier)
     return seen
 
 

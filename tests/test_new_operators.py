@@ -1219,3 +1219,98 @@ def test_rank_link_candidates_matches_naive_reference(spark):
         }
         want = naive(mentions, aliases, edges)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_topic_of_survives_synonym_cycle(spark):
+    """upward_edges emits Synonym both ways, so the topic BFS must keep
+    a visited set (the reference's yetvisited): without it a synonym
+    pair ping-pongs to max_depth and beats the true furthest ancestor."""
+    from netbase_spark.operators.query_ops import topic_of, upward_edges
+    from netbase_spark.relations import SUPER_CLASS, SYNONYM
+
+    triples = _tri(
+        spark,
+        [
+            ("a", SYNONYM, "b"),
+            ("a", SUPER_CLASS, "c"),
+            ("c", SUPER_CLASS, "d"),
+        ],
+    )
+    nodes = spark.createDataFrame([("a",)], "node string")
+    e = upward_edges(triples).select(
+        F.col("node").alias("src"), F.col("anc").alias("dst")
+    )
+    got = {(r["node"], r["topic"]) for r in topic_of(nodes, e).collect()}
+    assert got == {("a", "d")}
+
+
+def test_sort_topics_no_duplicate_ranks_on_cycle(spark):
+    """With a synonym cycle, each ancestor appears once at its
+    first-visit depth — no duplicate (node, topic) entries."""
+    from netbase_spark.operators.query_ops import sort_topics, upward_edges
+    from netbase_spark.relations import SUPER_CLASS, SYNONYM
+
+    triples = _tri(
+        spark,
+        [("a", SYNONYM, "b"), ("a", SUPER_CLASS, "c")],
+    )
+    nodes = spark.createDataFrame([("a",)], "node string")
+    e = upward_edges(triples).select(
+        F.col("node").alias("src"), F.col("anc").alias("dst")
+    )
+    rows = sort_topics(nodes, e).collect()
+    topics = [r["topic"] for r in rows]
+    assert sorted(topics) == sorted(set(topics))  # no dup ancestors
+
+
+def test_set_value_replaces_with_raw_caller_name(spark):
+    """setValue must replace the stored (normalized-key) row even when
+    the caller passes a raw capitalized name — not add a second value."""
+    from netbase_spark.operators.mutate import rel_id_for, set_value
+
+    rel = rel_id_for("population")
+    triples = spark.createDataFrame(
+        [("gehren", rel, "3703", "fact", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    out = set_value(triples, "Gehren", "population", "244797")
+    rows = out.where(F.col("rel") == rel).collect()
+    assert len(rows) == 1 and rows[0]["obj"] == "244797"
+
+
+def test_doc_text_skips_empty_spans(spark):
+    """Empty/null text spans must not inject empty tokens (they shift
+    word indices and burn MAX_WORDS window slots vs the oracle)."""
+    from netbase_spark.operators.mentions import doc_text
+    from netbase_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {"kind": "text", "text": "one two", "media_ref": None, "offset": 0},
+                    {"kind": "text", "text": "", "media_ref": None, "offset": 1},
+                    {"kind": "image", "text": None, "media_ref": "m", "offset": 2},
+                    {"kind": "text", "text": None, "media_ref": None, "offset": 3},
+                    {"kind": "text", "text": "three", "media_ref": None, "offset": 4},
+                ],
+            )
+        ],
+        DOCS_SCHEMA,
+    )
+    assert doc_text(docs).collect()[0]["text"] == "one two three"
+
+
+def test_get_new_allocates_past_noncontiguous_suffixes(spark):
+    """getNew must never hand out an EXISTING id: with only 'x~3' in the
+    node set (bare 'x' deleted), the next allocation is x~4, not x~2."""
+    from netbase_spark.operators.mutate import get_new_names
+
+    triples = spark.createDataFrame(
+        [("x~3", 1, "y", "fact", None)],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    names = spark.createDataFrame([("x",), ("x",)], "name string")
+    got = sorted(r["allocated"] for r in get_new_names(triples, names).collect())
+    assert got == ["x~4", "x~5"]
