@@ -291,14 +291,20 @@ class Console:
             return out.limit(lim) if lim else out
         # property question ("Population of Gehren") else query language
         from netbase_spark.functions.query_lang import (
+            is_nl_query,
             parse_properties,
             property_question,
             run_graph_query,
         )
 
         if " " in line or "." in line:
-            if parse_properties(line) is not None and not re.search(
-                r"\bwhere\b|\bfrom\b|=", line, re.I
+            # NL list prefixes ("types of X", "list of X") are fixQuery
+            # rewrites, NOT property questions — parse_properties' generic
+            # "... of ..." shape would otherwise shadow them
+            if (
+                not is_nl_query(line)
+                and parse_properties(line) is not None
+                and not re.search(r"\bwhere\b|\bfrom\b|=", line, re.I)
             ):
                 return property_question(line, self.triples, limit=self.limit)
             return run_graph_query(line, self.triples, limit=self.limit)

@@ -35,7 +35,9 @@ def _leaf(expr: str, bare_cols: frozenset = frozenset()) -> Column:
         # way the node NAME matching the word also passes.
         w = expr.strip().strip('"')
         key = w.replace(" ", "_").split(".")[-1]
-        name_hit = F.lower(F.col("name")).contains(key.lower())
+        # node names are normalized to SPACES — match the space form,
+        # not the underscored pivot-column key
+        name_hit = F.lower(F.col("name")).contains(key.replace("_", " ").lower())
         if key in bare_cols:
             return F.col(key).isNotNull() | name_hit
         return name_hit
@@ -99,7 +101,12 @@ def _leaf(expr: str, bare_cols: frozenset = frozenset()) -> Column:
     if op == "<=":
         return col <= v
     if op == "~":
-        return F.abs(col - v) <= F.lit(abs(float(val)) * APPROX_PCT)
+        if is_num:
+            return F.abs(col - v) <= F.lit(abs(float(val)) * APPROX_PCT)
+        # circa on a text field: approximate string match, not a crash
+        return F.lower(F.regexp_replace(col, "_", " ")).contains(
+            str(v).lower().replace("_", " ")
+        )
     raise ValueError(f"unsupported op {op!r}")
 
 

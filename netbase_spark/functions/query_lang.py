@@ -37,6 +37,14 @@ _NL_PREFIXES = re.compile(
 _WHERE_WORDS = re.compile(r"\s+(with|which|who|that)\s+", flags=re.I)
 
 
+def is_nl_query(s: str) -> bool:
+    """True when the line starts with one of fixQuery's NL prefixes —
+    these are LIST queries ('types of cities' -> select * from cities),
+    never property questions, so routers must try this before
+    ``parse_properties`` (whose '... of ...' shape would shadow them)."""
+    return bool(_NL_PREFIXES.match(s or ""))
+
+
 def fix_query(s: str) -> str:
     """NL -> SQL-ish rewrite (src/query.cpp:22-57)."""
     s = s.strip()
@@ -219,7 +227,10 @@ def run_graph_query(
             )
         out = out.drop("_obj_vals")
     if bare_term is not None:
-        cond = F.lower(F.col("name")).contains(bare_term.lower())
+        # names are space-normalized; bare_term arrives underscored
+        cond = F.lower(F.col("name")).contains(
+            bare_term.replace("_", " ").lower()
+        )
         if bare_term in out.columns:
             cond = cond | F.col(bare_term).isNotNull()
         out = out.where(cond)
@@ -272,10 +283,13 @@ def property_question(
     if singular != topics[0]:
         topics.append(singular)
     base = triples.where(F.col("rel") == rel)
-    direct = base.where(F.col("subj").isin(topics)).select(
+    # match case-insensitively like run_graph_query: imports (yago,
+    # geodb, wikidata) keep original-case subjects, the parsed topic is
+    # normalized lowercase
+    direct = base.where(F.lower(F.col("subj")).isin(topics)).select(
         F.col("subj").alias("name"), F.col("obj").alias("value")
     )
-    inverse = base.where(F.col("obj").isin(topics)).select(
+    inverse = base.where(F.lower(F.col("obj")).isin(topics)).select(
         F.col("obj").alias("name"), F.col("subj").alias("value")
     )
     # retry ladder as a lazy coalesce: direct rows if any, else inverse

@@ -57,9 +57,11 @@ def parse_typed_literal(c: Column) -> Column:
     bare_num = F.regexp_extract(text, _BARE, 1)
     bare_unit = F.regexp_extract(text, _BARE, 2)
 
-    unit_raw = F.when(dtype != "", F.element_at(F.split(dtype, "#"), -1)).otherwise(
-        bare_unit
-    )
+    # datatype local name: after '#' for full IRIs (...XMLSchema#gYear)
+    # and after ':' for prefixed forms (xsd:gYear) — both documented
+    unit_raw = F.when(
+        dtype != "", F.element_at(F.split(dtype, "[#:]"), -1)
+    ).otherwise(bare_unit)
     unit_entries = [F.lit(x) for u, (cu, m) in UNIT_TABLE.items() for x in (u, cu)]
     mult_entries = [F.lit(x) for u, (cu, m) in UNIT_TABLE.items() for x in (u, m)]
     unit_map = F.create_map(*unit_entries)

@@ -18,12 +18,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # one NT line: <subj> <pred> "literal"|<iri> .   (whitespace separated)
-_TERM = r"(<[^>]*>|_:\S+|\"[^\"]*\"(?:\^\^<[^>]*>|@\w+)?)"
+# literal bodies may contain escaped quotes (\"), language tags may
+# carry BCP-47 subtags (@en-GB, @zh-hans) — both are valid N-Triples
+# that a \w-only tag or [^"]* body would silently drop as malformed
+_TERM = r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:\^\^<[^>]*>|@[\w-]+)?)"
 NT_LINE_RE = rf"^\s*{_TERM}\s+{_TERM}\s+{_TERM}\s*\.\s*$"
 
 # external-ID predicates dropped at import (dropBadPredicate,
-# src/import.cpp:1757-1786: P213/P214/P646 VIAF/Freebase ids etc.)
-DROP_PREDICATES = ("P213", "P214", "P227", "P244", "P646", "P1245")
+# src/import.cpp:1757-1786: VIAF/Freebase/GND ids etc.) — ONE list,
+# shared with the relations registry, compared case-insensitively
+from netbase_spark.relations import DROP_PREDICATES as _REGISTRY_DROPS
+
+DROP_PREDICATES = tuple(
+    sorted(
+        {p.lower() for p in _REGISTRY_DROPS}
+        | {"p213", "p214", "p227", "p244", "p646", "p1245"}
+    )
+)
 
 
 def resolve_term(c: Column) -> Column:
@@ -36,7 +47,8 @@ def resolve_term(c: Column) -> Column:
       (namespace cut, src/import.cpp:1689-1702), underscores -> spaces.
     """
     qp = F.regexp_extract(c, r"<[^>]*/([QP]\d+)>$", 1)
-    lit = F.regexp_extract(c, r'^"([^"]*)"', 1)
+    lit_raw = F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1)
+    lit = F.regexp_replace(lit_raw, r'\\(["\\])', "$1")  # u8_unescape
     local = F.regexp_extract(c, r"<[^>]*[#/]([^#/>]+)>$", 1)
     bare = F.regexp_extract(c, r"^<([^#/>]+)>$", 1)
     return (
@@ -66,25 +78,23 @@ def parse_nt_lines(
         resolve_term(F.regexp_extract(c, NT_LINE_RE, 1)).alias("subj"),
         resolve_term(F.regexp_extract(c, NT_LINE_RE, 2)).alias("pred"),
         resolve_term(F.regexp_extract(c, NT_LINE_RE, 3)).alias("obj"),
-        F.regexp_extract(c, NT_LINE_RE, 2).alias("_rawp"),
     )
-    return (
-        parsed.where((F.col("subj") != "") & (F.col("pred") != "") & (F.col("obj") != ""))
-        .where(~F.col("pred").isin(*DROP_PREDICATES))
-        .drop("_rawp")
-    )
+    return parsed.where(
+        (F.col("subj") != "") & (F.col("pred") != "") & (F.col("obj") != "")
+    ).where(~F.lower(F.col("pred")).isin(*DROP_PREDICATES))
 
 
-def canonicalize_predicates(triples: DataFrame, mapping: dict[str, int]) -> DataFrame:
-    """Broadcast predicate canonicalization (``getRelation``/``rdfOwl``,
+def canonicalize_predicates(
+    triples: DataFrame, mapping: dict[str, int] | None = None
+) -> DataFrame:
+    """Predicate canonicalization (``getRelation``/``rdfOwl``,
     src/relations.cpp:479-592): text predicate -> built-in relation id
-    where known, else a stable hash-derived positive id."""
-    items = [F.lit(x) for kv in mapping.items() for x in kv]
-    m = F.create_map(*items) if items else F.create_map()
-    return triples.withColumn(
-        "rel",
-        F.coalesce(
-            m[F.col("pred")].cast("int"),
-            F.pmod(F.xxhash64("pred"), F.lit(1 << 30)).cast("int"),
-        ),
-    )
+    where known, else a stable md5-slice id — the SAME id family as the
+    query/mutation path (``mutate.rel_id_col``/``rel_id_for``), so a
+    predicate imported here is resolvable by name later.  (An earlier
+    xxhash64 fallback assigned import-side ids no query could ever
+    compute.)  ``mapping`` is accepted for API compatibility; the
+    registry inside ``rel_id_col`` is authoritative."""
+    from netbase_spark.operators.mutate import rel_id_col
+
+    return triples.withColumn("rel", rel_id_col(F.col("pred")))

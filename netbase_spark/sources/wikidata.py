@@ -132,11 +132,15 @@ def import_wikidata_tagged(tagged: DataFrame) -> DataFrame:
     )
     # fill-up-missing as one per-key window instead of an anti-join, so
     # the labels branch is consumed ONCE (no second scan of the dumps
-    # just to list primary keys)
-    has_primary = F.max((F.col("rule") == "term_primary").cast("int")).over(
+    # just to list labeled keys).  A key is "already labeled" when ANY
+    # earlier stage named it — primary OR alt: the reference's fill-up
+    # skip tests ``node->name`` (src/import.cpp:1346), which the alt
+    # stage also sets, and fill-up runs AFTER the alt labels ("Not
+    # before, otherwise would get useless statements", 2534-2537)
+    has_label = F.max((F.col("rule") != "term_fillup").cast("int")).over(
         Window.partitionBy("key")
     )
-    label_out = labels.withColumn("_hp", has_primary).where(
+    label_out = labels.withColumn("_hp", has_label).where(
         (F.col("rule") != "term_fillup") | (F.col("_hp") == 0)
     )
     label_rows = label_out.select(

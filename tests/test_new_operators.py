@@ -1314,3 +1314,57 @@ def test_get_new_allocates_past_noncontiguous_suffixes(spark):
     names = spark.createDataFrame([("x",), ("x",)], "name string")
     got = sorted(r["allocated"] for r in get_new_names(triples, names).collect())
     assert got == ["x~4", "x~5"]
+
+
+def test_nt_lines_subtags_escapes_and_rel_family(spark):
+    """N3 robustness: BCP-47 language subtags and escaped quotes are
+    valid N-Triples (not malformed-line drops, with \\" unescaped);
+    unknown predicates get the SAME md5-slice relation id the
+    query/mutation path computes, so imported facts stay resolvable."""
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.sources.n3 import canonicalize_predicates, parse_nt_lines
+
+    lines = spark.createDataFrame(
+        [
+            ('<http://x/Q1> <http://www.w3.org/2000/01/rdf-schema#label> "Foo"@en-GB .',),
+            ('<http://x/Q2> <http://x/said> "He said \\"hi\\""@en .',),
+            ('<http://x/Q3> <http://www.wikidata.org/prop/P950> "bne-id" .',),  # registry drop
+        ],
+        "value string",
+    )
+    parsed = parse_nt_lines(lines)
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in parsed.collect()}
+    assert ("Q1", "label", "Foo") in rows
+    assert ("Q2", "said", 'He said "hi"') in rows
+    assert not any(s == "Q3" for s, _, _ in rows)  # registry-wide drop list
+
+    rel = {
+        r["pred"]: r["rel"]
+        for r in canonicalize_predicates(parsed).collect()
+    }
+    assert rel["said"] == rel_id_for("said")  # same id family as queries
+
+
+def test_wikidata_alt_label_blocks_fillup(spark):
+    """The fill-up skip tests node->name (import.cpp:1346), which the
+    alt-label stage also sets: a key whose only earlier label is an
+    altLabel must NOT receive a secondary-language fill-up label."""
+    from netbase_spark.sources.wikidata import import_wikidata
+
+    def nt(key, pred, text, lang):
+        iri = {"label": "<http://www.w3.org/2000/01/rdf-schema#label>",
+               "alt": "<http://www.w3.org/2004/02/skos/core#altLabel>"}[pred]
+        return (f"<http://www.wikidata.org/entity/{key}> {iri} \"{text}\"@{lang} .",)
+
+    empty = spark.createDataFrame([], "value string")
+    primary = spark.createDataFrame([nt("Q1", "label", "Universum", "de")], "value string")
+    alts = spark.createDataFrame([nt("Q2", "alt", "Foo", "de")], "value string")
+    fillup = spark.createDataFrame(
+        [nt("Q1", "label", "universe", "en"),
+         nt("Q2", "label", "bar", "en"),
+         nt("Q3", "label", "earth", "en")],
+        "value string",
+    )
+    out = import_wikidata(empty, primary, fillup, alts, empty, empty, empty)
+    fills = {r["subj"] for r in out.where(F.col("rule") == "term_fillup").collect()}
+    assert fills == {"Q3"}  # Q1 blocked by primary, Q2 blocked by alt
