@@ -105,14 +105,13 @@ def synonym_pairs() -> list[tuple[str, str]]:
 
 
 def blacklist_fixture() -> set[str]:
-    """Stop tokens (loadBlacklist, src/query.cpp:1948-1977), with the
-    reference's +e/+en German inflections materialized."""
-    base = {"the", "and", "a", "an", "of", "in", "very", "some"}
-    out = set(base)
-    for tok in base:
-        out.add(tok + "e")
-        out.add(tok + "en")
-    return out
+    """Stop tokens (loadBlacklist, src/query.cpp:1948-1977).  Only the
+    RAW lines enter the forbidden map: the reference's +e/+en German
+    inflection loop (1965-1973) re-reads an already-exhausted FILE*, so
+    it never executes, and ``findEntites`` consults only the map —
+    materializing the inflections here would over-blacklist tokens the
+    reference matches (e.g. German 'Ofen' vs blacklisted 'of')."""
+    return {"the", "and", "a", "an", "of", "in", "very", "some"}
 
 
 def raw_type_edges() -> list[tuple[str, int, str]]:

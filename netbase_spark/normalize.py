@@ -70,11 +70,15 @@ def is_number_token(s: str) -> bool:
 # --- Column-expression versions (JVM-side, codegen'd) ----------------------
 
 def norm_name_col(col):
-    """Column equivalent of :func:`norm_name`."""
+    """Column equivalent of :func:`norm_name`.  The (?U) flag makes
+    Java's \\s match Unicode whitespace like Python's does — without it
+    a non-breaking space (U+00A0, common in scraped/Wiki labels) passes
+    through the JVM alias build but is collapsed by the Python scan,
+    so the broadcast lookup silently misses."""
     from pyspark.sql import functions as F
 
-    c = F.regexp_replace(col, r'^["\'\s]+|["\'\s]+$', "")
-    c = F.regexp_replace(c, r"[\s_\-]+", " ")
+    c = F.regexp_replace(col, r'(?U)^["\'\s]+|["\'\s]+$', "")
+    c = F.regexp_replace(c, r"(?U)[\s_\-]+", " ")
     return F.lower(F.trim(c))
 
 

@@ -334,10 +334,14 @@ def find_mentions_naive(
     for i in range(n):
         if not words[i]:
             continue
-        for j in range(i + 1, min(i + 1 + max_words, n + 1)):
+        # windows of 1..max_words-1 words: the reference checks
+        # words<max_words BEFORE each probe and increments after
+        # expanding, so the max_words-word window is never probed
+        # (src/query.cpp:2008-2052)
+        for j in range(i + 1, min(i + max_words, n + 1)):
             span = " ".join(words[i:j])
-            if len(span) < MIN_CHARS:  # src/query.cpp:2000
-                continue
+            if len(span) < MIN_CHARS:  # loop GUARD (mid-start>=min_chars,
+                break  # 2008): a short first window aborts this start
             key = alias_lookup(norm_name(span))
             if key is None and span.endswith("s"):  # minimal stemming (2014-2018)
                 key = alias_lookup(norm_name(span[:-1]))
@@ -439,7 +443,7 @@ def find_mentions(
         num_i = is_number_token(words[i])
         run: str | None = None  # incremental normalized span (safe path)
         all_safe = True
-        for j in range(i + 1, min(i + 1 + max_words, n + 1)):
+        for j in range(i + 1, min(i + max_words, n + 1)):
             if max_span_words is not None and cnt[j] - cnt[i] > max_span_words + 1:
                 break  # nonempty count only grows with j — prune the rest
             w = words[j - 1]
@@ -450,7 +454,7 @@ def find_mentions(
                 elif w:
                     all_safe = False
             if plen[j] - plen[i] + (j - i - 1) < MIN_CHARS:
-                continue
+                break  # loop guard, not a skip — span length is monotonic
             last = w[-1] if w else " "
             if all_safe and run is not None:
                 key = alias_lookup(run)

@@ -157,11 +157,14 @@ class Pipeline:
         # fused scan -> link -> canonicalize: alias -> rank-1 entity ->
         # canonical rep composed into one broadcast dict; the doc side
         # runs as a single mapInPandas — no join, no shuffle, no dedup
-        # exchange (per-doc distinct == global distinct, obj=doc_id)
-        a2e = alias_canonical_map(scan_aliases, mapping)
+        # exchange (per-doc distinct == global distinct, obj=doc_id).
+        # a2e builds INSIDE the stage lambda: it costs two collects + a
+        # window job, which a resumed run must not pay for a skipped stage
         mention_triples = self._stage(
             "mention_triples",
-            lambda: scan_mention_triples(docs, a2e, blacklist, german),
+            lambda: scan_mention_triples(
+                docs, alias_canonical_map(scan_aliases, mapping), blacklist, german
+            ),
         )
 
         # the canonical triple table is written ONCE, directly in its

@@ -72,11 +72,17 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # entity -> canonical rep into one broadcast map and run the
     # 10^12-doc side through a single fused mapInPandas — no join, no
     # shuffle, no corpus-sized materialization anywhere on the doc side.
+    # localCheckpoint, not persist: label_side is dimension-sized and
+    # read by three consumers (CC edges, alias map, rewrite); checkpoint
+    # blocks are freed by the context cleaner when the result is
+    # dropped, while a bare persist() stays registered in the SQL cache
+    # manager for the session lifetime (repeated construct_from calls
+    # would stack orphaned caches)
     label_side = (
         dissect_triples(labels_df)
         .unionByName(alias_instance_edges(labels_df))
         .unionByName(synonym_spark_df(spark))
-        .persist()
+        .localCheckpoint()
     )
     mapping = connected_components(sameas_edges(label_side))
     mention_triples = scan_mention_triples(

@@ -237,17 +237,23 @@ PREDICATE_SUBPROPERTY: dict[str, int] = {
 MEMBER_FWD_RELS = frozenset(
     {
         MEMBER, PART, SUBSTANCE, FOR, TYPE, SUPER_CLASS, SYNONYM, PLURAL,
-        MEMBER_DOMAIN_CATEGORY, MEMBER_DOMAIN_REGION, MEMBER_DOMAIN_USAGE,
+        MEMBER_DOMAIN_REGION, MEMBER_DOMAIN_USAGE,
     }
 )
 MEMBER_REV_RELS = frozenset(
     {
         OWNER, FROM, PART_OF, SUB_CLASS, INSTANCE, SYNONYM, TRANSLATION,
-        PLURAL, DOMAIN_CATEGORY, DOMAIN_REGION, DOMAIN_USAGE,
+        PLURAL, DOMAIN_REGION, DOMAIN_USAGE,
     }
 )
-# hard skips before any match (src/query.cpp:1275-1285)
-MEMBER_SKIP_RELS = frozenset({PERTAINYM, DERIVED, ATTRIBUTE, SIMILAR, SEE})
+# hard skips BEFORE any match (src/query.cpp:1275-1287): the reference
+# `continue`s past ids 91/92 ("also bug !!"), so its later
+# MEMBER_DOMAIN_CATEGORY / DOMAIN_CATEGORY match clauses are dead code —
+# those edges are never traversed in either direction
+MEMBER_SKIP_RELS = frozenset(
+    {PERTAINYM, DERIVED, ATTRIBUTE, SIMILAR, SEE,
+     DOMAIN_CATEGORY, MEMBER_DOMAIN_CATEGORY}
+)
 
 # subclassFilter (src/query.cpp:1228-1250): forward SubClass edges plus
 # reverse SuperClass edges.

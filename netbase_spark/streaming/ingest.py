@@ -40,9 +40,18 @@ def stream_mention_triples(
 ) -> DataFrame:
     """The batch mention-scan + link plan applied to a streaming DF —
     stateless per-row transforms + a broadcast join, so it runs
-    unchanged under micro-batching."""
-    mentions = detect_mentions(docs_stream, alias_names, blacklist)
-    return link_mentions(mentions, aliases)
+    unchanged under micro-batching.
+
+    ``distinct_per_doc``/``already_distinct`` are load-bearing here: a
+    doc's mentions all live in one row, so per-doc dedup INSIDE the
+    scan UDF gives the same output as a global dropDuplicates — but a
+    streaming dropDuplicates is an UNBOUNDED stateful operator (one
+    state-store entry per (doc, alias) forever, plus a state shuffle
+    per micro-batch), which this formulation avoids entirely."""
+    mentions = detect_mentions(
+        docs_stream, alias_names, blacklist, distinct_per_doc=True
+    )
+    return link_mentions(mentions, aliases, already_distinct=True)
 
 
 def start_ingest(

@@ -70,3 +70,22 @@ def test_clamp_label_col(spark):
     assert got[long_colon] == "prefixprefixprefixprefix..."
     assert got[no_cut] == "a" * 100
     assert got[short] == short  # <= 50 chars untouched
+
+
+def test_norm_name_unicode_whitespace_parity(spark):
+    """Java \\s is ASCII-only by default; the (?U) flag keeps the JVM
+    twin equal to Python on non-breaking spaces and other Unicode
+    whitespace common in scraped/Wiki labels."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.normalize import norm_name, norm_name_col
+
+    samples = ["New York", " edge ", "a b", "tab\tsep", "plain name"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["n"]
+        for r in df.select("s", norm_name_col(F.col("s")).alias("n")).collect()
+    }
+    for s in samples:
+        assert got[s] == norm_name(s), repr(s)
+    assert norm_name("New York") == "new york"
