@@ -135,12 +135,13 @@ def simhash_candidates(
             .where(F.col("_bucket_n") <= bucket_cap)
             .drop("_bucket_n")
         )
-    # localCheckpoint (not persist): the self-join reads this subtree
-    # twice and it is tiny (n_docs x n_bands rows of ints) vs the
-    # signature computation; checkpoint blocks are freed by the context
-    # cleaner when the result is dropped, while a bare persist() stays
-    # registered in the SQL cache manager for the session lifetime
-    banded = banded.localCheckpoint()
+    # persist: the self-join reads this subtree twice; columnar cache
+    # keeps codegen output (an RDD localCheckpoint here measured ~8x
+    # slower — the DataFrame->RDD conversion drops whole-stage codegen
+    # and columnar storage).  The cache stays registered for the
+    # session; batch callers re-running many dedup passes can
+    # spark.catalog.clearCache() between them.
+    banded = banded.persist()
     l = banded.select(F.col("doc_id").alias("a"), "band", "bv")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bv")
     return (
@@ -264,7 +265,7 @@ def minhash_lsh_pairs(
             .where(F.col("_bucket_n") <= bucket_cap)
             .drop("_bucket_n")
         )
-    band_rows = band_rows.localCheckpoint()  # reused by self-join; GC-freed
+    band_rows = band_rows.persist()  # reused by self-join (see simhash note)
     l = band_rows.select(F.col("doc_id").alias("a"), "band", "bv")
     r = band_rows.select(F.col("doc_id").alias("b"), "band", "bv")
     return (
@@ -507,7 +508,7 @@ def ann_topk_bucketed(
 
     # persist: consumed twice (query-row lookup + candidate join) — one
     # gemm pass instead of two
-    with_b = ann_lsh_buckets(emb, n_planes, keep_vec=True).localCheckpoint()
+    with_b = ann_lsh_buckets(emb, n_planes, keep_vec=True).persist()
     qb = with_b.where(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
     )
@@ -640,7 +641,7 @@ def ivf_topk(
     import numpy as np
 
     cent = ivf_centroids(emb, n_cells, iters, id_col, vec_col)
-    assigned = ivf_assign(emb, cent, id_col, vec_col).localCheckpoint()
+    assigned = ivf_assign(emb, cent, id_col, vec_col).persist()
     qrow = emb.where(F.col(id_col) == query_id).select(vec_col).first()
     qv = np.array(qrow[0], dtype=np.float64)
     cn = np.sqrt((cent * cent).sum(axis=1))
