@@ -55,7 +55,7 @@ from netbase_spark.operators.materialize import (
     write_triples,
 )
 from netbase_spark.operators.mentions import scan_mention_triples
-from netbase_spark.plans.table_io import write_snapshot
+from netbase_spark.plans.table_io import link_partition_files, write_snapshot
 
 
 def _done(path: str) -> bool:
@@ -159,25 +159,47 @@ class Pipeline:
         # runs as a single mapInPandas — no join, no shuffle, no dedup
         # exchange (per-doc distinct == global distinct, obj=doc_id).
         # a2e builds INSIDE the stage lambda: it costs two collects + a
-        # window job, which a resumed run must not pay for a skipped stage
-        mention_triples = self._stage(
+        # window job, which a resumed run must not pay for a skipped
+        # stage.  The snapshot is written DIRECTLY in the final
+        # rel-partitioned layout (the scan emits one rel, so the
+        # dynamic-partition writer adds no work), which lets the triples
+        # stage below publish these files into the canonical table by
+        # hardlink instead of a full decode+re-encode pass.
+        self._stage(
             "mention_triples",
             lambda: scan_mention_triples(
                 docs, alias_canonical_map(scan_aliases, mapping), blacklist, german
             ),
+            write=write_triples,
         )
+        mention_path = os.path.join(self.out, "mention_triples")
 
-        # the canonical triple table is written ONCE, directly in its
-        # final rel-partitioned layout (predicate pruning).  The mention
-        # side flows snapshot-parquet -> dynamic-partition write with no
-        # exchange; only the dimension-sized label side pays the
-        # rewrite-and-dedup shuffle inside rewrite_triples.
+        # the canonical triple table: only the dimension-sized label
+        # side is computed here (rewrite-and-dedup through the CC map,
+        # written rel-partitioned).  The corpus-proportional mention
+        # partition — already canonical, already distinct, already in
+        # rel-partitioned layout — joins the table as METADATA
+        # (link_partition_files): re-encoding those 10^12-scale rows
+        # was the single largest non-scaling cost in the N->4N profile
+        # (a second full pass over the biggest table in the job, for
+        # bytes that already exist in their final form).
+        def _write_canonical(df, path):
+            write_triples(df, path)
+            success = os.path.join(path, "_SUCCESS")
+            os.remove(success)  # table incomplete until the links land
+            linked = link_partition_files(mention_path, path)
+            if linked == 0 and glob.glob(os.path.join(mention_path, "part-*.parquet")):
+                raise RuntimeError(
+                    "mention_triples snapshot is in the pre-partitioned flat "
+                    "layout (older pipeline version); clear the output dir "
+                    "and re-run instead of resuming across layouts"
+                )
+            open(success, "w").close()
+
         triples = self._stage(
             "triples",
-            lambda: mention_triples.unionByName(
-                rewrite_triples(label_side, mapping)
-            ),
-            write=write_triples,
+            lambda: rewrite_triples(label_side, mapping),
+            write=_write_canonical,
         )
 
         adj = self._stage("adjacency", lambda: adjacency(triples))

@@ -15,6 +15,8 @@ runtime is absent.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_CATALOG_PREFIX = "org.apache.iceberg.spark.Spark"  # SparkCatalog / SparkSessionCatalog
@@ -75,6 +77,43 @@ def write_snapshot(
         w.createOrReplace()
         return
     raise ValueError(f"unknown snapshot format: {fmt!r}")
+
+
+def link_partition_files(src: str, dst: str) -> int:
+    """Publish every hive-partitioned data file under ``src`` into the
+    same-named partition directories of ``dst`` by hardlink (copy when
+    the dirs sit on different filesystems).  Returns the file count.
+
+    This is the parquet-directory analog of an Iceberg fast-append: a
+    snapshot whose rows are already in their final partition layout
+    joins the target table as METADATA — no decode, no re-encode, no
+    second pass over the data.  The construction pipeline uses it to
+    fold the corpus-proportional mention partition into the canonical
+    triple table; rewriting those rows cost a full non-scaling
+    re-encode of the biggest table in the job (src/export.cpp:5-47's
+    binary snapshot append is the reference's equivalent shortcut).
+    """
+    import shutil
+
+    n = 0
+    for part in sorted(os.listdir(src)):
+        sdir = os.path.join(src, part)
+        if not (os.path.isdir(sdir) and "=" in part):
+            continue
+        ddir = os.path.join(dst, part)
+        os.makedirs(ddir, exist_ok=True)
+        for f in sorted(os.listdir(sdir)):
+            if not f.endswith(".parquet"):
+                continue
+            target = os.path.join(ddir, f)
+            if os.path.exists(target):
+                continue
+            try:
+                os.link(os.path.join(sdir, f), target)
+            except OSError:
+                shutil.copy2(os.path.join(sdir, f), target)
+            n += 1
+    return n
 
 
 def read_snapshot(spark: SparkSession, target: str, fmt: str = "parquet") -> DataFrame:

@@ -54,7 +54,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--docs", type=int, default=800000)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     # pre-materialize once so neither timed run pays generation
@@ -66,9 +66,18 @@ def main():
     materialize_corpus(spark, args.docs, seed=42, partitions=256)
     spark.stop()
 
-    # best-of-K per config: the sandbox VM's run-to-run variance is 2x
-    lo_runs = [submit(args.n, args.docs) for _ in range(args.repeats)]
-    hi_runs = [submit(args.n * 4, args.docs) for _ in range(args.repeats)]
+    # best-of-K per config, INTERLEAVED N,4N,N,4N,...: the sandbox VM
+    # has multi-minute episodes where effective core speed drops ~4x
+    # (task-metric audit: identical stages consumed 191 vs 1023 CPU-s
+    # back to back — memory-bandwidth / noisy-neighbor weather, zero
+    # steal%).  Running all N submissions then all 4N ones lets one
+    # episode land entirely on one config and skew the ratio;
+    # alternating gives both configs the same weather exposure and
+    # best-of-K then picks each config's fast-mode run.
+    lo_runs, hi_runs = [], []
+    for _ in range(args.repeats):
+        lo_runs.append(submit(args.n, args.docs))
+        hi_runs.append(submit(args.n * 4, args.docs))
     lo = min(lo_runs, key=lambda r: r["sec"])
     hi = min(hi_runs, key=lambda r: r["sec"])
     eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4
