@@ -59,6 +59,42 @@ def adjacency(triples: DataFrame) -> DataFrame:
     return triples.select(F.explode(both).alias("e")).select("e.*")
 
 
+def adjacency_reverse(triples: DataFrame) -> DataFrame:
+    """The materialized half of the adjacency index: one ``dir='in'``
+    row per triple, keyed by the OBJECT.  The forward direction never
+    needs a second copy of the data — the rel-partitioned triple table
+    already IS the subj-keyed adjacency (same rows, same layout), so
+    materializing :func:`adjacency` wholesale writes every statement
+    twice for zero information.  Reference parity: the three per-node
+    statement chains are INDEXES into one statement array
+    (src/netbase.hpp:193-195), not copies of the statements; this
+    table is the obj-side chain.  At 10^12 docs the full-explode form
+    doubles graph storage and was the last non-scaling stage in the
+    N->4N construction profile."""
+    return triples.select(
+        F.col("obj").alias("node"),
+        F.lit("in").alias("dir"),
+        F.col("subj").alias("nbr"),
+        F.col("rel"),
+    )
+
+
+def adjacency_view(triples: DataFrame, reverse: DataFrame) -> DataFrame:
+    """Full ``(node, dir, nbr, rel)`` adjacency as a union VIEW:
+    forward direction projected from the triple table (column-pruned
+    scan, no copy), reverse from the materialized
+    :func:`adjacency_reverse` index.  Row-set-identical to
+    :func:`adjacency` (pinned by
+    test_adjacency_view_equals_full_explode)."""
+    fwd = triples.select(
+        F.col("subj").alias("node"),
+        F.lit("out").alias("dir"),
+        F.col("obj").alias("nbr"),
+        F.col("rel"),
+    )
+    return fwd.unionByName(reverse)
+
+
 def degrees_from_adjacency(adj: DataFrame) -> DataFrame:
     """Degree per node derived from the materialized adjacency table:
     each adjacency row is ONE (node, nbr) incidence, so degree is a

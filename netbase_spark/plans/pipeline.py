@@ -6,10 +6,11 @@ Stage graph (north_rule):
     labels ──> gazetteer(aliases) ───────────────┐ (compose alias->rank-1
     labels ──> dissect + alias edges ──> CC map ──┤  entity->canonical rep,
                                                   v  one broadcast dict)
-    docs ──────────> fused scan+link+canonicalize ──> mention triples ─┐
+    docs ──────────> fused scan+link+canonicalize ──> mention triples ─┐ (hardlink publish)
     label triples ──> rewrite through CC map + dedup ──────────────────┴──> triples
-                                                                            ├─> adjacency
-                                                                            └─> degrees
+                                                                            ├─> adjacency (obj-keyed reverse index;
+                                                                            │   the triple table IS the subj side)
+                                                                            └─> degrees (union-view group-count)
 
 Canonicalization is LABEL-SIDE-FIRST: sameAs-class merge edges come only
 from dissect rules / label conflicts / synonym fixtures, never from the
@@ -50,7 +51,8 @@ from netbase_spark.operators.extraction import alias_instance_edges, dissect_tri
 from netbase_spark.operators.gazetteer import build_alias_table
 from netbase_spark.operators.linking import alias_canonical_map
 from netbase_spark.operators.materialize import (
-    adjacency,
+    adjacency_reverse,
+    adjacency_view,
     degrees_from_adjacency,
     write_triples,
 )
@@ -202,11 +204,20 @@ class Pipeline:
             write=_write_canonical,
         )
 
-        adj = self._stage("adjacency", lambda: adjacency(triples))
-        # degree = group-count over the adjacency table's node column
-        # (column-pruned scan of an already-written table) instead of a
-        # second full triple scan + explode — same result by construction
-        self._stage("degrees", lambda: degrees_from_adjacency(adj))
+        # only the obj-keyed HALF of the adjacency index is materialized
+        # (adjacency_reverse): the rel-partitioned triple table already
+        # is the subj-keyed direction, so the full explode wrote every
+        # statement twice (the reference's statement chains are indexes
+        # into one array, src/netbase.hpp:193-195 — not copies).
+        rev = self._stage("adjacency", lambda: adjacency_reverse(triples))
+        # degree = group-count over the union view's node column — two
+        # column-pruned single-column scans (triples.subj + index.node)
+        # instead of a full triple scan + explode — same result by
+        # construction
+        self._stage(
+            "degrees",
+            lambda: degrees_from_adjacency(adjacency_view(triples, rev)),
+        )
 
         self._flush_run_metadata()
         return triples

@@ -81,6 +81,41 @@ def test_degrees_from_adjacency_equals_node_degrees(spark):
     assert via_adj == direct and ("hub", 50) in via_adj
 
 
+def test_adjacency_view_equals_full_explode(spark):
+    """The pipeline materializes only the obj-keyed reverse index
+    (adjacency_reverse); the union view over (triple table, index) must
+    be row-set-identical to the full-explode adjacency operator — the
+    reference's chains are indexes into one statement array
+    (src/netbase.hpp:193-195), not copies."""
+    from netbase_spark.operators.materialize import (
+        adjacency,
+        adjacency_reverse,
+        adjacency_view,
+        degrees_from_adjacency,
+    )
+
+    tri = spark.createDataFrame(
+        [(f"s{i % 7}", -301 if i % 2 else -4, f"o{i % 3}") for i in range(200)]
+        + [("loop", -4, "loop")],
+        "subj string, rel int, obj string",
+    )
+    full = {tuple(r) for r in adjacency(tri).collect()}
+    view = {
+        tuple(r) for r in adjacency_view(tri, adjacency_reverse(tri)).collect()
+    }
+    assert view == full
+    deg_full = {
+        tuple(r) for r in degrees_from_adjacency(adjacency(tri)).collect()
+    }
+    deg_view = {
+        tuple(r)
+        for r in degrees_from_adjacency(
+            adjacency_view(tri, adjacency_reverse(tri))
+        ).collect()
+    }
+    assert deg_view == deg_full
+
+
 def test_triples_by_rel_partition_pruning(spark, tmp_path):
     """write_triples partitions by rel so predicate lookups prune
     partitions — the Instance-gap ordering analog (netbase.cpp:468-481):
