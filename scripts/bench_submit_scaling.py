@@ -117,7 +117,12 @@ a single-host artifact a real N-executor cluster does not have.
 **Scaling efficiency (spark-submit, full pipeline)** =
 (tps@4N / tps@N) / 4 = **{eff:.3f}** (target >= 0.8).
 
-Best of {args.repeats} submission(s) per config; all wall seconds:
+Best of {args.repeats} submission(s) per config, INTERLEAVED
+(N,4N,N,4N,...): the host has multi-minute episodes where effective
+core speed drops ~4x (task-metric audit: identical stages consumed 191
+vs 1023 CPU-s back to back, zero steal%, disk idle), so sequential
+per-config batches let one episode land on a single config and skew
+the ratio.  All wall seconds:
 N={[r["sec"] for r in lo_runs]}, 4N={[r["sec"] for r in hi_runs]}.
 
 Per-stage seconds (best run):
