@@ -19,13 +19,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_at(cpus: int, docs: int) -> dict:
+    # taskset-pin the whole tree (JVM + GC + Arrow workers) to exactly
+    # `cpus` cores — same rationale as bench_submit_scaling.py: an
+    # unpinned local[4] spills auxiliary threads onto idle host cores
+    # and inflates the N baseline
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"),
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, os.path.join(REPO, "bench.py"),
          "--pipeline-only", "--cpus", str(cpus), "--docs", str(docs)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"pipeline-only run at {cpus} cores failed "
+            f"(rc={out.returncode}); stderr tail:\n{out.stderr[-3000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main():
@@ -35,11 +45,14 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
-    # the sandbox VM shows bimodal run-to-run variance (identical runs
-    # differ 2x); best-of-K per config measures the machine's actual
-    # capability at each parallelism — all runs are reported below
-    lo_runs = [run_at(args.n, args.docs) for _ in range(args.repeats)]
-    hi_runs = [run_at(args.n * 4, args.docs) for _ in range(args.repeats)]
+    # best-of-K per config, INTERLEAVED N,4N,N,4N,...: the host has
+    # multi-minute episodes where effective core speed drops ~4x
+    # (task-metric audit in bench_submit_scaling.py); alternating gives
+    # both configs the same weather exposure — all runs reported below
+    lo_runs, hi_runs = [], []
+    for _ in range(args.repeats):
+        lo_runs.append(run_at(args.n, args.docs))
+        hi_runs.append(run_at(args.n * 4, args.docs))
     lo = min(lo_runs, key=lambda r: r["pipeline"]["sec"])
     hi = min(hi_runs, key=lambda r: r["pipeline"]["sec"])
     tps_lo = lo["pipeline"]["triples_per_sec"]
@@ -58,9 +71,12 @@ cluster in this sandbox).  N={args.n} so that BOTH configs fit the 32-core
 host with their Python UDF workers (JVM task threads + Arrow workers ≈
 2x cores in use): at `local[32]` the 4N run would be oversubscribed 2:1
 while the N run kept idle headroom, inverting the comparison for reasons
-that do not exist on a real multi-executor cluster.  A tiny warmup
-construct runs before each timed job so both measure steady-state
-throughput, not first-plan JIT.
+that do not exist on a real multi-executor cluster.  Each invocation is
+`taskset`-pinned to exactly its core count (JVM + GC + Arrow workers
+inside the budget), runs interleaved with the other config (N,4N,N,...
+— see the CPU-weather note in the spark-submit section), and a tiny
+warmup construct runs before each timed job so both measure
+steady-state throughput, not first-plan JIT.
 
 | parallelism | docs | triples | seconds | triples/sec |
 |---|---|---|---|---|
@@ -92,8 +108,16 @@ throughput scales with cores until the (tiny) label-side tail.
  "union-find over dimension-sized inputs) plus per-stage barriers, "
  "which do not shrink with doc-side cores."}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve the spark-submit section bench_submit_scaling.py owns
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("\n## spark-submit")
+        if cut != -1:
+            tail = old[cut:]
+    with open(path, "w") as f:
+        f.write(md.rstrip("\n") + "\n" + tail)
     print(json.dumps({
         "n": args.n, "docs": args.docs,
         "tps_lo": tps_lo, "tps_hi": tps_hi,
