@@ -1130,6 +1130,49 @@ def test_table_io_snapshot_roundtrip_and_iceberg_gate(spark, tmp_path):
         write_snapshot(df, p, fmt="orc")
 
 
+def test_link_partition_files_publish(spark, tmp_path):
+    """plans/table_io.py::link_partition_files: hive partition dirs
+    publish by hardlink into the target table, the operation is
+    idempotent (a crash between link and _SUCCESS re-runs safely),
+    non-partition entries are skipped, and the combined table reads as
+    one dataset."""
+    import os
+
+    from netbase_spark.plans.table_io import link_partition_files
+
+    src = spark.createDataFrame(
+        [("m1", 9, "d1"), ("m2", 9, "d2")], "subj string, rel int, obj string"
+    )
+    dst = spark.createDataFrame(
+        [("s1", -4, "o1")], "subj string, rel int, obj string"
+    )
+    sp, dp = str(tmp_path / "mention"), str(tmp_path / "triples")
+    src.write.partitionBy("rel").parquet(sp)
+    dst.write.partitionBy("rel").parquet(dp)
+
+    n = link_partition_files(sp, dp)
+    assert n > 0
+    # idempotent: already-present targets are skipped, count drops to 0
+    assert link_partition_files(sp, dp) == 0
+    # hardlink, not copy (same inode on one filesystem)
+    f = next(
+        f for f in os.listdir(os.path.join(sp, "rel=9")) if f.endswith(".parquet")
+    )
+    assert os.path.samefile(
+        os.path.join(sp, "rel=9", f), os.path.join(dp, "rel=9", f)
+    )
+    combined = {
+        tuple(r)
+        for r in spark.read.parquet(dp).select("subj", "rel", "obj").collect()
+    }
+    assert combined == {("m1", 9, "d1"), ("m2", 9, "d2"), ("s1", -4, "o1")}
+    # deleting the source files must not disturb the published table
+    import shutil
+
+    shutil.rmtree(sp)
+    assert spark.read.parquet(dp).count() == 3
+
+
 def test_iceberg_catalog_detection_runtime_conf(spark):
     """iceberg_catalogs sees catalogs registered AFTER session start
     (runtime SQL conf) and both SparkCatalog flavors; cleans up after
