@@ -58,14 +58,25 @@ def doc_text(docs: DataFrame) -> DataFrame:
 
 def _broadcast_gazetteer(spark, alias_struct, blacklist):
     """One broadcast per scan: (alias set/map, first-token index,
-    blacklist).  The first-token index is built on the driver so every
-    executor deserializes the finished structure."""
-    from netbase_spark.oracle.rules import first_token_index, max_alias_word_count
+    blacklist, max alias word count, two-token prefix index).  The
+    indexes are built on the driver so every executor deserializes the
+    finished structures."""
+    from netbase_spark.oracle.rules import (
+        first_token_index,
+        max_alias_word_count,
+        prefix2_index,
+    )
 
     keys = alias_struct.keys() if isinstance(alias_struct, dict) else alias_struct
     ftoks = first_token_index(keys)
     return spark.sparkContext.broadcast(
-        (alias_struct, ftoks, frozenset(blacklist), max_alias_word_count(keys))
+        (
+            alias_struct,
+            ftoks,
+            frozenset(blacklist),
+            max_alias_word_count(keys),
+            prefix2_index(keys),
+        )
     )
 
 
@@ -78,19 +89,21 @@ def _make_mention_scan(bc, german: bool, distinct_per_doc: bool):
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from netbase_spark.oracle.rules import filter_candidates, find_mentions
 
-        alias_set, ftoks, blacklist_f, max_aw = bc.value
-        lookup = lambda nn: nn if nn and nn in alias_set else None  # noqa: E731
+        alias_set, ftoks, blacklist_f, max_aw, pfx2 = bc.value
         # NOTE: window growth must stay at the reference's MAX_WORDS —
         # capping at the longest alias token count is NOT safe because
         # punctuation-produced empty tokens collapse at normalization
         # (a 3-token window can match a 2-token alias).
         for pdf in batches:
             out_doc, out_key, out_start, out_n = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id, text in zip(
+                pdf["doc_id"].tolist(), pdf["text"].tolist()
+            ):
                 cands = filter_candidates(
                     find_mentions(
-                        text or "", lookup, blacklist_f, german,
+                        text or "", alias_set, blacklist_f, german,
                         first_tokens=ftoks, max_span_words=max_aw,
+                        prefix2=pfx2,
                     )
                 )
                 if distinct_per_doc:
@@ -166,15 +179,17 @@ def _make_triple_scan(bc, german: bool = False):
     def scan(batches):
         from netbase_spark.oracle.rules import filter_candidates, find_mentions
 
-        amap, ftoks, blacklist_f, max_aw = bc.value
-        lookup = lambda nn: nn if nn and nn in amap else None  # noqa: E731
+        amap, ftoks, blacklist_f, max_aw, pfx2 = bc.value
         for pdf in batches:
             out_s, out_o = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id, text in zip(
+                pdf["doc_id"].tolist(), pdf["text"].tolist()
+            ):
                 cands = filter_candidates(
                     find_mentions(
-                        text or "", lookup, blacklist_f, german,
+                        text or "", amap, blacklist_f, german,
                         first_tokens=ftoks, max_span_words=max_aw,
+                        prefix2=pfx2,
                     )
                 )
                 seen: set[str] = set()

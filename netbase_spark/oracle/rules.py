@@ -282,6 +282,31 @@ def _norm_cached(s: str) -> str:
     return r
 
 
+# Memoized per-word facts for the scan hot path: (normalized form,
+# safe?, first normalized token, leading-number?).  All four are pure
+# functions of the raw word, so the cache changes nothing semantically;
+# word distributions are Zipfian, so hit rates are high.  "safe" means
+# normalization is compositional for this word (see find_mentions).
+_WORD_INFO: dict[str, tuple[str, bool, str, bool]] = {}
+_WORD_INFO_MAX = 1_000_000
+_EMPTY_INFO = ("", False, "", False)
+
+
+def _word_info(w: str) -> tuple[str, bool, str, bool]:
+    r = _WORD_INFO.get(w)
+    if r is None:
+        if len(_WORD_INFO) >= _WORD_INFO_MAX:
+            _WORD_INFO.clear()
+        nn = _norm_cached(w)
+        r = _WORD_INFO[w] = (
+            nn,
+            w.isascii() and nn == w.lower(),
+            nn.split(" ", 1)[0] if " " in nn else nn,
+            is_number_token(w),
+        )
+    return r
+
+
 def max_alias_word_count(alias_names) -> int:
     """Driver-side hint for :func:`find_mentions`: the max word count of
     any alias.  A window whose NONEMPTY-normalizing token count exceeds
@@ -308,6 +333,26 @@ def first_token_index(alias_names) -> frozenset[str]:
         toks.add(t.strip("\"'"))
     toks.discard("")
     return frozenset(toks)
+
+
+def prefix2_index(alias_names) -> frozenset[tuple[str, str]]:
+    """Window-extension gate for :func:`find_mentions`: the first TWO
+    tokens of every multi-token alias.  A safe-run window whose
+    normalized form has >= 3 tokens (and every extension of it — tokens
+    are only appended, so its first two tokens are already fixed) can
+    only match some alias whose (tok0, tok1) is in this set: the stem
+    retries strip the last RAW char of the span, which for a >= 3-token
+    window touches only the last token (a 1-char last token collapses
+    entirely, leaving >= 2 tokens — covered by the 2-token aliases'
+    pairs being in the set).  Pure pruning: may falsely PASS but never
+    falsely rejects; the gate is not consulted for unsafe spans (their
+    token structure is not compositional)."""
+    pairs: set[tuple[str, str]] = set()
+    for a in alias_names:
+        if a and " " in a:
+            parts = a.split(" ", 2)
+            pairs.add((parts[0], parts[1]))
+    return frozenset(pairs)
 
 
 def find_mentions_naive(
@@ -371,9 +416,10 @@ def find_mentions(
     max_words: int = MAX_WORDS,
     first_tokens: frozenset[str] | None = None,
     max_span_words: int | None = None,
+    prefix2: frozenset[tuple[str, str]] | None = None,
 ) -> list[tuple[str, int, int]]:
     """Optimized twin of :func:`find_mentions_naive` (same results,
-    property-tested): memoized per-word norms, incremental normalized
+    property-tested): memoized per-word info, incremental normalized
     spans for "safe" words, span lengths from prefix sums, raw spans
     built only on the rare hit/stem paths.
 
@@ -387,77 +433,106 @@ def find_mentions(
     1:1 map (no final-sigma contextual casing), which the stem retry's
     ``run[:-1]`` arithmetic relies on.
 
+    ``alias_lookup`` may be a callable (returns the key or None) or a
+    set/frozenset/dict CONTAINER of normalized alias names — the
+    container form lets the hot loop use a direct ``in`` test instead of
+    a Python-level call per probe (the engine's lookups are all
+    identity-on-membership, so the two forms are equivalent;
+    property-tested in tests/test_oracle_rules.py).
+
     ``first_tokens`` (from :func:`first_token_index`) skips start
     positions that cannot begin any alias; ``max_span_words`` (from
     :func:`max_alias_word_count`) stops window growth past the longest
-    alias.  Both are pure pruning: they may falsely PASS (the full probe
-    then rejects) but never falsely reject.
+    alias; ``prefix2`` (from :func:`prefix2_index`) aborts safe-run
+    window growth at the 3rd token when no alias starts with the run's
+    first two tokens — sound even across later unsafe extensions because
+    norm_name is char-local (quote-strip happens only at span EDGES and
+    separators only ever collapse, never vanish mid-span), so the first
+    two normalized tokens of the window are fixed once three safe tokens
+    exist.  All three are pure pruning: they may falsely PASS (the full
+    probe then rejects) but never falsely reject.
     """
     q = text.translate(_PUNCT)
     words = q.split(" ")
     found: list[tuple[str, int, int]] = []
     n = len(words)
     max_words = min(max_words, MAX_WORDS)
-    # per-word normalized forms (memoized), safety flags, prefix sums of
-    # char lengths (span length = chars + separators) and nonempty-norm
-    # counts (for the word-count pruning bound)
-    nw = [_norm_cached(w) if w else "" for w in words]
-    safe = [
-        bool(w) and w.isascii() and nw[k] == w.lower()
-        for k, w in enumerate(words)
-    ]
-    plen = [0] * (n + 1)
-    cnt = [0] * (n + 1)
-    for k in range(n):
-        plen[k + 1] = plen[k] + len(words[k])
-        cnt[k + 1] = cnt[k] + (1 if nw[k] else 0)
+    # per-word memoized facts: (norm, safe, first norm token, number?)
+    wi = _word_info
+    info = [wi(w) if w else _EMPTY_INFO for w in words]
+    if callable(alias_lookup):
+        look, cont = alias_lookup, None
+    else:
+        cont = alias_lookup
+        look = lambda nn, _c=cont: (  # noqa: E731 — slow-path fallback
+            nn if nn and nn in _c else None
+        )
+    maxsw1 = None if max_span_words is None else max_span_words + 1
     for i in range(n):
-        if not words[i]:
+        w0 = words[i]
+        if not w0:
             continue
-        if first_tokens is not None:
-            t0 = nw[i]
-            t0 = t0.split(" ", 1)[0]
-            # empty-normalizing tokens (pure punctuation) fall through:
-            # the span's normalized form then starts at a LATER word
-            if t0:
-                # The stem retry must mirror the real probe, which strips
-                # the last RAW char then normalizes (norm_name drops a
-                # now-trailing quote/apostrophe): "Tesla's" stems to
-                # "tesla'" -> "tesla".  Stripping only the normalized
-                # trailing 's' falsely rejected such tokens.
-                passes = t0 in first_tokens
-                if not passes and t0.endswith("s"):
-                    passes = (
-                        t0[:-1] in first_tokens
-                        or t0[:-1].strip("\"'") in first_tokens
-                    )
-                if not passes and german and t0.endswith("e"):
-                    passes = (
-                        t0[:-1] in first_tokens
-                        or t0[:-1].strip("\"'") in first_tokens
-                    )
-                if not passes:
-                    continue
+        nn0, _safe0, t0, num_i = info[i]
+        # empty-normalizing tokens (pure punctuation) fall through:
+        # the span's normalized form then starts at a LATER word
+        if first_tokens is not None and t0:
+            # The stem retry must mirror the real probe, which strips
+            # the last RAW char then normalizes (norm_name drops a
+            # now-trailing quote/apostrophe): "Tesla's" stems to
+            # "tesla'" -> "tesla".  Stripping only the normalized
+            # trailing 's' falsely rejected such tokens.
+            passes = t0 in first_tokens
+            if not passes and t0[-1] == "s":
+                st = t0[:-1]
+                passes = st in first_tokens or st.strip("\"'") in first_tokens
+            if not passes and german and t0[-1] == "e":
+                st = t0[:-1]
+                passes = st in first_tokens or st.strip("\"'") in first_tokens
+            if not passes:
+                continue
         # the numbers hack tests the span's LEADING integer, which lives
         # entirely inside words[i] (digits cannot cross the separator)
-        num_i = is_number_token(words[i])
         run: str | None = None  # incremental normalized span (safe path)
+        run_toks = 0
+        t1r = ""  # second token of the safe run (for the prefix2 gate)
         all_safe = True
+        slen = -1  # span chars incl. separators (len(w)+1 per word, -1 once)
+        nct = 0  # nonempty-norm word count (for the word-count bound)
         for j in range(i + 1, min(i + max_words, n + 1)):
-            if max_span_words is not None and cnt[j] - cnt[i] > max_span_words + 1:
-                break  # nonempty count only grows with j — prune the rest
             w = words[j - 1]
-            if all_safe:
-                if safe[j - 1]:
-                    piece = nw[j - 1]
-                    run = piece if run is None else run + " " + piece
-                elif w:
-                    all_safe = False
-            if plen[j] - plen[i] + (j - i - 1) < MIN_CHARS:
+            slen += len(w) + 1
+            if w:
+                inf = info[j - 1]
+                if inf[0]:
+                    nct += 1
+                    if maxsw1 is not None and nct > maxsw1:
+                        break  # nonempty count only grows — prune the rest
+                if all_safe:
+                    if inf[1]:
+                        if run is None:
+                            run = inf[0]
+                            run_toks = 1
+                        else:
+                            if run_toks == 1:
+                                t1r = inf[0]
+                            run = run + " " + inf[0]
+                            run_toks += 1
+                            if (
+                                run_toks == 3
+                                and prefix2 is not None
+                                and (nn0, t1r) not in prefix2
+                            ):
+                                break  # no alias starts with these 2 tokens
+                    else:
+                        all_safe = False
+            if slen < MIN_CHARS:
                 break  # loop guard, not a skip — span length is monotonic
             last = w[-1] if w else " "
             if all_safe and run is not None:
-                key = alias_lookup(run)
+                if cont is not None:
+                    key = run if run in cont else None
+                else:
+                    key = look(run)
                 if key is None and (
                     last == "s" or (german and last == "e")
                 ):  # stemming (2014-2018, 2019-2023)
@@ -466,19 +541,25 @@ def find_mentions(
                     # safe word's INTERIOR quote can land on the new edge
                     # ("Tesla's" -> "tesla'" -> "tesla"), so re-strip it
                     stem = (run[:-1] if len(w) >= 2 else run[:-2]).rstrip("\"' ")
-                    key = alias_lookup(stem)
+                    if cont is not None:
+                        key = stem if stem and stem in cont else None
+                    else:
+                        key = look(stem)
                 span = None
             else:
                 span = " ".join(words[i:j])
-                key = alias_lookup(_norm_cached(span))
+                key = look(_norm_cached(span))
                 if key is None and last == "s":
-                    key = alias_lookup(_norm_cached(span[:-1]))
+                    key = look(_norm_cached(span[:-1]))
                 if key is None and german and last == "e":
-                    key = alias_lookup(_norm_cached(span[:-1]))
+                    key = look(_norm_cached(span[:-1]))
             if key is not None and num_i:
                 key = None  # "no numbers hack" (2026) — only matters on a hit
             if key is not None:
-                if _norm_cached(key) in blacklist:  # forbidden[wordhash] (2030)
+                # direct-path keys are already normalized (run/stem are
+                # norm forms; norm is idempotent) — probe blacklist as-is
+                bl_key = key if cont is not None else _norm_cached(key)
+                if bl_key in blacklist:  # forbidden[wordhash] (2030)
                     continue
                 found.append((key, i, j - i))
                 # reversed bigram probe "<span> <previous word>" (2036-2040)
@@ -488,7 +569,7 @@ def find_mentions(
                     ename = f"{span} {words[i - 1]}"
                     en = _norm_cached(ename)
                     if en not in blacklist:
-                        key2 = alias_lookup(en)
+                        key2 = look(en)
                         if key2 is not None:
                             found.append((key2, i - 1, j - i + 1))
     return found
@@ -513,18 +594,30 @@ def filter_candidates_naive(
 def filter_candidates(cands: list[tuple[str, int, int]]) -> list[tuple[str, int, int]]:
     """Optimized twin of :func:`filter_candidates_naive` (property-tested
     equal): dedupe names first (equal names never swallow each other),
-    and test each unique name only against strictly longer ones."""
+    then test each unique name against a single "haystack" of all
+    strictly-longer names joined by a sentinel that appears in no name —
+    one C-level substring scan per name instead of the O(u^2) Python
+    pair loop.  Names are processed longest-first, so when ``me`` is
+    probed the haystack holds exactly the longer names (equal-length
+    names can never strictly contain each other) and a match cannot
+    straddle the sentinel."""
     if len(cands) <= 1:
         return list(cands)
     names = [_norm_cached(k) for k, _, _ in cands]
-    by_len = sorted(set(names), key=len)
+    by_len = sorted(set(names), key=len, reverse=True)
     swallowed: set[str] = set()
-    for idx, me in enumerate(by_len):
-        lme = len(me)
-        for other in by_len[idx + 1 :]:
-            if len(other) > lme and me in other:
+    if any("\x00" in m for m in by_len):  # sentinel collision: pair loop
+        for idx, me in enumerate(by_len):
+            for other in by_len[:idx]:
+                if len(other) > len(me) and me in other:
+                    swallowed.add(me)
+                    break
+    else:
+        hay = ""
+        for me in by_len:
+            if hay and me in hay:
                 swallowed.add(me)
-                break
+            hay = hay + "\x00" + me if hay else me
     if not swallowed:
         return list(cands)
     return [c for c, me in zip(cands, names) if me not in swallowed]

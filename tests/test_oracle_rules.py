@@ -211,15 +211,17 @@ def test_optimized_scan_equals_naive_property():
         find_mentions_naive,
         first_token_index,
         max_alias_word_count,
+        prefix2_index,
     )
 
     aliases = {
         "tesla", "red widget", "battle of hastings", "kiel", "cars",
         "o'brien", '"quoted"', "a s", "x", "ΑΣ".lower(), "tab word",
-        "very long alias of six words",
+        "very long alias of six words", "battle of",
     }
     ftoks = first_token_index(aliases)
     maxw = max_alias_word_count(aliases)
+    pfx2 = prefix2_index(aliases)
     blacklist = {"the", "tab word"}
 
     def lookup(nn):
@@ -246,6 +248,13 @@ def test_optimized_scan_equals_naive_property():
                 first_tokens=ftoks, max_span_words=maxw,
             )
             assert fast == naive, (text, german)
+            # container form + all three prune indexes (the engine's
+            # actual hot path: direct `in` probes, prefix2 gate)
+            direct = find_mentions(
+                text, frozenset(aliases), blacklist, german,
+                first_tokens=ftoks, max_span_words=maxw, prefix2=pfx2,
+            )
+            assert direct == naive, (text, german)
             assert filter_candidates(fast) == filter_candidates_naive(naive), (
                 text, german,
             )
