@@ -70,7 +70,11 @@ def rank_link_candidates(
     )
     nbrs = F.broadcast(relatedness_neighbors(edges))
 
-    m = mentions.select("doc_id", "alias_key")
+    # persist: the mention table feeds TWO legs (candidate expansion and
+    # document context), and upstream it is usually the mention-scan UDF —
+    # without a cache the scan recomputes once per leg.  Mention-sized
+    # (bounded by matches, not the corpus), so safe to cache at scale.
+    m = mentions.select("doc_id", "alias_key").persist()
     # context = rank-1 entity of every alias in the doc (map-side join)
     ctx = m.select(F.col("doc_id").alias("c_doc"), F.col("alias_key").alias("ctx_alias")).join(
         ctx_map, "ctx_alias"
