@@ -41,6 +41,8 @@ HEADLINE = [
     "lang_id",
     "text_quality",
     "token_fingerprint",
+    "winnow_fp",
+    "winnow_pairs",
     "corpus_filter",
     "spans_flat",
     "n3_parse",

@@ -408,7 +408,71 @@ ORACLE_IMAGE_LOOKUP = """
 """
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing rolling-hash document fingerprints (MOSS scheme) over
+    the documents table — substring-level dedup keys where whole-doc
+    md5 misses partial overlap.  Map-side-only higher-order array
+    exprs; distinct (doc_id, fp) rows."""
+    from netbase_spark.operators.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, k=4, w=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fp"
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Near-dup candidate pairs sharing >= 2 winnowing fingerprints
+    (inverted-index self-join on the fingerprint, never all-pairs)."""
+    from netbase_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    return winnow_overlap_pairs(fps, min_shared=2).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "shared",
+    )
+
+
+ORACLE_WINNOW_FPS = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, len(t) - 3),
+          i -> CAST(('0x' || substr(md5(
+                 array_to_string(list_slice(t, i, i + 3), ' ')), 1, 8))
+               AS BIGINT)) AS h
+      FROM toks WHERE len(t) >= 4
+    ), wins AS (
+      SELECT doc_id,
+        CASE WHEN len(h) <= 5 THEN [list_aggregate(h, 'min')]
+             ELSE list_transform(generate_series(1, len(h) - 4),
+                  j -> list_aggregate(list_slice(h, j, j + 4), 'min'))
+        END AS f
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+    FROM (SELECT doc_id, unnest(f) AS fp FROM wins)
+"""
+
+ORACLE_WINNOW_PAIRS = f"""
+    WITH fps AS ({ORACLE_WINNOW_FPS})
+    SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+    FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
+
 EXT3_QUERIES = {
+    "winnow_fp": q_winnow_fp,
+    "winnow_pairs": q_winnow_pairs,
     "geodb_import": q_geodb_import,
     "image_lookup": q_image_lookup,
     "manual_merge": q_manual_merge,
@@ -419,6 +483,8 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "winnow_fp": ORACLE_WINNOW_FPS,
+    "winnow_pairs": ORACLE_WINNOW_PAIRS,
     "geodb_import": ORACLE_GEODB,
     "image_lookup": ORACLE_IMAGE_LOOKUP,
     "manual_merge": ORACLE_MANUAL_MERGE,

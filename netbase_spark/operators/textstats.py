@@ -68,6 +68,88 @@ def token_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (the MOSS
+    scheme, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every ``k``-gram
+    of word tokens, slide a window of ``w`` consecutive k-gram hashes,
+    keep the MINIMUM of each window, emit the distinct mins as the
+    doc's fingerprint set.  Guarantee: two docs sharing a contiguous
+    run of >= w+k-1 tokens share at least one fingerprint — the basis
+    for substring-level near-dup detection where whole-doc hashing
+    (:func:`token_fingerprint`) misses partial overlap.
+
+    Spark-first shape: the token/k-gram/window pipeline is pure
+    higher-order array expressions (transform/slice/array_min) — map
+    side only, ZERO shuffles at any corpus size; the fingerprint
+    explode is linear in text length (<= one fingerprint per token).
+    Hashes are the first 8 hex chars of md5 (DuckDB-reproducible, same
+    family as :func:`minhash_signatures`).  Docs with fewer than ``k``
+    word tokens produce no rows (no k-gram exists).
+
+    Returns distinct (doc_id, fp BIGINT) rows.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    # filter BEFORE building the gram sequence: sequence(1, n) with
+    # n <= 0 is a DESCENDING [1..n] in Spark, which would feed slice a
+    # start of 0 instead of yielding an empty gram list
+    tokenized = docs.select("doc_id", toks.alias("t")).where(
+        F.size("t") >= k
+    )
+    grams = tokenized.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(F.col("t"), i, k), " ")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("h"),
+    )
+    m = F.size(F.col("h"))
+    # fewer k-grams than the window -> ONE window spanning them all
+    # (the short-doc case the oracle mirrors exactly)
+    wins = F.when(m <= w, F.array(F.array_min("h"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("h"), j, w)),
+        )
+    )
+    return (
+        grams.select("doc_id", F.explode(wins).alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints:
+    docs sharing >= ``min_shared`` fingerprints, with the shared count.
+    One fp-keyed shuffle (self-join on the fingerprint value — the
+    inverted-index join, never all-pairs) + one pair-keyed count; md5
+    fingerprints are uniform so the join key carries no skew.  Returns
+    (a, b, shared) with a < b."""
+    l = fps.select(F.col("doc_id").alias("a"), "fp")
+    r = fps.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        l.join(r, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     text_col: str = "text",

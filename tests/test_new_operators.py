@@ -410,6 +410,45 @@ def test_clean_corpus_rule_priority(spark):
     assert rows[5] == ("mean_len", 0)
 
 
+def test_winnow_guarantee_and_pairs(spark):
+    """Winnowing guarantee: docs sharing a contiguous run of >= w+k-1
+    tokens share at least one fingerprint; unrelated docs share none;
+    short docs (< k tokens) emit no rows; fingerprints are <= one per
+    token (the scheme's density bound)."""
+    from netbase_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    k, w = 4, 5
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared_run} tail one"),
+            (2, f"{shared_run} completely different ending text"),
+            (3, "nothing in common with the others at all whatsoever"),
+            (4, "too few"),  # < k tokens -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    rows = fps.collect()
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert 4 not in by_doc
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    for d, text in [(1, "intro"), (2, "x"), (3, "y")]:
+        n_toks = len([t for t in docs.collect() if t.doc_id == d][0].text.split())
+        assert len(by_doc[d]) <= n_toks
+    pairs = {
+        (r.a, r.b, r.shared)
+        for r in winnow_overlap_pairs(fps, min_shared=1).collect()
+    }
+    assert {(a, b) for a, b, _ in pairs} == {(1, 2)}
+
+
 def test_facet_counts(spark):
     from netbase_spark.operators.query_ops import facet_counts
 
