@@ -204,7 +204,13 @@ def parse_yago_lines(
         F.when(shift, _part(4)).otherwise(_part(3)).alias("_o"),
         "_label",
     )
-    # stage 2: per-term components (each regex evaluated once per row)
+    # stage 2: per-term components (each regex evaluated once per row).
+    # The _barrier column is NON-DETERMINISTIC on purpose (always >= 0,
+    # never read): CollapseProject refuses to merge through it, so
+    # stages 2/2b/3 stay separate Project nodes whose codegen methods
+    # are individually small.  Without it the collapsed single
+    # doConsume grew past what Janino can compile and the whole stage
+    # silently ran interpreted.
     parts = raw.select(
         "_label",
         "_p",
@@ -212,6 +218,7 @@ def parse_yago_lines(
         *_term_components("_s", "s"),
         *_term_components("_p", "p"),
         *_term_components("_o", "o"),
+        F.monotonically_increasing_id().alias("_barrier"),
     )
     # stage 2b: lowered vocab keys (consumed 26x by the when-chain —
     # must be a column reference, see _vocab_col)
@@ -257,8 +264,22 @@ def parse_yago_lines(
             | (norm_name_col(F.col("subj")) != norm_name_col(F.col("obj")))
         )
     )
+    # _keep is wrapped in a CASE WHEN on monotonically_increasing_id()
+    # (always >= 0, so semantics are exactly `keep`) to make the COLUMN
+    # non-deterministic: PushDownPredicates pushes even a filter on a
+    # plain alias through every all-deterministic projection below it,
+    # substituting the alias with its full defining expression — which
+    # inlined the whole term-resolution tree into one Generate-adjacent
+    # Filter too large for Janino to compile, so the entire fused stage
+    # silently ran interpreted AND re-evaluated every term a second
+    # time in the projections above.  A non-deterministic field pins
+    # the filter at this level (and survives column pruning because the
+    # filter consumes it).
+    nd_keep = F.when(
+        F.monotonically_increasing_id() >= 0, keep
+    ).otherwise(F.lit(False))
     out = (
-        terms.select("subj", "pred", "obj", keep.alias("_keep"))
+        terms.select("subj", "pred", "obj", nd_keep.alias("_keep"))
         .where(F.col("_keep"))
         .select("subj", "pred", "obj")
         .dropDuplicates(["subj", "pred", "obj"])
