@@ -9,6 +9,12 @@ query at sf0.01 and grade each plan on the scale checklist:
 - WholeStageCodegen coverage (JVM-side expression eval)
 - no single-partition global Window / Exchange SinglePartition except in
   intentional top-k (TakeOrderedAndProject is the GOOD form)
+- codegen actually COMPILES: each query is also executed once with
+  `spark.sql.codegen.fallback=false`, so a Janino compile failure that
+  production Spark hides behind a silent interpreted fallback (the
+  pushed-down YAGO keep-filter was one: 47 KB plan text — under the
+  plan-size guard — yet uncompilable) fails the audit loudly instead.
+  Skip with --no-exec for a fast plan-text-only pass.
 
 Writes PLANS.md.  Run: python scripts/audit_plans.py
 """
@@ -69,7 +75,14 @@ def main():
     import __spark_entry__ as em
     from netbase_spark.session import get_spark
 
-    spark = get_spark(app="plan_audit", cpus=8)
+    exec_check = "--no-exec" not in sys.argv
+    spark = get_spark(
+        app="plan_audit",
+        cpus=8,
+        # strict mode: a whole-stage codegen compile failure raises
+        # instead of silently running the stage interpreted
+        extra={"spark.sql.codegen.fallback": "false"} if exec_check else {},
+    )
     qs = em.queries()
 
     out = [
@@ -90,6 +103,19 @@ def main():
             out += [f"## {name}", "", f"ERROR building plan: {e}", ""]
             continue
         notes = grade(plan)
+        if exec_check:
+            try:
+                df.write.format("noop").mode("overwrite").save()
+                # iterative operators leave their last round persisted;
+                # free it so queries audit independently
+                spark.catalog.clearCache()
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
+            except Exception as e:  # noqa: BLE001
+                first = str(e).splitlines()[0][:200]
+                notes.append(f"WARNING codegen/exec (fallback=false): {first}")
         warnings += sum(1 for n in notes if n.startswith("WARNING"))
         out.append(f"## {name}")
         out.append("")
