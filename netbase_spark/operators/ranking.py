@@ -30,8 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from netbase_spark.operators.gazetteer import best_entity_per_alias
-
 
 def relatedness_neighbors(edges: DataFrame) -> DataFrame:
     """Undirected (entity, nbr) pairs from an edge list (src, dst)."""
@@ -55,17 +53,31 @@ def rank_link_candidates(
     Returns (doc_id, alias_key, entity, prior, coh, score); score is
     exact integer arithmetic (BIGINT) so engine/oracle hashes agree.
     """
-    cand_side = F.broadcast(
-        aliases.select(
-            F.col("name_norm").alias("alias_key"),
-            F.col("key").alias("entity"),
-            F.col("prior").cast("long").alias("prior"),
-        )
-    )
+    # ONE persisted projection of the gazetteer feeds both broadcasts:
+    # each broadcast exchange runs as its own job, and without the cache
+    # each job re-executed the full alias-table lineage (build + prior
+    # window) — event-log audit showed the alias build running 3-4x per
+    # invocation, ~2/3 of the operator's wall time.  Dimension-bounded
+    # (it IS the broadcast side), so the cache is safe at scale.
+    cand = aliases.select(
+        F.col("name_norm").alias("alias_key"),
+        F.col("key").alias("entity"),
+        F.col("prior").cast("long").alias("prior"),
+    ).persist()
+    cand_side = F.broadcast(cand)
+    # rank-1 context map derived from the SAME cached projection:
+    # min_by over (prior desc, key asc) == best_entity_per_alias's
+    # window rank-1 (operators/gazetteer.py:92), without re-running
+    # the alias lineage through a second Exchange + Window.
     ctx_map = F.broadcast(
-        best_entity_per_alias(aliases).select(
-            F.col("name_norm").alias("ctx_alias"),
-            F.col("key").alias("ctx_entity"),
+        cand.groupBy(F.col("alias_key").alias("ctx_alias")).agg(
+            F.min_by(
+                "entity",
+                F.struct(
+                    (-F.col("prior")).alias("neg_prior"),
+                    F.col("entity").alias("ent"),
+                ),
+            ).alias("ctx_entity")
         )
     )
     nbrs = F.broadcast(relatedness_neighbors(edges))
