@@ -462,7 +462,11 @@ ORACLE_WINNOW_FPS = """
 """
 
 ORACLE_WINNOW_PAIRS = f"""
-    WITH fps AS ({ORACLE_WINNOW_FPS})
+    WITH fps0 AS ({ORACLE_WINNOW_FPS}),
+    fps AS (
+      SELECT * FROM fps0
+      WHERE fp IN (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 2000)
+    )
     SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
     FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc_id < r.doc_id
     GROUP BY 1, 2

@@ -131,14 +131,28 @@ def winnow_fingerprints(
 
 
 def winnow_overlap_pairs(
-    fps: DataFrame, min_shared: int = 2
+    fps: DataFrame, min_shared: int = 2, fp_cap: int | None = 2000
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowing fingerprints:
     docs sharing >= ``min_shared`` fingerprints, with the shared count.
     One fp-keyed shuffle (self-join on the fingerprint value — the
-    inverted-index join, never all-pairs) + one pair-keyed count; md5
-    fingerprints are uniform so the join key carries no skew.  Returns
-    (a, b, shared) with a < b."""
+    inverted-index join, never all-pairs) + one pair-keyed count.
+
+    md5 fingerprint VALUES are uniform, but their document frequency is
+    not: boilerplate (license headers, navigation chrome) puts one
+    fingerprint in millions of docs, and the self-join is quadratic in
+    that frequency.  ``fp_cap`` drops fingerprints shared by more than
+    that many docs — same hot-bucket guard as
+    :func:`netbase_spark.operators.dedup.simhash_candidates`; audit
+    what was dropped with :func:`winnow_hot_fps` (no silent caps).
+    Returns (a, b, shared) with a < b."""
+    if fp_cap is not None:
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_fp_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_fp_n") <= fp_cap)
+            .drop("_fp_n")
+        )
     l = fps.select(F.col("doc_id").alias("a"), "fp")
     r = fps.select(F.col("doc_id").alias("b"), "fp")
     return (
@@ -147,6 +161,17 @@ def winnow_overlap_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_hot_fps(fps: DataFrame, fp_cap: int = 2000) -> DataFrame:
+    """(fp, n) for fingerprints the pair join's ``fp_cap`` dropped —
+    the boilerplate audit trail (each is a substring shared by > cap
+    docs, worth a rule in :func:`clean_corpus`, not a dedup edge)."""
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > fp_cap)
     )
 
 

@@ -449,6 +449,29 @@ def test_winnow_guarantee_and_pairs(spark):
     assert {(a, b) for a, b, _ in pairs} == {(1, 2)}
 
 
+def test_winnow_hot_fp_cap(spark):
+    """fp_cap drops boilerplate fingerprints from the pair join (the
+    quadratic hot-bucket guard) and winnow_hot_fps reports exactly the
+    dropped ones — no silent caps."""
+    from netbase_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_hot_fps,
+        winnow_overlap_pairs,
+    )
+
+    boiler = "standard license header tokens apply to this file"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i} {'x'*1} {i*7}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    uncapped = winnow_overlap_pairs(fps, min_shared=1, fp_cap=None).count()
+    capped = winnow_overlap_pairs(fps, min_shared=1, fp_cap=4).count()
+    assert uncapped > 0 and capped < uncapped
+    hot = {r.fp: r.n for r in winnow_hot_fps(fps, fp_cap=4).collect()}
+    assert hot and all(n == 5 for n in hot.values())
+
+
 def test_facet_counts(spark):
     from netbase_spark.operators.query_ops import facet_counts
 
