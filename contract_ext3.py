@@ -474,7 +474,120 @@ ORACLE_WINNOW_PAIRS = f"""
 """
 
 
+def q_display_filter(spark, sf_dir):
+    """Statement-stored ``include``/``exclude`` view filters
+    (src/webserver.cpp:580-620 okStatement; src/console.cpp:435-458;
+    testInclude src/tests.cpp:1555-1586) via
+    operators/display.py::visible_statements: a global ``excluded``
+    rule hides every R1-region edge, supplier S5's own rule hides its
+    nation edge, nation N2's include rule whitelists only its
+    Attribute row, and Range rows vanish under the meta-predicate
+    skip.  Rule side broadcast; corpus side one scan, no shuffle."""
+    from netbase_spark.operators.display import (
+        EXCLUDE_REL,
+        GLOBAL_EXCLUDE_NODE,
+        INCLUDE_REL,
+        visible_statements,
+    )
+    from netbase_spark.relations import ATTRIBUTE, RANGE
+
+    nation = _t(spark, sf_dir, "nation")
+    body = _type_triples(spark, sf_dir).unionByName(
+        nation.select(
+            _sk("n_nationkey", "N").alias("subj"),
+            F.lit(ATTRIBUTE).alias("rel"),
+            F.lower(F.col("n_name")).alias("obj"),
+        )
+    ).unionByName(
+        nation.select(
+            _sk("n_nationkey", "N").alias("subj"),
+            F.lit(RANGE).alias("rel"),
+            _sk("n_regionkey", "R").alias("obj"),
+        )
+    )
+    rules = spark.createDataFrame(
+        [
+            (GLOBAL_EXCLUDE_NODE, EXCLUDE_REL, "r1"),
+            ("S5", EXCLUDE_REL, "n"),
+            ("N2", INCLUDE_REL, "attribute"),
+        ],
+        "subj string, rel int, obj string",
+    )
+    out = visible_statements(body.unionByName(rules))
+    return out.select(
+        "subj", F.col("rel").cast("int").alias("rel"), "obj"
+    )
+
+
+def _oracle_display_filter() -> str:
+    from netbase_spark.operators.display import EXCLUDE_REL, INCLUDE_REL
+    from netbase_spark.relations import ATTRIBUTE, RANGE, TYPE
+
+    return f"""
+    WITH body AS (
+      SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj,
+             {TYPE} AS rel,
+             'N' || CAST(s_nationkey AS VARCHAR) AS obj
+      FROM supplier
+      UNION ALL
+      SELECT 'N' || CAST(n_nationkey AS VARCHAR), {TYPE},
+             'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'N' || CAST(n_nationkey AS VARCHAR), {ATTRIBUTE},
+             lower(n_name) FROM nation
+      UNION ALL
+      SELECT 'N' || CAST(n_nationkey AS VARCHAR), {RANGE},
+             'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), rules(owner, kind, term) AS (
+      VALUES ('excluded', {EXCLUDE_REL}, 'r1'),
+             ('S5', {EXCLUDE_REL}, 'n'),
+             ('N2', {INCLUDE_REL}, 'attribute')
+    ), named AS (
+      SELECT subj, rel, obj,
+             CASE rel WHEN {TYPE} THEN 'Type'
+                      WHEN {ATTRIBUTE} THEN 'Attribute'
+                      WHEN {RANGE} THEN 'Range'
+                      ELSE CAST(rel AS VARCHAR) END AS pname
+      FROM body
+    ), meta AS (
+      SELECT * FROM named
+      WHERE NOT (lower(pname) IN
+                   ('key', 'expected type', 'range', 'usage domain',
+                    'schema')
+                 OR starts_with(lower(pname), 'http')
+                 OR length(pname) = 2
+                 OR substr(pname, 3, 1) IN ('-', '_'))
+    ), afterx AS (
+      SELECT m.* FROM meta m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rules e
+        WHERE e.kind = {EXCLUDE_REL}
+          AND (e.owner = 'excluded' OR e.owner = m.subj)
+          AND (contains(lower(m.subj), lower(e.term))
+               OR contains(lower(m.pname), lower(e.term))
+               OR contains(lower(m.obj), lower(e.term))
+               OR CAST(m.rel AS VARCHAR) = e.term
+               OR m.subj = e.term OR m.obj = e.term))
+    )
+    SELECT subj, CAST(rel AS INTEGER) AS rel, obj FROM afterx m
+    WHERE NOT EXISTS (SELECT 1 FROM rules i
+                      WHERE i.kind = {INCLUDE_REL} AND i.owner = m.subj)
+       OR EXISTS (
+        SELECT 1 FROM rules i
+        WHERE i.kind = {INCLUDE_REL} AND i.owner = m.subj
+          AND (contains(lower(m.subj), lower(i.term))
+               OR contains(lower(m.pname), lower(i.term))
+               OR contains(lower(m.obj), lower(i.term))
+               OR CAST(m.rel AS VARCHAR) = i.term
+               OR m.subj = i.term OR m.obj = i.term))
+"""
+
+
+ORACLE_DISPLAY_FILTER = _oracle_display_filter()
+
+
 EXT3_QUERIES = {
+    "display_filter": q_display_filter,
     "winnow_fp": q_winnow_fp,
     "winnow_pairs": q_winnow_pairs,
     "geodb_import": q_geodb_import,
@@ -487,6 +600,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "display_filter": ORACLE_DISPLAY_FILTER,
     "winnow_fp": ORACLE_WINNOW_FPS,
     "winnow_pairs": ORACLE_WINNOW_PAIRS,
     "geodb_import": ORACLE_GEODB,
