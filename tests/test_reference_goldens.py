@@ -1034,3 +1034,40 @@ def test_dummy_logic_battery(spark):
     # "select * from person where cute" -> beth via the Attribute
     # object (anyField leg, src/query.cpp:400-406; tests.cpp:440-445)
     assert "beth" in names("select * from person where cute")
+
+
+# --- testEntities (src/tests.cpp:1766-1779) --------------------------------
+
+
+def test_entities_kiel_ev(spark):
+    """testEntities (src/tests.cpp:1766-1779): findEntites("Kiel e.V")
+    returns a non-empty set — the abbreviation token 'e.V' must not
+    break the scan — and getClass on the hit resolves its Type.  The
+    scan maps '.' to space on the QUERY side (src/query.cpp:1982-1987)
+    while label hashing keeps it (normChar, src/util.cpp:612-626), so
+    the dotted span matches the space-form surface 'kiel e v' and
+    longest-match (filterCandidates) picks it over the bare 'kiel'."""
+    from netbase_spark.operators.mentions import detect_mentions_text
+    from netbase_spark.operators.query_ops import class_of
+
+    texts = spark.createDataFrame(
+        [("0", "Kiel e.V")], "doc_id string, text string"
+    )
+    found = {
+        r.alias_key
+        for r in detect_mentions_text(texts, ["kiel"], set()).collect()
+    }
+    assert found == {"kiel"}  # all.size() > 0
+
+    longest = {
+        r.alias_key
+        for r in detect_mentions_text(
+            texts, ["kiel", "kiel e v"], set()
+        ).collect()
+    }
+    assert longest == {"kiel e v"}
+
+    tri = _spark_triples(spark, [("kiel", TYPE, "verein")])
+    nodes = spark.createDataFrame([("kiel",)], "node string")
+    classes = dict(class_of(nodes, tri, [TYPE]).collect())
+    assert classes["kiel"] == "verein"  # getClass(get(query)) resolves
