@@ -586,8 +586,77 @@ def _oracle_display_filter() -> str:
 ORACLE_DISPLAY_FILTER = _oracle_display_filter()
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (min_df=2) — the
+    domain-tagging primitive for training-mixture routing, via
+    operators/textstats.py::tfidf_top_terms.  Integer-floored scores
+    rank identically in Spark and DuckDB."""
+    from netbase_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tfidf_top_terms(docs, k=3, min_df=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        "tf",
+        "df",
+        "score_e6",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_TFIDF_TERMS = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(floor(t.tf * ln(((SELECT count(*) FROM documents) + 1.0)
+                                  / (d.df + 1.0)) * 1e6) AS BIGINT)
+               AS score_e6
+      FROM tf t JOIN dft d USING (term)
+      WHERE d.df >= 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_e6, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language subsampling (en 50%, de 25%) via
+    operators/textstats.py::sample_stratified: the keep decision is a
+    pure md5 function of doc_id, so the subset is identical on any
+    cluster size / partitioning — reproducible training mixtures.
+    Map-side only, no shuffle."""
+    from netbase_spark.operators.textstats import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sample_stratified(docs, "lang", {"en": 0.5, "de": 0.25})
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < CASE lang WHEN 'en' THEN {int(0.5 * 4294967296)}
+                      WHEN 'de' THEN {int(0.25 * 4294967296)} END
+"""
+
+
 EXT3_QUERIES = {
     "display_filter": q_display_filter,
+    "tfidf_terms": q_tfidf_terms,
+    "stratified_sample": q_stratified_sample,
     "winnow_fp": q_winnow_fp,
     "winnow_pairs": q_winnow_pairs,
     "geodb_import": q_geodb_import,
@@ -601,6 +670,8 @@ EXT3_QUERIES = {
 
 EXT3_ORACLES = {
     "display_filter": ORACLE_DISPLAY_FILTER,
+    "tfidf_terms": ORACLE_TFIDF_TERMS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "winnow_fp": ORACLE_WINNOW_FPS,
     "winnow_pairs": ORACLE_WINNOW_PAIRS,
     "geodb_import": ORACLE_GEODB,

@@ -238,3 +238,93 @@ def clean_corpus(
         reason.alias("drop_reason"),
         reason.isNull().cast("int").alias("keep"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    min_df: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinctive-keyword extraction: top-``k`` terms per document by
+    TF-IDF — the tagging/curation primitive a training-data pipeline
+    uses to route documents to domain mixtures.
+
+    Classic three-shuffle plan, all JVM-side: explode -> (doc, term)
+    counts (map-side combine), document frequency per term (map-side
+    combine again), one term-keyed join of the (vocabulary-sized) DF
+    table, then a per-doc top-k window.  No vocabulary broadcast — at
+    web scale the vocab outgrows any dimension table, so the DF join
+    shuffles on the term key (uniform after the stopword-free explode;
+    AQE splits residual hot terms).
+
+    Scores compare exactly across engines: ``score_e6 =
+    floor(tf * ln((N+1)/(df+1)) * 1e6)`` and the rank orders by the
+    FLOORED integer (score_e6 desc, term asc), so Spark and the DuckDB
+    oracle agree bit-for-bit.
+    """
+    n_docs = docs.count()  # one tiny job; the scalar feeds the idf literal
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_t, "term")
+        .where(F.col("df") >= min_df)
+        .withColumn(
+            "score_e6",
+            F.floor(
+                F.col("tf")
+                * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+                * 1e6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_e6", "rank")
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling for corpus curation:
+    keep a row iff ``md5(id || salt)``'s first 8 hex digits, read as a
+    uint32, fall under ``floor(fraction * 2^32)`` for its stratum.
+
+    Unlike ``DataFrame.sample`` (partition-layout-dependent RNG), the
+    keep decision is a pure function of the row id — the SAME subset
+    comes back on any cluster size, any partitioning, any re-run, which
+    is what makes a training-mixture reproducible.  Map-side only: no
+    shuffle, no state; strata with no entry in ``fractions`` are
+    dropped.  ``salt`` decorrelates independent draws.
+    """
+    thresholds = F.create_map(
+        *[
+            F.lit(x)
+            for s, frac in fractions.items()
+            for x in (s, int(frac * 4294967296))
+        ]
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = thresholds[F.col(strata_col)]
+    return df.where(thr.isNotNull() & (hv < thr))
