@@ -446,9 +446,15 @@ def q_wikidata_stages(spark, sf_dir):
     props = region.select(F.concat(
         F.lit("<http://www.wikidata.org/entity/P10"), rk, F.lit(lbl),
         F.lit('"prop'), rk, F.lit('"@en .')).alias("value"))
+    desc = "> <http://schema.org/description> "
     primary = nation.where(F.col("n_nationkey") % 2 == 0).select(F.concat(
         F.lit(ent), nk, F.lit(lbl), F.lit('"Nde'), nk, F.lit('"@de .')
-    ).alias("value"))
+    ).alias("value")).unionByName(
+        # Wikimedia descriptions demote in ANY run (import.cpp:1365-1376)
+        nation.where(F.col("n_nationkey") % 5 == 0).select(F.concat(
+            F.lit(ent), nk, F.lit(desc), F.lit('"Wikimedia-Kategorie '),
+            nk, F.lit('"@en .')).alias("value"))
+    )
     fillup = nation.select(F.concat(
         F.lit(ent), nk, F.lit(lbl), F.lit('"Nen'), nk, F.lit('"@en .')
     ).alias("value"))
@@ -456,7 +462,16 @@ def q_wikidata_stages(spark, sf_dir):
     # an alt label ALSO blocks fill-up (node->name is set, import.cpp:1346)
     alts = nation.where(F.col("n_nationkey") % 3 == 0).select(F.concat(
         F.lit(ent), nk, F.lit(alt), F.lit('"altn'), nk, F.lit('"@de .')
-    ).alias("value"))
+    ).alias("value")).unionByName(
+        # plain descriptions only bind during the alt run (import.cpp:1377)
+        nation.where(F.col("n_nationkey") % 5 == 1).select(F.concat(
+            F.lit(ent), nk, F.lit(desc), F.lit('"Desc '), nk,
+            F.lit('"@de .')).alias("value"))
+    ).unionByName(
+        nation.where(F.col("n_nationkey") % 5 == 2).select(F.concat(
+            F.lit(ent), nk, F.lit(desc), F.lit('"Wikimedia-Liste '), nk,
+            F.lit('"@en .')).alias("value"))
+    )
     taxonomy = region.select(F.concat(
         F.lit(ent), (F.col("r_regionkey") + 1000).cast("string"),
         F.lit("> <http://www.wikidata.org/prop/P279> "),
@@ -511,6 +526,18 @@ ORACLE_WIKIDATA = """
     SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(-38 AS INT),
            'altn' || CAST(n_nationkey AS VARCHAR), 'term_alt'
     FROM nation WHERE n_nationkey % 3 = 0
+    UNION ALL
+    SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(-102 AS INT),
+           'Wikimedia-Kategorie ' || CAST(n_nationkey AS VARCHAR), 'demote'
+    FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(-102 AS INT),
+           'Wikimedia-Liste ' || CAST(n_nationkey AS VARCHAR), 'demote'
+    FROM nation WHERE n_nationkey % 5 = 2
+    UNION ALL
+    SELECT 'Q' || CAST(n_nationkey AS VARCHAR), CAST(668662060 AS INT),
+           'Desc ' || CAST(n_nationkey AS VARCHAR), 'description'
+    FROM nation WHERE n_nationkey % 5 = 1
     UNION ALL
     SELECT 'Q' || CAST(r_regionkey + 1000 AS VARCHAR), CAST(-1 AS INT),
            'Q9999', 'taxonomy'

@@ -89,14 +89,31 @@ def category_alias_rows(labels: DataFrame, col: str = "label") -> DataFrame:
     )
 
 
-def best_entity_per_alias(aliases: DataFrame) -> DataFrame:
+def best_entity_per_alias(
+    aliases: DataFrame, exclude_keys: DataFrame | None = None
+) -> DataFrame:
     """Rank-1 candidate per alias: (prior desc, key asc) — getThe's
     THE-instance selection (src/netbase.cpp:2276-2341) with the degree
     prior standing in for first-Instance order.
 
+    ``exclude_keys`` (one ``key`` column) removes candidates BEFORE the
+    rank-1 window — the ``getThe`` abstract skip: nodes demoted to the
+    _abstract kind (e.g. by a Wikimedia description,
+    src/import.cpp:1365-1376; ``wikidata.wikimedia_abstract_keys``) are
+    words, never THE entity, so the runner-up wins their aliases.
+    Broadcast anti-join (the demote set is dimension-bounded).
+
     Returns (name_norm, key, prior). Window, no shuffle beyond the
     groupBy key; at scale this is a tiny dimension output.
     """
+    if exclude_keys is not None:
+        aliases = aliases.join(
+            F.broadcast(
+                exclude_keys.select(F.col(exclude_keys.columns[0]).alias("key"))
+            ),
+            "key",
+            "left_anti",
+        )
     w = Window.partitionBy("name_norm").orderBy(F.col("prior").desc(), F.col("key").asc())
     return (
         aliases.withColumn("rn", F.row_number().over(w))

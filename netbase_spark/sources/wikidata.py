@@ -23,11 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from netbase_spark.relations import LABEL
+from netbase_spark.relations import KIND_ABSTRACT, LABEL
 from netbase_spark.sources.n3 import parse_nt_lines
 
 _LABEL_PREDS = ("label", "prefLabel")
 _ALT_PREDS = ("altLabel",)
+_DESC_PREDS = ("description",)
 
 
 def parse_wiki_labels(lines: DataFrame, alt: bool = False) -> DataFrame:
@@ -150,6 +151,37 @@ def import_wikidata_tagged(tagged: DataFrame) -> DataFrame:
         "rule",
     )
 
+    # description lines inside the term dumps (src/import.cpp:1365-1389):
+    # a description starting with "Wikimedia" (disambiguation / category /
+    # list pages) demotes the Q-node to the _abstract kind in ANY run —
+    # it is a word, not a linkable entity; other descriptions are stored
+    # as node text, and only during the alt-labels run (the
+    # ``if(!altLabels)continue`` gate, 1377).  Descriptions never count
+    # as labels, so the fill-up window above is untouched.
+    from netbase_spark.operators.mutate import rel_id_for
+
+    descs = (
+        parsed.where(F.col("rule").isin("term_primary", "term_fillup", "term_alt"))
+        .where(F.col("pred").isin(*_DESC_PREDS))
+        .select("rule", F.col("subj").alias("key"), F.col("obj").alias("text"))
+        .where(F.col("key").rlike("^[QP][0-9]+$"))
+    )
+    is_wikimedia = F.col("text").startswith("Wikimedia")
+    demote_rows = descs.where(is_wikimedia).select(
+        F.col("key").alias("subj"),
+        F.lit(KIND_ABSTRACT).alias("rel"),
+        F.col("text").alias("obj"),
+        F.lit("demote").alias("rule"),
+    )
+    desc_rows = descs.where(
+        (F.col("rule") == "term_alt") & ~is_wikimedia
+    ).select(
+        F.col("key").alias("subj"),
+        F.lit(rel_id_for("description")).alias("rel"),
+        F.col("text").alias("obj"),
+        F.lit("description").alias("rule"),
+    )
+
     nt_rows = canonicalize_predicates(
         parsed.where(~F.col("rule").isin(*label_stages)).withColumn(
             "pred", F.lower(F.col("pred"))
@@ -157,6 +189,21 @@ def import_wikidata_tagged(tagged: DataFrame) -> DataFrame:
         dict(PREDICATE_CANON),
     ).select("subj", "rel", "obj", "rule")
 
-    return label_rows.unionByName(nt_rows).dropDuplicates(
-        ["subj", "rel", "obj", "rule"]
+    return (
+        label_rows.unionByName(demote_rows)
+        .unionByName(desc_rows)
+        .unionByName(nt_rows)
+        .dropDuplicates(["subj", "rel", "obj", "rule"])
+    )
+
+
+def wikimedia_abstract_keys(triples: DataFrame) -> DataFrame:
+    """Keys demoted to the _abstract kind by a Wikimedia description
+    (src/import.cpp:1365-1376) — the exclusion set for THE-entity
+    selection (``getThe`` resolves abstracts through their instances
+    instead of returning them, src/netbase.cpp:2310-2335)."""
+    return (
+        triples.where(F.col("rel") == KIND_ABSTRACT)
+        .select(F.col("subj").alias("key"))
+        .distinct()
     )

@@ -1473,3 +1473,58 @@ def test_wikidata_alt_label_blocks_fillup(spark):
     out = import_wikidata(empty, primary, fillup, alts, empty, empty, empty)
     fills = {r["subj"] for r in out.where(F.col("rule") == "term_fillup").collect()}
     assert fills == {"Q3"}  # Q1 blocked by primary, Q2 blocked by alt
+
+
+def test_wikimedia_description_demote_and_exclusion(spark):
+    """importWikiLabels description branch (src/import.cpp:1365-1389):
+    a "Wikimedia..." description demotes the Q-node to the _abstract
+    kind in any run; plain descriptions bind as node text only during
+    the alt run; and the demoted key is excluded from THE-entity
+    selection (getThe's abstract skip, src/netbase.cpp:2310-2335)."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.gazetteer import best_entity_per_alias
+    from netbase_spark.operators.mutate import rel_id_for
+    from netbase_spark.relations import KIND_ABSTRACT
+    from netbase_spark.sources.wikidata import (
+        import_wikidata_tagged,
+        tag_stage_lines,
+        wikimedia_abstract_keys,
+    )
+
+    ent = "<http://www.wikidata.org/entity/"
+    d = "> <http://schema.org/description> "
+    lbl = "> <http://www.w3.org/2000/01/rdf-schema#label> "
+
+    def lines(*vals):
+        return spark.createDataFrame([(v,) for v in vals], "value string")
+
+    primary = lines(
+        ent + "Q1" + lbl + '"Hamburg"@de .',
+        ent + "Q2" + lbl + '"Hamburg (Begriffsklaerung)"@de .',
+        ent + "Q2" + d + '"Wikimedia-Begriffsklaerungsseite"@de .',
+        ent + "Q1" + d + '"city in Germany"@en .',  # NOT bound (primary run)
+    )
+    alts = lines(ent + "Q1" + d + '"Stadt in Deutschland"@de .')
+    out = import_wikidata_tagged(
+        tag_stage_lines([("term_primary", primary), ("term_alt", alts)])
+    )
+    rows = {(r.subj, r.rel, r.obj, r.rule) for r in out.collect()}
+    assert ("Q2", KIND_ABSTRACT, "Wikimedia-Begriffsklaerungsseite", "demote") in rows
+    desc_rel = rel_id_for("description")
+    assert ("Q1", desc_rel, "Stadt in Deutschland", "description") in rows
+    # primary-run plain description is NOT bound (if(!altLabels)continue)
+    assert not any(o == "city in Germany" for (_, _, o, _) in rows)
+
+    # exclusion: Q0 would win 'hamburg' by key order; demoting it hands
+    # the alias to Q1
+    aliases = spark.createDataFrame(
+        [("hamburg", "Q0", 1), ("hamburg", "Q1", 1)],
+        "name_norm string, key string, prior long",
+    )
+    demoted = spark.createDataFrame([("Q0",)], "key string")
+    best = best_entity_per_alias(aliases, exclude_keys=demoted).collect()
+    assert [(r.name_norm, r.key) for r in best] == [("hamburg", "Q1")]
+    # helper derives the exclusion set from the imported triples
+    t = out.select("subj", "rel", "obj")
+    assert {r.key for r in wikimedia_abstract_keys(t).collect()} == {"Q2"}
