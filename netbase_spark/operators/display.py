@@ -146,32 +146,57 @@ def visible_statements(
     if skip_meta:
         body = body.where(~_meta_pred_skip(pname))
 
+    # Per-owner rule ARRAYS keep the corpus side to ONE scan and ONE
+    # broadcast HASH join per rule kind (subj equi-key), with the
+    # substring matching as an `exists()` higher-order expr over the
+    # (human-typed, tiny) term array — no nested-loop join, no second
+    # pass for the include leg.  The global exclude terms ride along as
+    # a one-row cross-joined broadcast array.
     rules = triples.where(is_rule).select(
         F.col("subj").alias("r_owner"),
         F.col("rel").alias("r_kind"),
         F.col("obj").alias("r_term"),
     )
 
-    exc = F.broadcast(
-        rules.where(F.col("r_kind") == EXCLUDE_REL).select(
-            "r_owner", "r_term"
+    def _per_owner(kind, out_col):
+        return (
+            rules.where(F.col("r_kind") == kind)
+            .groupBy(F.col("r_owner").alias("subj"))
+            .agg(F.collect_set("r_term").alias(out_col))
+        )
+
+    exc_own = _per_owner(EXCLUDE_REL, "_exc")
+    glob = F.broadcast(
+        rules.where(
+            (F.col("r_kind") == EXCLUDE_REL)
+            & (F.col("r_owner") == GLOBAL_EXCLUDE_NODE)
+        ).agg(
+            F.coalesce(F.collect_set("r_term"), F.array()).alias("_gexc")
         )
     )
-    match = _term_match(
-        F.col("r_term"), F.col("subj"), pname, F.col("obj"), F.col("rel")
-    )
-    applies = (F.col("r_owner") == F.lit(GLOBAL_EXCLUDE_NODE)) | (
-        F.col("r_owner") == F.col("subj")
-    )
-    body = body.join(exc, applies & match, "left_anti")
+    inc_own = _per_owner(INCLUDE_REL, "_inc")
 
-    inc = rules.where(F.col("r_kind") == INCLUDE_REL).select(
-        "r_owner", "r_term"
+    subj, rel, obj = F.col("subj"), F.col("rel"), F.col("obj")
+
+    def matcher(term):
+        return _term_match(term, subj, pname, obj, rel)
+
+    out = (
+        body.join(
+            F.broadcast(exc_own.where(F.col("subj") != GLOBAL_EXCLUDE_NODE)),
+            "subj",
+            "left",
+        )
+        .join(F.broadcast(inc_own), "subj", "left")
+        .crossJoin(glob)
+        .where(
+            ~F.exists(
+                F.concat(
+                    F.coalesce(F.col("_exc"), F.array()), F.col("_gexc")
+                ),
+                matcher,
+            )
+        )
+        .where(F.col("_inc").isNull() | F.exists(F.col("_inc"), matcher))
     )
-    inc_b = F.broadcast(inc)
-    owners = F.broadcast(inc.select(F.col("r_owner").alias("subj")).distinct())
-    unfiltered = body.join(owners, "subj", "left_anti")
-    kept = body.join(
-        inc_b, (F.col("r_owner") == F.col("subj")) & match, "left_semi"
-    )
-    return unfiltered.unionByName(kept)
+    return out.drop("_exc", "_gexc", "_inc")
