@@ -653,10 +653,112 @@ ORACLE_STRATIFIED_SAMPLE = f"""
 """
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing >= 2 winnowing
+    fingerprints with an eval set (here: every 41st document) must be
+    flagged — a contiguous >= w+k-1-token overlap leaks the benchmark.
+    Cross-table inverted-index join, eval side broadcast, corpus-side
+    boilerplate fingerprints capped (textstats.decontamination_pairs)."""
+    from netbase_spark.operators.textstats import (
+        decontamination_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_fps = winnow_fingerprints(docs, k=4, w=5)
+    eval_fps = winnow_fingerprints(
+        docs.where(F.col("doc_id") % 41 == 0), k=4, w=5
+    )
+    return decontamination_pairs(corpus_fps, eval_fps, min_shared=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        "shared",
+    )
+
+
+ORACLE_DECONTAM = f"""
+    WITH fps0 AS ({ORACLE_WINNOW_FPS}),
+    fps AS (
+      SELECT * FROM fps0
+      WHERE fp IN (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 2000)
+    ), ev AS (
+      SELECT doc_id AS eval_id, fp FROM fps0 WHERE doc_id % 41 = 0
+    )
+    SELECT c.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS shared
+    FROM fps c JOIN ev e ON c.fp = e.fp
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_domain_quota(spark, sf_dir):
+    """Per-domain document cap (anti-monoculture mixture quota) via
+    textstats.domain_quota: at most 20 docs per source, survivors
+    picked by md5-of-id rank so the subset is layout-independent."""
+    from netbase_spark.operators.textstats import domain_quota
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_quota(docs, cap=20).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+ORACLE_DOMAIN_QUOTA = """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style duplicate-bigram repetition stats per document
+    (textstats.repetition_stats): high dup_ratio_e6 marks generated
+    spam / navigation chrome for the cleaning filter.  Map-side only."""
+    from netbase_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, n=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "total_ngrams",
+        "distinct_ngrams",
+        "dup_ratio_e6",
+    )
+
+
+ORACLE_REPETITION = """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(t) - 1),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' '))
+             END AS g
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS total_ngrams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS distinct_ngrams,
+           CASE WHEN len(g) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor((len(g) - len(list_distinct(g)))
+                          / len(g) * 1e6) AS BIGINT)
+           END AS dup_ratio_e6
+    FROM g
+"""
+
+
 EXT3_QUERIES = {
     "display_filter": q_display_filter,
     "tfidf_terms": q_tfidf_terms,
     "stratified_sample": q_stratified_sample,
+    "decontam": q_decontam,
+    "domain_quota": q_domain_quota,
+    "repetition": q_repetition,
     "winnow_fp": q_winnow_fp,
     "winnow_pairs": q_winnow_pairs,
     "geodb_import": q_geodb_import,
@@ -672,6 +774,9 @@ EXT3_ORACLES = {
     "display_filter": ORACLE_DISPLAY_FILTER,
     "tfidf_terms": ORACLE_TFIDF_TERMS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "decontam": ORACLE_DECONTAM,
+    "domain_quota": ORACLE_DOMAIN_QUOTA,
+    "repetition": ORACLE_REPETITION,
     "winnow_fp": ORACLE_WINNOW_FPS,
     "winnow_pairs": ORACLE_WINNOW_PAIRS,
     "geodb_import": ORACLE_GEODB,

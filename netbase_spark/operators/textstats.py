@@ -328,3 +328,108 @@ def sample_stratified(
     ).cast("long")
     thr = thresholds[F.col(strata_col)]
     return df.where(thr.isNotNull() & (hv < thr))
+
+
+def decontamination_pairs(
+    corpus_fps: DataFrame,
+    eval_fps: DataFrame,
+    min_shared: int = 1,
+    fp_cap: int | None = 2000,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus doc, eval doc) pairs sharing
+    >= ``min_shared`` winnowing fingerprints — training documents that
+    contain a contiguous >= w+k-1-token run from an evaluation set must
+    be dropped before training, or the benchmark leaks.
+
+    Cross-table inverted-index join on the fingerprint value (the
+    two-table form of :func:`winnow_overlap_pairs`): the eval side is
+    benchmark-sized (broadcastable), so the corpus side joins map-side
+    and never self-joins.  ``fp_cap`` drops boilerplate fingerprints by
+    CORPUS frequency first — a license header shared by millions of
+    training docs is noise, not contamination.
+
+    Returns (doc_id, eval_id, shared).
+    """
+    if fp_cap is not None:
+        w = Window.partitionBy("fp")
+        corpus_fps = (
+            corpus_fps.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= fp_cap)
+            .drop("_n")
+        )
+    ev = F.broadcast(
+        eval_fps.select(F.col("doc_id").alias("eval_id"), "fp")
+    )
+    return (
+        corpus_fps.join(ev, "fp")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def contaminated_doc_ids(pairs: DataFrame) -> DataFrame:
+    """Distinct corpus doc ids flagged by :func:`decontamination_pairs`
+    — the drop set for the cleaning filter."""
+    return pairs.select("doc_id").distinct()
+
+
+def domain_quota(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain — the anti-monoculture
+    quota of a corpus mixture (one crawl host must not dominate the
+    training set).  Deterministic survivor choice: rank by
+    (md5(id), id) inside the domain, so the SAME subset survives on any
+    cluster size / partitioning / re-run (the md5 key makes the pick
+    uniform over the domain rather than biased to low ids).
+
+    One domain-keyed window.  A single domain's rows land in one task;
+    at web scale with 10^8-doc hot domains, pre-thin them first with
+    :func:`sample_stratified` (fraction ~ cap/count) and let this exact
+    cap finish the job — the quota output is <= cap * n_domains rows
+    either way.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_qr", F.row_number().over(w))
+        .where(F.col("_qr") <= cap)
+        .drop("_qr")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition (the Gopher-style duplicate-n-gram
+    quality rule): (doc_id, total_ngrams, distinct_ngrams, dup_ratio_e6)
+    where dup_ratio_e6 = floor((total-distinct)/total * 1e6) — text
+    whose n-grams repeat heavily (generated spam, navigation chrome,
+    keyword stuffing) scores high and gets dropped by the cleaning
+    filter.  Pure higher-order array exprs, map-side only, zero
+    shuffles; docs with fewer than ``n`` tokens report zero n-grams.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    d = docs.select("doc_id", toks.alias("t"))
+    grams = F.when(F.size("t") < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+        )
+    )
+    g = d.select("doc_id", grams.alias("g"))
+    total = F.size("g").cast("long")
+    distinct = F.size(F.array_distinct("g")).cast("long")
+    return g.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.when(total == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor((total - distinct) / total * 1e6))
+        .alias("dup_ratio_e6"),
+    )

@@ -79,3 +79,69 @@ def test_stratified_sample_drops_unlisted_strata_and_salt_decorrelates(spark):
     assert s1 != s2  # independent draws
     overlap = len(s1 & s2) / 500
     assert 0.15 < overlap < 0.35  # ~0.25 expected for two 50% draws
+
+
+def test_decontamination_flags_eval_overlap(spark):
+    from netbase_spark.operators.textstats import (
+        contaminated_doc_ids,
+        decontamination_pairs,
+        winnow_fingerprints,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then " + leak + " trailing text here"),
+            (2, "totally unrelated content about different things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(900, "question setup " + leak + " answer choices follow")],
+        "doc_id long, text string",
+    )
+    pairs = decontamination_pairs(
+        winnow_fingerprints(corpus, k=4, w=5),
+        winnow_fingerprints(evals, k=4, w=5),
+        min_shared=1,
+    )
+    got = {(r.doc_id, r.eval_id) for r in pairs.collect()}
+    # winnowing guarantee: a shared >= w+k-1 = 8-token run shares a fp
+    assert (1, 900) in got
+    assert all(d != 2 for d, _ in got)
+    assert {r.doc_id for r in contaminated_doc_ids(pairs).collect()} == {1}
+
+
+def test_domain_quota_cap_and_determinism(spark):
+    from netbase_spark.operators.textstats import domain_quota
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host"), (F.col("id") % 3).cast("string")).alias(
+            "source"
+        ),
+    )
+    a = domain_quota(docs, cap=7)
+    counts = {r.source: r.n for r in
+              a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"host0": 7, "host1": 7, "host2": 7}
+    b = domain_quota(docs.repartition(13), cap=7)
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_repetition_stats_gopher_rule(spark):
+    from netbase_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # 5 bigrams, 1 distinct
+            (2, "all words here are fully unique"),
+            (3, "one"),  # < n tokens -> zero ngrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs, n=2).collect()}
+    assert rows[1].total_ngrams == 5 and rows[1].distinct_ngrams == 1
+    assert rows[1].dup_ratio_e6 == 800000
+    assert rows[2].dup_ratio_e6 == 0
+    assert rows[3].total_ngrams == 0 and rows[3].dup_ratio_e6 == 0
