@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from netbase_spark.relations import TYPE
+from netbase_spark.relations import INSTANCE, PART, TYPE
 
 
 def _t(spark, sf_dir, name):
@@ -752,7 +752,128 @@ ORACLE_REPETITION = """
 """
 
 
+# ---------------------------------------------------------------------------
+# relationsFilter / anyFilter (the last two per-edge-type BFS filters)
+# ---------------------------------------------------------------------------
+
+
+def _mixed_triples(spark, sf_dir):
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supplier.select(
+            _sk("s_suppkey", "S").alias("subj"),
+            F.lit(TYPE).alias("rel"),
+            _sk("s_nationkey", "N").alias("obj"),
+        )
+        .unionByName(
+            nation.select(
+                _sk("n_nationkey", "N").alias("subj"),
+                F.lit(PART).alias("rel"),
+                _sk("n_regionkey", "R").alias("obj"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                _sk("n_nationkey", "N").alias("subj"),
+                F.lit(INSTANCE).alias("rel"),
+                F.lit("root").alias("obj"),
+            )
+        )
+    )
+
+
+def q_relations_of(spark, sf_dir):
+    """``relationsFilter`` (src/query.cpp:1253-1263): the distinct
+    predicates on each nation node's statement chain.  The chain links
+    both directions (``nextStatement``, src/netbase.cpp:468-481), so
+    the subject side contributes Part/Instance and the object side
+    contributes the suppliers' Type edges."""
+    from netbase_spark.operators.query_ops import relations_of
+
+    nation = _t(spark, sf_dir, "nation")
+    nodes = nation.select(_sk("n_nationkey", "N").alias("node"))
+    return relations_of(_mixed_triples(spark, sf_dir), nodes)
+
+
+ORACLE_RELATIONS_OF = """
+    WITH tri AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj, -3 AS rel,
+               'N' || CAST(s_nationkey AS VARCHAR) AS obj FROM supplier
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR), -11,
+               'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR), -4, 'root' FROM nation
+    ), legs AS (
+        SELECT subj AS node, rel FROM tri
+        UNION ALL
+        SELECT obj AS node, rel FROM tri
+    )
+    SELECT DISTINCT node, rel FROM legs WHERE node LIKE 'N%'
+"""
+
+
+def q_any_bfs(spark, sf_dir):
+    """``anyFilter`` undirected BFS (src/query.cpp:1443-1475): suppliers
+    reach their nation, their sibling suppliers, and the nation's
+    region; the broadcast exclude set (the reference's built-in-node
+    ``id < 1000`` expansion guard) stops the walk AT region hubs, so
+    other-nation members stay unreachable within the depth bound."""
+    from netbase_spark.operators.query_ops import any_edges, bfs_distances
+
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    triples = supplier.select(
+        _sk("s_suppkey", "S").alias("subj"),
+        F.lit(TYPE).alias("rel"),
+        _sk("s_nationkey", "N").alias("obj"),
+    ).unionByName(
+        nation.select(
+            _sk("n_nationkey", "N").alias("subj"),
+            F.lit(PART).alias("rel"),
+            _sk("n_regionkey", "R").alias("obj"),
+        )
+    )
+    hubs = region.select(_sk("r_regionkey", "R").alias("node"))
+    sources = supplier.where(F.col("s_suppkey") <= 5).select(
+        _sk("s_suppkey", "S").alias("node")
+    )
+    return bfs_distances(
+        any_edges(triples, exclude_srcs=hubs), sources, max_depth=3
+    ).select("root", "node", "depth")
+
+
+ORACLE_ANY_BFS = """
+    WITH RECURSIVE tri AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS subj,
+               'N' || CAST(s_nationkey AS VARCHAR) AS obj FROM supplier
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+               'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), edges AS (
+        SELECT subj AS src, obj AS dst FROM tri
+        UNION
+        SELECT obj AS src, subj AS dst FROM tri
+    ), stepped AS (
+        SELECT src, dst FROM edges WHERE src NOT LIKE 'R%' AND src <> dst
+    ), bfs AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS root,
+               'S' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS depth
+        FROM supplier WHERE s_suppkey <= 5
+        UNION ALL
+        SELECT b.root, e.dst, b.depth + 1
+        FROM bfs b JOIN stepped e ON b.node = e.src WHERE b.depth < 3
+    )
+    SELECT root, node, CAST(MIN(depth) AS INT) AS depth
+    FROM bfs GROUP BY root, node
+"""
+
+
 EXT3_QUERIES = {
+    "relations_of": q_relations_of,
+    "any_bfs": q_any_bfs,
     "display_filter": q_display_filter,
     "tfidf_terms": q_tfidf_terms,
     "stratified_sample": q_stratified_sample,
@@ -771,6 +892,8 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "relations_of": ORACLE_RELATIONS_OF,
+    "any_bfs": ORACLE_ANY_BFS,
     "display_filter": ORACLE_DISPLAY_FILTER,
     "tfidf_terms": ORACLE_TFIDF_TERMS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,

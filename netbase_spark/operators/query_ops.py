@@ -527,6 +527,52 @@ def instance_edges(triples: DataFrame) -> DataFrame:
     return typed_filter_edges(triples, INSTANCE_FWD_RELS, INSTANCE_REV_RELS)
 
 
+def any_edges(
+    triples: DataFrame,
+    exclude_srcs: DataFrame | None = None,
+) -> DataFrame:
+    """``anyFilter`` undirected step set (src/query.cpp:1443-1467):
+    every statement steps subject<->object in BOTH directions.  The
+    reference's ``includeRelations=false`` guard refuses to expand
+    built-in nodes (``subject->id < 1000``); our node ids are strings,
+    so the guard is an explicit broadcast ``exclude_srcs`` set (one
+    ``node`` column) anti-joined on the expansion side — same hub
+    protection, no dense-id numerology."""
+    fwd = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    rev = triples.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    edges = fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+    if exclude_srcs is not None:
+        edges = edges.join(
+            F.broadcast(exclude_srcs.select(F.col("node").alias("src"))),
+            "src",
+            "left_anti",
+        )
+    return edges
+
+
+def relations_of(
+    triples: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
+    """``relationsFilter`` (src/query.cpp:1253-1263): the distinct
+    predicates on a node's statement chain.  The chain links every
+    statement where the node appears as subject OR object
+    (``nextStatement`` walks one unified per-node list,
+    src/netbase.cpp:468-481), so both directions contribute.
+
+    ``nodes`` (optional, one ``node`` column) restricts the listing via
+    a broadcast semi-join BEFORE the distinct, so the only shuffle is
+    over the surviving (node, rel) pairs; both legs are column-pruned
+    scans of the same rel-partitioned table."""
+    legs = triples.select(F.col("subj").alias("node"), "rel").unionByName(
+        triples.select(F.col("obj").alias("node"), "rel")
+    )
+    if nodes is not None:
+        legs = legs.join(
+            F.broadcast(nodes.select("node").distinct()), "node", "left_semi"
+        )
+    return legs.distinct()
+
+
 def member_path_exists(
     triples: DataFrame, src: str, dst: str, max_depth: int = 6
 ) -> bool:

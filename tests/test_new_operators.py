@@ -1528,3 +1528,46 @@ def test_wikimedia_description_demote_and_exclusion(spark):
     # helper derives the exclusion set from the imported triples
     t = out.select("subj", "rel", "obj")
     assert {r.key for r in wikimedia_abstract_keys(t).collect()} == {"Q2"}
+
+
+def test_relations_of_both_directions(spark):
+    """relationsFilter lists predicates from BOTH chain directions
+    (src/query.cpp:1253-1263; nextStatement walks subject AND object
+    links, src/netbase.cpp:468-481): a node that only ever appears as
+    an object still reports that statement's predicate."""
+    from netbase_spark.operators.query_ops import relations_of
+
+    triples = _tri(
+        spark,
+        [("a", TYPE, "b"), ("a", PART, "c"), ("x", SYNONYM, "a"), ("x", TYPE, "y")],
+    )
+    nodes = spark.createDataFrame([("a",)], "node string")
+    got = {(r.node, r.rel) for r in relations_of(triples, nodes).collect()}
+    assert got == {("a", TYPE), ("a", PART), ("a", SYNONYM)}
+    # unrestricted listing covers every node touched by any statement
+    allrels = {(r.node, r.rel) for r in relations_of(triples).collect()}
+    assert ("y", TYPE) in allrels and ("c", PART) in allrels
+
+
+def test_any_edges_exclude_guard(spark):
+    """anyFilter steps subject<->object undirected but refuses to expand
+    excluded hub nodes (the reference's built-in id<1000 guard,
+    src/query.cpp:1443-1467): with the hub excluded, the far side of
+    the hub is unreachable."""
+    from netbase_spark.operators.query_ops import any_edges, bfs_distances
+
+    triples = _tri(spark, [("s1", TYPE, "hub"), ("s2", TYPE, "hub")])
+    sources = spark.createDataFrame([("s1",)], "node string")
+    open_reach = {
+        r.node
+        for r in bfs_distances(any_edges(triples), sources, max_depth=3).collect()
+    }
+    assert open_reach == {"s1", "hub", "s2"}
+    hubs = spark.createDataFrame([("hub",)], "node string")
+    guarded = {
+        r.node
+        for r in bfs_distances(
+            any_edges(triples, exclude_srcs=hubs), sources, max_depth=3
+        ).collect()
+    }
+    assert guarded == {"s1", "hub"}  # reached but never expanded
