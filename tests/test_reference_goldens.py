@@ -1071,3 +1071,28 @@ def test_entities_kiel_ev(spark):
     nodes = spark.createDataFrame([("kiel",)], "node string")
     classes = dict(class_of(nodes, tri, [TYPE]).collect())
     assert classes["kiel"] == "verein"  # getClass(get(query)) resolves
+
+
+def test_basics_eq_wordhash_semantics():
+    """testBasics (src/tests.cpp:82-110): the eq/wordhash semantics every
+    alias-table key relies on.  ``eq(a, b, ignoreCase=true)`` is
+    case-AND-underscore-insensitive (``wordhash``, src/util.cpp:632-666)
+    — our analog is ``norm_name`` key equality; without the flag eq is
+    exact, and eq is always length-sensitive (no prefix match)."""
+    from netbase_spark.normalize import norm_name
+
+    # eq(a, b, true) pairs from the reference, as norm-key equality
+    assert norm_name("abce") == norm_name("aBcE")
+    assert norm_name("ABce") == norm_name("aBcE")
+    assert norm_name("abce") != norm_name("ac")
+    # length-sensitive in both directions: eq("abce","abc") is false
+    assert norm_name("abce") != norm_name("abc")
+    assert norm_name("abc") != norm_name("abce")
+    # wordhash("abc") == wordhash("abc") across storage forms, and the
+    # underscore/space insensitivity the hash is built for
+    assert norm_name("New_York") == norm_name("new york")
+    # eq(a, b, false) is exact comparison
+    assert "abce" != "aBcE"
+    # contains/startsWith (case-sensitive default, src/tests.cpp:91-94)
+    assert "bc" in "abcd" and "bd" not in "abcd"
+    assert "abce".startswith("ab") and not "abce".startswith("ac")
