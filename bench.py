@@ -99,6 +99,14 @@ HEADLINE = [
     "find_properties",
     "singleton_nodes",
     "statement_nr",
+    "display_filter",
+    "tfidf_terms",
+    "stratified_sample",
+    "decontam",
+    "domain_quota",
+    "repetition",
+    "relations_of",
+    "any_bfs",
 ]
 
 
