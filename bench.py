@@ -107,6 +107,11 @@ HEADLINE = [
     "repetition",
     "relations_of",
     "any_bfs",
+    "pii_scrub",
+    "boilerplate",
+    "semantic_neardup",
+    "pagerank",
+    "unigram_lm",
 ]
 
 

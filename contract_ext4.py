@@ -1,0 +1,258 @@
+"""Fourth batch of driver-contract queries: PII scrubbing, boilerplate
+line removal, and the LSH-bucketed semantic near-dup scale path.
+
+Same conventions as contract_ext / contract_ext2 / contract_ext3:
+every query builds deterministic input from the sf-dir parquet tables,
+routes through the package operator it certifies, and has a DuckDB
+oracle twin (identical column names + types on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (textstats.pii_scrub) over documents with
+    deterministic synthetic PII appended (the corpus text itself is
+    synthetic and PII-free; the appended suffix is constructed
+    identically in the oracle, so the regexes are exercised on real
+    email/phone/IPv4 shapes)."""
+    from netbase_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return pii_scrub(synth)
+
+
+ORACLE_PII_SCRUB = r"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                   AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
+    FROM synth
+"""
+
+
+# --- boilerplate line removal ------------------------------------------------
+
+
+def q_boilerplate(spark, sf_dir):
+    """CCNet-style corpus-frequent line removal
+    (textstats.strip_boilerplate).  The synthetic corpus has no
+    newlines, so the separator is ' ' — every token is a 'line', which
+    turns the operator into df-based boilerplate-token stripping
+    (same semantics, same plan shape)."""
+    from netbase_spark.operators.textstats import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_boilerplate(docs, sep=" ", min_df=300, cap=8)
+
+
+ORACLE_BOILERPLATE = """
+    WITH lines AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS line
+        FROM documents
+    ), df AS (
+        SELECT line, CAST(count(*) AS BIGINT) AS df
+        FROM lines WHERE line <> '' GROUP BY line
+    ), bl AS (
+        SELECT line FROM df WHERE df >= 300 ORDER BY df DESC, line LIMIT 8
+    ), bla AS (
+        SELECT coalesce(list(line ORDER BY line), CAST([] AS VARCHAR[])) AS arr
+        FROM bl
+    )
+    SELECT d.doc_id,
+           CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_lines,
+           CAST(len(str_split(d.text, ' '))
+                - len(list_filter(str_split(d.text, ' '),
+                      x -> NOT list_contains(bla.arr, x))) AS BIGINT)
+               AS n_removed,
+           md5(array_to_string(
+               list_filter(str_split(d.text, ' '),
+                   x -> NOT list_contains(bla.arr, x)), ' ')) AS clean_fp
+    FROM documents d CROSS JOIN bla
+"""
+
+
+# --- LSH-bucketed semantic near-dup ------------------------------------------
+
+
+def q_semantic_neardup(spark, sf_dir):
+    """SemDeDup-style scale path (dedup.cosine_neardup_bucketed):
+    cosine >= 0.45 pairs computed only within SRP-LSH buckets — the
+    brute-force `embed_neardup` is its recall reference (this result
+    is the same-bucket subset of those pairs)."""
+    from netbase_spark.operators.dedup import cosine_neardup_bucketed
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_neardup_bucketed(emb, threshold_e4=4500, n_planes=4)
+
+
+ORACLE_SEMANTIC_NEARDUP = """
+    WITH planes AS (
+        SELECT e.vec_id, p.j,
+               list_sum(list_transform(e.embedding,
+                   (x, i) -> CAST(x AS DOUBLE) *
+                       ((('0x' || substr(md5(CAST(p.j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 6))::BIGINT
+                         / 16777216.0) - 0.5))) AS dot
+        FROM embeddings e CROSS JOIN range(4) p(j)
+    ), buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot >= 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS INT) AS bucket
+        FROM planes GROUP BY vec_id
+    )
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           CAST(floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) AS BIGINT) AS sim_e4
+    FROM buckets l
+    JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    JOIN embeddings ea ON ea.vec_id = l.vec_id
+    JOIN embeddings eb ON eb.vec_id = r.vec_id
+    WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) >= 4500
+"""
+
+
+
+
+
+# --- PageRank entity salience --------------------------------------------
+
+
+def q_pagerank(spark, sf_dir):
+    """2-iteration PageRank over the supplier->nation->region Type
+    graph (materialize.pagerank — the scale extension of the degree
+    prior in `degree_rank`)."""
+    from netbase_spark.operators.materialize import pagerank
+
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = supplier.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=2, damping=0.85)
+
+
+ORACLE_PAGERANK = """
+    WITH edges AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS src,
+               'N' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+               'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), deg AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY src
+    ), pr0 AS (
+        SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn
+    ), c1 AS (
+        SELECT e.dst AS node, SUM(p.pr / d.outd) AS c
+        FROM edges e JOIN pr0 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst
+    ), p1 AS (
+        SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c1.c, 0) AS pr
+        FROM nodes nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node
+    ), c2 AS (
+        SELECT e.dst AS node, SUM(p.pr / d.outd) AS c
+        FROM edges e JOIN p1 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst
+    ), p2 AS (
+        SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c2.c, 0) AS pr
+        FROM nodes nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node
+    )
+    SELECT node, CAST(floor(pr * 1e6) AS BIGINT) AS pr_e6 FROM p2
+"""
+
+
+# --- unigram LM quality score ---------------------------------------------
+
+
+def q_unigram_lm(spark, sf_dir):
+    """Unigram-LM mean token log-probability per document
+    (textstats.unigram_logprob) — the cheap perplexity-filter analog."""
+    from netbase_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_UNIGRAM_LM = """
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ), nz AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), vocab AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM nz GROUP BY tok
+    ), tot AS (
+        SELECT SUM(c) AS t FROM vocab
+    ), lp AS (
+        SELECT tok, CAST(floor(ln(c / tot.t) * 1e6) AS BIGINT) AS lp_e6
+        FROM vocab CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(floor(avg(lp_e6)) AS BIGINT) AS mean_lp_e6
+    FROM nz JOIN lp USING (tok) GROUP BY doc_id
+"""
+
+
+EXT4_QUERIES = {
+    "pagerank": q_pagerank,
+    "unigram_lm": q_unigram_lm,
+    "pii_scrub": q_pii_scrub,
+    "boilerplate": q_boilerplate,
+    "semantic_neardup": q_semantic_neardup,
+}
+
+EXT4_ORACLES = {
+    "pagerank": ORACLE_PAGERANK,
+    "unigram_lm": ORACLE_UNIGRAM_LM,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "boilerplate": ORACLE_BOILERPLATE,
+    "semantic_neardup": ORACLE_SEMANTIC_NEARDUP,
+}

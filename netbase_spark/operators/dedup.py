@@ -681,3 +681,65 @@ def ivf_topk(
     return scored.orderBy(
         F.col("sim_e4").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def cosine_neardup_bucketed(
+    emb: DataFrame,
+    threshold_e4: int = 9500,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs, LSH-pruned (the SemDeDup-style scale
+    path next to the brute-force :func:`cosine_neardup_pairs`): vectors
+    are sign-random-projection bucketed (:func:`ann_lsh_buckets`), then
+    cosine pairs >= threshold are computed ONLY within each bucket —
+    total work O(sum b_i^2) instead of O(n^2), and near-identical
+    vectors land in the same bucket with probability (1 - theta/pi)^p.
+
+    Physical plan: one mapInPandas gemm pass to bucket, one shuffle on
+    the bucket id, then a per-bucket pairwise numpy kernel inside
+    applyInPandas (each bucket's similarity block is one BLAS gemm).
+    ``bucket_cap`` drops buckets larger than the cap before the
+    quadratic step, same discipline as simhash_candidates — oversized
+    buckets are degenerate hubs (e.g. the all-zeros region) whose
+    within-bucket join cost is quadratic.  Each vector has exactly one
+    bucket (single SRP code, not banded), so no cross-bucket pair dedup
+    is needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"a {id_t}, b {id_t}, sim_e4 long"
+    with_b = ann_lsh_buckets(
+        emb, n_planes, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        with_b = (
+            with_b.withColumn("bsz", F.count("*").over(w))
+            .where(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
+    thr = int(threshold_e4)
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim_e4": []}).astype(
+                {"sim_e4": "int64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0  # zero vectors: sim 0, not NaN
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        e4 = np.floor(sims * 10000).astype(np.int64)
+        keep = (e4 >= thr) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bj], "sim_e4": e4[ai, bj]})
+
+    return with_b.groupBy("bucket").applyInPandas(pairs, schema=out_schema)

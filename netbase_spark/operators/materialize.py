@@ -267,3 +267,59 @@ def enrich_entities(
             seo_slug_col(F.col("node")).alias("seo"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Entity salience by PageRank over the KG adjacency — the scale
+    extension of the reference's degree-prior node ordering
+    (sortNodes, src/netbase.cpp:2564-2569; our :func:`node_degrees`):
+    degree counts saturate on hub entities, PageRank discounts mass
+    arriving from low-authority spam nodes.
+
+    Simplified variant: dangling-node mass is NOT redistributed (each
+    iteration is ``pr = (1-d)/N + d * sum(pr_in/out_deg)``), so the
+    result is deterministic given the edge set and exactly expressible
+    as ``iters`` unrolled SQL self-joins — the contract oracle.
+
+    Scale shape: per-iteration cost is one join of the rank vector
+    against the edge table on ``src`` plus one groupBy ``dst`` with
+    map-side combine; hub skew on popular objects is bounded by the
+    partial aggregation.  Each iteration is ``localCheckpoint``-free
+    here because ``iters`` stays small (salience needs 2-3 rounds, not
+    convergence); for long runs compose with the checkpoint helper in
+    canonicalize.py.  Returns (node, pr_e6) with the rank e6-floored
+    at the END only (iterations run in full doubles).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outd"))
+    base = float(1.0 - damping) / n
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .join(out_deg, "src")
+            .select("dst", (F.col("pr") / F.col("outd")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("c"))
+        )
+        pr = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
+        )
+    return pr.select(
+        "node", F.floor(F.col("pr") * 1e6).cast("long").alias("pr_e6")
+    )

@@ -433,3 +433,148 @@ def repetition_stats(
         .otherwise(F.floor((total - distinct) / total * 1e6))
         .alias("dup_ratio_e6"),
     )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction for training corpora: (doc_id,
+    n_emails, n_phones, n_ipv4, redacted) with each match class
+    replaced by a typed placeholder token.
+
+    Pure JVM column expressions (regexp_extract_all + regexp_replace
+    inside whole-stage codegen), map-side only, zero shuffles — the
+    same patterns compile identically under Java regex and RE2, so the
+    DuckDB oracle is bit-equal.  Counts are taken on the ORIGINAL text;
+    redaction order (email -> ipv4 -> phone) means the later patterns
+    never see digits freed by an earlier replacement.
+    """
+    t = F.col(text_col)
+
+    def n_matches(pat):
+        # F.lit pattern (not F.expr SQL text): the \b\d escapes must
+        # reach the Java regex compiler unmangled by SQL-literal parsing
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        n_matches(PII_EMAIL).alias("n_emails"),
+        n_matches(PII_PHONE).alias("n_phones"),
+        n_matches(PII_IPV4).alias("n_ipv4"),
+        redacted.alias("redacted"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_df: int = 5,
+    cap: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequent lines (CCNet/RefinedWeb boilerplate rule):
+    (line, df) for every line occurring in >= ``min_df`` distinct
+    documents, deterministically capped to the ``cap`` hottest
+    (df desc, line asc) so the set stays broadcastable at any corpus
+    size.  One explode + one agg shuffle on the line value; map-side
+    combine applies because array_distinct pre-dedups within the doc.
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(sep))
+    return (
+        docs.select(F.explode(F.array_distinct(lines)).alias("line"))
+        .where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("line"))
+        .limit(cap)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_df: int = 5,
+    cap: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove corpus-frequent lines from every document: (doc_id,
+    n_lines, n_removed, clean_fp) where clean_fp = md5 of the document
+    re-joined WITHOUT its boilerplate lines (order and intra-doc
+    duplicates of surviving lines preserved).
+
+    Scale shape: the boilerplate set from :func:`boilerplate_lines` is
+    bounded by ``cap``, collapsed to a single array row and broadcast
+    into a literal crossJoin; per-document removal is then a map-side
+    higher-order ``filter`` — the corpus is never re-shuffled or
+    re-grouped (the naive posexplode/anti-join/re-agg plan costs two
+    corpus-wide shuffles and loses intra-doc duplicate lines).
+    """
+    import re as _re
+
+    bl = boilerplate_lines(docs, sep, min_df, cap, id_col, text_col)
+    bl_arr = bl.agg(F.sort_array(F.collect_list("line")).alias("bl"))
+    lines = F.split(F.col(text_col), _re.escape(sep))
+    d = docs.select(id_col, lines.alias("ls")).crossJoin(F.broadcast(bl_arr))
+    clean = F.filter("ls", lambda x: ~F.array_contains(F.col("bl"), x))
+    return d.select(
+        id_col,
+        F.size("ls").cast("long").alias("n_lines"),
+        (F.size("ls") - F.size(clean)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(clean, sep)).alias("clean_fp"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/Gopher
+    perplexity-filter analog a training pipeline runs when a full LM is
+    too expensive): fit unigram probabilities on the corpus itself, then
+    score each document by its mean token log-probability — documents of
+    improbable gibberish score far below fluent ones.
+
+    Returns (doc_id, n_tokens, mean_lp_e6) where each token's
+    ``ln(count/total)`` is e6-floored FIRST and the per-doc mean is then
+    floored — integer token scores make the cross-engine compare exact
+    (a doubles-all-the-way mean would be aggregation-order sensitive).
+
+    Scale shape: one token-keyed agg (map-side combine) to fit the
+    vocab, one token-keyed join to score (hot stopword keys are bounded
+    by the partial aggregation on the count side; the scored join's
+    skew is inherent to token frequency — salt the join if one token
+    exceeds a partition, same discipline as node_degrees).
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log(F.col("c") / F.col("t")) * 1e6)
+        .cast("long")
+        .alias("lp_e6"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.floor(F.avg("lp_e6")).cast("long").alias("mean_lp_e6"),
+        )
+    )

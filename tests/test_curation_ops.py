@@ -145,3 +145,126 @@ def test_repetition_stats_gopher_rule(spark):
     assert rows[1].dup_ratio_e6 == 800000
     assert rows[2].dup_ratio_e6 == 0
     assert rows[3].total_ngrams == 0 and rows[3].dup_ratio_e6 == 0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from netbase_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or 555-123-4567 now"),
+            (2, "server 192.168.1.200 and 10.0.0.1 no contact"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ipv4) == (1, 1, 0)
+    assert rows[1].redacted == "mail me at <EMAIL> or <PHONE> now"
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ipv4) == (0, 0, 2)
+    assert rows[2].redacted == "server <IP> and <IP> no contact"
+    assert rows[3].redacted == "clean text only"
+
+
+def test_strip_boilerplate_preserves_order_and_duplicates(spark):
+    from netbase_spark.operators.textstats import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    # 'footer' appears in all 3 docs -> boilerplate at min_df=3;
+    # 'body' lines are unique per doc and must survive, including the
+    # duplicated 'same same' line inside doc 1 (order + dup preserved).
+    docs = spark.createDataFrame(
+        [
+            (1, "same same\nfooter\nsame same\nbody one"),
+            (2, "body two\nfooter"),
+            (3, "footer\nbody three"),
+        ],
+        "doc_id long, text string",
+    )
+    bl = {r.line for r in boilerplate_lines(docs, min_df=3).collect()}
+    assert bl == {"footer"}
+    out = {r.doc_id: r for r in strip_boilerplate(docs, min_df=3).collect()}
+    assert (out[1].n_lines, out[1].n_removed) == (4, 1)
+    assert (out[2].n_lines, out[2].n_removed) == (2, 1)
+    # fingerprint equals md5 of the re-joined survivors in order
+    import hashlib
+
+    expect = hashlib.md5("same same\nsame same\nbody one".encode()).hexdigest()
+    assert out[1].clean_fp == expect
+
+
+def test_strip_boilerplate_cap_is_deterministic(spark):
+    from netbase_spark.operators.textstats import boilerplate_lines
+
+    # both lines hit min_df; cap=1 keeps the (df desc, line asc) winner
+    docs = spark.createDataFrame(
+        [(i, "aaa\nbbb") for i in range(4)], "doc_id long, text string"
+    )
+    kept = [r.line for r in boilerplate_lines(docs, min_df=2, cap=1).collect()]
+    assert kept == ["aaa"]
+
+
+def test_cosine_neardup_bucketed_subset_and_identical_pair(spark):
+    from netbase_spark.operators.dedup import (
+        cosine_neardup_bucketed,
+        cosine_neardup_pairs,
+    )
+
+    import math
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),      # identical to 1 -> same bucket
+        (3, [0.99, 0.1, 0.0, 0.0]),     # near 1/2
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+        (5, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r.a, r.b): r.sim_e4
+        for r in cosine_neardup_bucketed(emb, 9000, n_planes=4).collect()
+    }
+    brute = {
+        (r.a, r.b): r.sim_e4
+        for r in cosine_neardup_pairs(emb, 9000).collect()
+    }
+    # bucketed result is a subset of brute force with identical sims
+    assert set(got) <= set(brute)
+    assert all(brute[k] == v for k, v in got.items())
+    # identical vectors share every SRP sign -> always found
+    assert got[(1, 2)] == 10000 or math.isclose(got[(1, 2)], 9999, abs_tol=1)
+
+
+def test_cosine_neardup_bucketed_cap_drops_hot_bucket(spark):
+    from netbase_spark.operators.dedup import cosine_neardup_bucketed
+
+    # 6 identical vectors -> one bucket of 6; cap=5 drops it entirely
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_neardup_bucketed(emb, 9000, n_planes=4, bucket_cap=5)
+    assert out.count() == 0
+    full = cosine_neardup_bucketed(emb, 9000, n_planes=4)
+    assert full.count() == 15  # 6 choose 2
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from netbase_spark.operators.textstats import unigram_logprob
+
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # corpus counts: a=3, b=1, c=1, total=5
+    lp = {t: math.floor(math.log(c / 5.0) * 1e6) for t, c in
+          {"a": 3, "b": 1, "c": 1}.items()}
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert got[1].n_tokens == 3
+    assert got[1].mean_lp_e6 == math.floor((2 * lp["a"] + lp["b"]) / 3)
+    assert got[2].mean_lp_e6 == math.floor((lp["a"] + lp["c"]) / 2)
+    # doc 2 leans on rarer tokens -> lower mean log-probability
+    assert got[2].mean_lp_e6 < got[1].mean_lp_e6

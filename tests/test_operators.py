@@ -308,3 +308,41 @@ def test_sessionize_gap(spark):
     sess1 = sorted(per_user[1], key=lambda r: r.session_start)
     assert sess1[0].n_events == 2 and sess1[0].sum_value == 3.0
     assert sess1[1].n_events == 1 and sess1[1].sum_value == 4.0
+
+
+def test_pagerank_hand_computed(spark):
+    from netbase_spark.operators.materialize import pagerank
+
+    # a -> c, b -> c, c -> a : hand-unrolled 2 iterations, d=0.85
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r.node: r.pr_e6 for r in pagerank(edges, iters=2).collect()}
+    import math
+
+    n = 3.0
+    base = (1.0 - 0.85) / n
+    pr = {k: 1.0 / n for k in "abc"}
+    for _ in range(2):
+        nxt = {
+            "a": base + 0.85 * pr["c"],          # c's only edge
+            "b": base,                            # no in-edges
+            "c": base + 0.85 * (pr["a"] + pr["b"]),
+        }
+        pr = nxt
+    assert got == {k: math.floor(v * 1e6) for k, v in pr.items()}
+    # salience discounts 'b' (no in-edges) below the cycle members
+    assert got["a"] > got["b"] and got["c"] > got["b"]
+
+
+def test_pagerank_mass_and_dangling(spark):
+    from netbase_spark.operators.materialize import pagerank
+
+    # star onto a dangling hub: hub collects, leaves tie at base rank
+    edges = spark.createDataFrame(
+        [(f"l{i}", "hub") for i in range(5)], "src string, dst string"
+    )
+    got = {r.node: r.pr_e6 for r in pagerank(edges, iters=2).collect()}
+    leaves = {v for k, v in got.items() if k != "hub"}
+    assert len(leaves) == 1  # all leaves identical
+    assert got["hub"] > leaves.pop()
