@@ -112,6 +112,7 @@ HEADLINE = [
     "semantic_neardup",
     "pagerank",
     "unigram_lm",
+    "shard_pack",
 ]
 
 

@@ -256,3 +256,30 @@ EXT4_ORACLES = {
     "boilerplate": ORACLE_BOILERPLATE,
     "semantic_neardup": ORACLE_SEMANTIC_NEARDUP,
 }
+
+
+def q_shard_pack(spark, sf_dir):
+    """Token-budget training-shard packing per source
+    (textstats.shard_pack): deterministic (source, shard_no) assignment
+    with a 2000-token budget."""
+    from netbase_spark.operators.textstats import shard_pack
+
+    return shard_pack(_t(spark, sf_dir, "documents"), budget_tokens=2000)
+
+
+ORACLE_SHARD_PACK = """
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / 2000.0) AS BIGINT) AS shard_no
+    FROM d
+"""
+
+EXT4_QUERIES["shard_pack"] = q_shard_pack
+EXT4_ORACLES["shard_pack"] = ORACLE_SHARD_PACK

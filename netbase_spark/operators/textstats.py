@@ -578,3 +578,44 @@ def unigram_logprob(
             F.floor(F.avg("lp_e6")).cast("long").alias("mean_lp_e6"),
         )
     )
+
+
+def shard_pack(
+    docs: DataFrame,
+    budget_tokens: int = 100_000,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic token-budget shard assignment for training-data
+    export: documents are packed, in (group, order) order, into shards
+    of ~``budget_tokens`` whitespace tokens; a doc goes to the shard
+    its running total STARTS in, so every shard except a group's last
+    holds >= budget tokens and doc order inside a shard is stable.
+
+    Returns (doc_id, source, n_tokens, shard_no) — shard identity is
+    (group, shard_no), reproducible on any cluster size/partitioning.
+
+    Scale shape: one window keyed by ``group_col`` — the packing sort
+    is PER GROUP (source/domain), never a corpus-wide global sort (a
+    single-partition window is the audit's no-go); groups are
+    independent, so skewed hot sources bound the critical path but not
+    the other partitions.  All integer arithmetic — exact on any
+    engine.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = docs.select(order_col, group_col, n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        order_col,
+        group_col,
+        "n_tokens",
+        ((cum - F.col("n_tokens")) / F.lit(int(budget_tokens)))
+        .cast("long")
+        .alias("shard_no"),
+    )

@@ -268,3 +268,21 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[2].mean_lp_e6 == math.floor((lp["a"] + lp["c"]) / 2)
     # doc 2 leans on rarer tokens -> lower mean log-probability
     assert got[2].mean_lp_e6 < got[1].mean_lp_e6
+
+
+def test_shard_pack_budget_and_determinism(spark):
+    from netbase_spark.operators.textstats import shard_pack
+
+    # 4 docs of 3 tokens each, budget 6 -> shards of exactly 2 docs
+    docs = spark.createDataFrame(
+        [(i, "x y z", "s") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.shard_no for r in shard_pack(docs, 6).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+    # repartitioned input -> identical assignment (layout-independent)
+    got2 = {
+        r.doc_id: r.shard_no
+        for r in shard_pack(docs.repartition(7), 6).collect()
+    }
+    assert got2 == got
