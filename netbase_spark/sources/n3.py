@@ -14,6 +14,8 @@ leaves whole-stage codegen; filters push down to the text scan.
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -61,7 +63,10 @@ def resolve_term(c: Column) -> Column:
 
 
 def parse_nt_lines(
-    lines: DataFrame, col: str = "value", keep: tuple[str, ...] = ()
+    lines: DataFrame,
+    col: str = "value",
+    keep: tuple[str, ...] = (),
+    unescape_unicode: bool = False,
 ) -> DataFrame:
     """lines(col: one NT statement per row) -> (subj, pred, obj).
 
@@ -71,8 +76,16 @@ def parse_nt_lines(
     columns (e.g. a stage tag) — tagging + unioning raw lines BEFORE
     one shared parse keeps the resolve_term expression tree out of
     every branch of a multi-stage import (plan-size guard, PLANS.md).
+    ``unescape_unicode`` additionally decodes \\uXXXX escape
+    sequences the way the reference's u8_unescape does (src/utf8.cpp,
+    importN3 src/import.cpp:1824-1919) — off by default because the
+    decode UDF, though gated to rows containing an escape, still adds
+    a Python stage to the plan.
     """
     c = F.col(col)
+    if unescape_unicode:
+        lines = lines.withColumn(col, u8_unescape_col(c))
+        c = F.col(col)
     parsed = lines.select(
         *[F.col(k) for k in keep],
         resolve_term(F.regexp_extract(c, NT_LINE_RE, 1)).alias("subj"),
@@ -98,3 +111,43 @@ def canonicalize_predicates(
     from netbase_spark.operators.mutate import rel_id_col
 
     return triples.withColumn("rel", rel_id_col(F.col("pred")))
+
+
+def u8_unescape_py(s: str) -> str:
+    """Pure-Python twin of the reference's ``u8_unescape``
+    (src/utf8.cpp, called from importN3 src/import.cpp:1824-1919):
+    decode ``\\uXXXX`` / ``\\UXXXXXXXX`` escapes in NT literals,
+    including UTF-16 surrogate PAIRS (astral chars are dumped as
+    ``\\uD8xx\\uDCxx`` in N-Triples)."""
+    import re
+
+    def pair(m):
+        hi, lo = int(m.group(1), 16), int(m.group(2), 16)
+        return chr(0x10000 + ((hi - 0xD800) << 10) + (lo - 0xDC00))
+
+    s = re.sub(
+        r"\\u(D[89ABab][0-9a-fA-F]{2})\\u(D[C-Fc-f][0-9a-fA-F]{2})",
+        pair,
+        s,
+    )
+    return re.sub(
+        r"\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})",
+        lambda m: chr(int(m.group(1) or m.group(2), 16)),
+        s,
+    )
+
+
+def u8_unescape_col(c: Column) -> Column:
+    """Column form of :func:`u8_unescape_py`: an Arrow-batched pandas
+    UDF, gated so it only runs on rows that actually CONTAIN a ``\\u``
+    escape — the overwhelmingly-common clean row stays a pure JVM
+    passthrough (no Python round-trip on the hot path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _unesc(s: "pandas.Series") -> "pandas.Series":
+        return s.map(lambda v: u8_unescape_py(v) if v is not None else v)
+
+    return F.when(
+        c.contains("\\u") | c.contains("\\U"), _unesc(c)
+    ).otherwise(c)

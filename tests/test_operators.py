@@ -346,3 +346,26 @@ def test_pagerank_mass_and_dangling(spark):
     leaves = {v for k, v in got.items() if k != "hub"}
     assert len(leaves) == 1  # all leaves identical
     assert got["hub"] > leaves.pop()
+
+
+def test_nt_unicode_unescape(spark):
+    from netbase_spark.sources.n3 import parse_nt_lines, u8_unescape_py
+
+    # BMP escape, surrogate pair (astral emoji), and a clean line
+    lines = spark.createDataFrame(
+        [
+            ('<http://x/Schloss> <http://x/label> "Schlo\\u00df"@de .',),
+            ('<http://x/E> <http://x/label> "hi \\uD83D\\uDE00" .',),
+            ('<http://x/A> <http://x/label> "plain" .',),
+        ],
+        "value string",
+    )
+    out = {
+        r.subj: r.obj
+        for r in parse_nt_lines(lines, unescape_unicode=True).collect()
+    }
+    assert out["Schloss"] == "Schloß"
+    assert out["E"] == "hi \U0001F600"
+    assert out["A"] == "plain"
+    # the pure-python twin agrees (used directly by non-Spark callers)
+    assert u8_unescape_py("Schlo\\u00df") == "Schloß"
