@@ -1096,3 +1096,51 @@ def test_basics_eq_wordhash_semantics():
     # contains/startsWith (case-sensitive default, src/tests.cpp:91-94)
     assert "bc" in "abcd" and "bd" not in "abcd"
     assert "abce".startswith("ab") and not "abce".startswith("ac")
+
+
+# --- testCities (src/tests.cpp:1277-1297) -----------------------------------
+
+
+def test_cities_csv_ignore_battery(spark):
+    """testCities: importCsv('cities1000.txt', city, tab, ignore-list)
+    then has(Mersing, population, 22007) and NOT 22008
+    (src/tests.cpp:1277-1297).  Exercises the ignored-column pruning
+    path of the melt importer (alternatenames/admin codes never become
+    statements)."""
+    from netbase_spark.sources.tabular import melt
+
+    from pyspark.sql import functions as F
+
+    header = (
+        "geonameid name asciiname alternatenames latitude longitude "
+        "featureclass featurecode countrycode cc2 admin1code admin2code "
+        "admin3code admin4code population elevation gtopo30 timezone "
+        "modificationdate"
+    ).split()
+    row = (
+        1734759, "Mersing", "Mersing", "MEP,Mersing", 2.43148, 103.84154,
+        "P", "PPL", "MY", "", "04", "", "", "", 22007, 0, 24,
+        "Asia/Kuala_Lumpur", "2012-01-17",
+    )
+    df = spark.createDataFrame([row], header)
+    ignore = (
+        "alternatenames,featureclass,featurecode,cc2,admin1code,"
+        "admin2code,admin3code,admin4code,gtopo30,timezone,"
+        "modificationdate"
+    ).split(",")
+    out = melt(
+        df,
+        F.col("asciiname"),
+        [c for c in header if c != "asciiname"],
+        ignored=ignore,
+    )
+    stmts = {(r.subj, r.pred, r.obj_text) for r in out.collect()}
+    assert ("Mersing", "population", "22007") in stmts
+    assert ("Mersing", "population", "22008") not in stmts
+    # ignored columns produce no statements at all
+    assert not any(p in ignore for _, p, _ in stmts)
+    # typed numeric cell (value(population, 22007)) survives the melt
+    pop = {
+        r.obj_num for r in out.collect() if r.pred == "population"
+    }
+    assert pop == {22007.0}
