@@ -303,6 +303,12 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge set: same schema, no rows (no 1/N to divide by)
+        node_t = nodes.schema["node"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            [], f"node {node_t}, pr_e6 long"
+        )
     out_deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outd"))
     base = float(1.0 - damping) / n
     pr = nodes.withColumn("pr", F.lit(1.0 / n))

@@ -369,3 +369,29 @@ def test_nt_unicode_unescape(spark):
     assert out["A"] == "plain"
     # the pure-python twin agrees (used directly by non-Spark callers)
     assert u8_unescape_py("Schlo\\u00df") == "Schloß"
+
+
+def test_new_operators_empty_inputs(spark):
+    """Empty-input schemas: every round-2-final operator returns an
+    empty frame with its documented schema instead of raising."""
+    from netbase_spark.operators.dedup import cosine_neardup_bucketed
+    from netbase_spark.operators.materialize import pagerank
+    from netbase_spark.operators.textstats import (
+        pii_scrub,
+        shard_pack,
+        strip_boilerplate,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert pii_scrub(docs).count() == 0
+    assert strip_boilerplate(docs).count() == 0
+    assert unigram_logprob(docs).count() == 0
+    assert shard_pack(docs).count() == 0
+    edges = spark.createDataFrame([], "src string, dst string")
+    pr = pagerank(edges)
+    assert pr.count() == 0 and pr.columns == ["node", "pr_e6"]
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_neardup_bucketed(emb, 9000).count() == 0
