@@ -174,7 +174,7 @@ def q_pagerank(spark, sf_dir):
             F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
         )
     )
-    return pagerank(edges, iters=2, damping=0.85)
+    return pagerank(edges, iters=2, damping_pct=85)
 
 
 ORACLE_PAGERANK = """
@@ -187,27 +187,33 @@ ORACLE_PAGERANK = """
     ), nodes AS (
         SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ), nn AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        SELECT count(*) AS n FROM nodes
     ), deg AS (
-        SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY src
+        SELECT src, count(*) AS outd FROM edges GROUP BY src
     ), pr0 AS (
-        SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn
+        -- all-integer e12 fixed point, mirroring materialize.pagerank:
+        -- every division is an integer floor-div, bit-deterministic
+        SELECT node, 1000000000000 // nn.n AS pr FROM nodes CROSS JOIN nn
     ), c1 AS (
-        SELECT e.dst AS node, SUM(p.pr / d.outd) AS c
+        SELECT e.dst AS node, CAST(SUM(p.pr // d.outd) AS BIGINT) AS c
         FROM edges e JOIN pr0 p ON p.node = e.src
         JOIN deg d ON d.src = e.src GROUP BY e.dst
     ), p1 AS (
-        SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c1.c, 0) AS pr
+        SELECT nd.node,
+               (150000000000 // nn.n)
+               + (85::BIGINT * coalesce(c1.c, 0)) // 100 AS pr
         FROM nodes nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node
     ), c2 AS (
-        SELECT e.dst AS node, SUM(p.pr / d.outd) AS c
+        SELECT e.dst AS node, CAST(SUM(p.pr // d.outd) AS BIGINT) AS c
         FROM edges e JOIN p1 p ON p.node = e.src
         JOIN deg d ON d.src = e.src GROUP BY e.dst
     ), p2 AS (
-        SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c2.c, 0) AS pr
+        SELECT nd.node,
+               (150000000000 // nn.n)
+               + (85::BIGINT * coalesce(c2.c, 0)) // 100 AS pr
         FROM nodes nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node
     )
-    SELECT node, CAST(floor(pr * 1e6) AS BIGINT) AS pr_e6 FROM p2
+    SELECT node, CAST(pr // 1000000 AS BIGINT) AS pr_e6 FROM p2
 """
 
 

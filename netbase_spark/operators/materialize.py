@@ -269,10 +269,13 @@ def enrich_entities(
     )
 
 
+PAGERANK_E12 = 10**12
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 2,
-    damping: float = 0.85,
+    damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
@@ -284,8 +287,21 @@ def pagerank(
 
     Simplified variant: dangling-node mass is NOT redistributed (each
     iteration is ``pr = (1-d)/N + d * sum(pr_in/out_deg)``), so the
-    result is deterministic given the edge set and exactly expressible
-    as ``iters`` unrolled SQL self-joins — the contract oracle.
+    result is exactly expressible as ``iters`` unrolled SQL self-joins
+    — the contract oracle.
+
+    ALL-INTEGER e12 fixed point: ranks are ``pr_e12`` longs, damping is
+    an integer percent, and every division is an integer floor-div
+    (``div``), so the result is BIT-DETERMINISTIC on any engine,
+    partitioning, and aggregation order.  The first version iterated in
+    doubles and e6-floored at the end; Spark's run-to-run float-sum
+    reordering flipped the floor on a knife-edge rank (observed: R1 at
+    0.145 exactly) — a sometimes-red contract.  Fixed-point costs
+    <= 1e-12 absolute drift per operation vs true PageRank, which the
+    e6 output granularity never sees except exactly ON a boundary,
+    where it is now deterministic on both sides.  Contribution sums
+    cannot overflow: the in-flow of a node is bounded by the total
+    mass, ~1e12.
 
     Scale shape: per-iteration cost is one join of the rank vector
     against the edge table on ``src`` plus one groupBy ``dst`` with
@@ -293,8 +309,7 @@ def pagerank(
     partial aggregation.  Each iteration is ``localCheckpoint``-free
     here because ``iters`` stays small (salience needs 2-3 rounds, not
     convergence); for long runs compose with the checkpoint helper in
-    canonicalize.py.  Returns (node, pr_e6) with the rank e6-floored
-    at the END only (iterations run in full doubles).
+    canonicalize.py.  Returns (node, pr_e6 = pr_e12 div 1e6).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
@@ -309,14 +324,15 @@ def pagerank(
         return edges.sparkSession.createDataFrame(
             [], f"node {node_t}, pr_e6 long"
         )
-    out_deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outd"))
-    base = float(1.0 - damping) / n
-    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    d = int(damping_pct)
+    base = (PAGERANK_E12 * (100 - d) // 100) // n
+    out_deg = e.groupBy("src").agg(F.count("*").alias("outd"))
+    pr = nodes.withColumn("pr", F.lit(PAGERANK_E12 // n).cast("long"))
     for _ in range(iters):
         contrib = (
             e.join(pr, e["src"] == pr["node"])
             .join(out_deg, "src")
-            .select("dst", (F.col("pr") / F.col("outd")).alias("w"))
+            .select("dst", F.expr("pr div outd").alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("c"))
         )
@@ -324,8 +340,9 @@ def pagerank(
             contrib, nodes["node"] == contrib["dst"], "left"
         ).select(
             "node",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
+            (
+                F.lit(base)
+                + F.expr(f"({d} * coalesce(c, 0L)) div 100")
+            ).cast("long").alias("pr"),
         )
-    return pr.select(
-        "node", F.floor(F.col("pr") * 1e6).cast("long").alias("pr_e6")
-    )
+    return pr.select("node", F.expr("pr div 1000000").cast("long").alias("pr_e6"))

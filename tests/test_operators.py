@@ -313,24 +313,26 @@ def test_sessionize_gap(spark):
 def test_pagerank_hand_computed(spark):
     from netbase_spark.operators.materialize import pagerank
 
-    # a -> c, b -> c, c -> a : hand-unrolled 2 iterations, d=0.85
+    # a -> c, b -> c, c -> a : hand-unrolled 2 iterations, d=85%,
+    # in the SAME e12 integer fixed-point arithmetic as the operator
+    # (every division floors — bit-deterministic, see pagerank's doc)
     edges = spark.createDataFrame(
         [("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
     got = {r.node: r.pr_e6 for r in pagerank(edges, iters=2).collect()}
-    import math
 
-    n = 3.0
-    base = (1.0 - 0.85) / n
-    pr = {k: 1.0 / n for k in "abc"}
+    e12 = 10**12
+    n = 3
+    base = (e12 * 15 // 100) // n
+    pr = {k: e12 // n for k in "abc"}
     for _ in range(2):
         nxt = {
-            "a": base + 0.85 * pr["c"],          # c's only edge
-            "b": base,                            # no in-edges
-            "c": base + 0.85 * (pr["a"] + pr["b"]),
+            "a": base + 85 * (pr["c"] // 1) // 100,   # c's only edge
+            "b": base,                                 # no in-edges
+            "c": base + 85 * (pr["a"] // 1 + pr["b"] // 1) // 100,
         }
         pr = nxt
-    assert got == {k: math.floor(v * 1e6) for k, v in pr.items()}
+    assert got == {k: v // 10**6 for k, v in pr.items()}
     # salience discounts 'b' (no in-edges) below the cycle members
     assert got["a"] > got["b"] and got["c"] > got["b"]
 
