@@ -113,6 +113,7 @@ HEADLINE = [
     "pagerank",
     "unigram_lm",
     "shard_pack",
+    "caption_pairs",
 ]
 
 

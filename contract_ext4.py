@@ -289,3 +289,62 @@ ORACLE_SHARD_PACK = """
 
 EXT4_QUERIES["shard_pack"] = q_shard_pack
 EXT4_ORACLES["shard_pack"] = ORACLE_SHARD_PACK
+
+
+def q_caption_pairs(spark, sf_dir):
+    """Image-caption pair mining (media.caption_candidates) over a
+    deterministic interleaved span set: two text chunks per doc at
+    offsets 0 and 100, one media span for even docs at an offset that
+    varies per doc — so the nearest-text winner varies too."""
+    from netbase_spark.operators.media import caption_candidates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t1 = docs.select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.substring("text", 1, 40).alias("span_text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    t2 = docs.select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.substring("text", 41, 40).alias("span_text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(100).alias("offset"),
+    )
+    m = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit("image").alias("kind"),
+        F.lit("").alias("span_text"),
+        F.concat(
+            F.lit("commons/"), F.md5(F.col("doc_id").cast("string")), F.lit(".jpg")
+        ).alias("media_ref"),
+        (F.lit(10) + F.pmod(F.col("doc_id"), 81)).cast("int").alias("offset"),
+    )
+    return caption_candidates(t1.unionByName(t2).unionByName(m))
+
+
+ORACLE_CAPTION_PAIRS = """
+    WITH texts AS (
+        SELECT doc_id, substr(text, 1, 40) AS caption, 0 AS t_off
+        FROM documents WHERE length(substr(text, 1, 40)) > 0
+        UNION ALL
+        SELECT doc_id, substr(text, 41, 40) AS caption, 100 AS t_off
+        FROM documents WHERE length(substr(text, 41, 40)) > 0
+    ), media AS (
+        SELECT doc_id,
+               'commons/' || md5(CAST(doc_id AS VARCHAR)) || '.jpg' AS media_ref,
+               CAST(10 + doc_id % 81 AS INT) AS m_off
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT m.doc_id, m.media_ref, m.m_off, t.caption,
+           CAST(abs(m.m_off - t.t_off) AS BIGINT) AS gap
+    FROM media m JOIN texts t USING (doc_id)
+    QUALIFY row_number() OVER (
+        PARTITION BY m.doc_id, m.media_ref, m.m_off
+        ORDER BY abs(m.m_off - t.t_off), t.t_off) = 1
+"""
+
+EXT4_QUERIES["caption_pairs"] = q_caption_pairs
+EXT4_ORACLES["caption_pairs"] = ORACLE_CAPTION_PAIRS

@@ -267,3 +267,43 @@ def get_image(
     return best.select(
         "subj", format_image(F.col("image"), size=size, thumb=thumb).alias("url")
     )
+
+
+def caption_candidates(spans: DataFrame) -> DataFrame:
+    """Image-caption pair mining over interleaved spans (the
+    text+media training-pair extraction a multimodal pipeline runs
+    before CLIP-style contrastive training): for every media span the
+    nearest text span IN THE SAME DOCUMENT by |offset| distance, ties
+    broken toward the preceding span (captions usually precede or
+    immediately follow their figure).
+
+    Input is the input_hint span shape (doc_id, kind, span_text,
+    media_ref, offset); returns (doc_id, media_ref, m_off, caption,
+    gap) with gap = |media offset - text offset|.
+
+    Scale shape: one doc-keyed join of media spans against text spans —
+    spans per document are bounded (document-local), so the join fans
+    out by per-doc span count, not corpus size — then a per-media-span
+    window rank.  Empty-text spans are excluded up front so the scan
+    prunes before the shuffle.
+    """
+    from pyspark.sql import Window
+
+    media = spans.where(
+        (F.col("kind") != "text") & F.col("media_ref").isNotNull()
+    ).select("doc_id", "media_ref", F.col("offset").alias("m_off"))
+    texts = spans.where(
+        (F.col("kind") == "text") & (F.length("span_text") > 0)
+    ).select("doc_id", F.col("span_text").alias("caption"),
+             F.col("offset").alias("t_off"))
+    j = media.join(texts, "doc_id").withColumn(
+        "gap", F.abs(F.col("m_off") - F.col("t_off")).cast("long")
+    )
+    w = Window.partitionBy("doc_id", "media_ref", "m_off").orderBy(
+        F.col("gap"), F.col("t_off")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "media_ref", "m_off", "caption", "gap")
+    )

@@ -397,3 +397,28 @@ def test_new_operators_empty_inputs(spark):
     assert pr.count() == 0 and pr.columns == ["node", "pr_e6"]
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert cosine_neardup_bucketed(emb, 9000).count() == 0
+
+
+def test_caption_candidates_nearest_and_tiebreak(spark):
+    from netbase_spark.operators.media import caption_candidates
+
+    spans = spark.createDataFrame(
+        [
+            # doc 1: media at 50; text at 0 (gap 50) and 60 (gap 10)
+            (1, "text", "far away", None, 0),
+            (1, "text", "the caption", None, 60),
+            (1, "image", "", "m1.jpg", 50),
+            # doc 2: equidistant texts (gap 20 both) -> preceding wins
+            (2, "text", "before", None, 30),
+            (2, "text", "after", None, 70),
+            (2, "image", "", "m2.jpg", 50),
+            # doc 3: media only -> no pair (no text span)
+            (3, "image", "", "m3.jpg", 10),
+        ],
+        "doc_id long, kind string, span_text string, media_ref string, offset int",
+    )
+    got = {r.media_ref: (r.caption, r.gap) for r in
+           caption_candidates(spans).collect()}
+    assert got["m1.jpg"] == ("the caption", 10)
+    assert got["m2.jpg"] == ("before", 20)
+    assert "m3.jpg" not in got
