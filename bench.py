@@ -19,6 +19,41 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def emit_result(result: dict) -> None:
+    """Print the FULL result line, then a compact (<1 KB) final line.
+
+    The grading driver captures only the TAIL of stdout — round 2's
+    94-entry ``queries`` map pushed the single JSON line past the tail
+    window, so the driver recorded ``"parsed": null`` (BENCH_r02.json).
+    The full per-query/retried maps go to ``BENCH/BENCH_full_latest.json``
+    and are also printed as the SECOND-to-last line (for callers that
+    read all of stdout, e.g. the ``--pipeline-only`` parent); the LAST
+    line keeps the driver contract fields (metric/value/unit/sf/cpus/
+    pipeline) with ``queries`` trimmed to the slowest 10 so it always
+    fits the tail."""
+    full = json.dumps(result)
+    print(full)
+    compact = dict(result)
+    q = result.get("queries") or {}
+    if len(q) > 10:
+        top = dict(sorted(q.items(), key=lambda kv: -kv[1])[:10])
+        compact["queries"] = top
+        compact["n_queries"] = len(q)
+        compact["queries_note"] = "slowest 10 of n_queries; full map in queries_full"
+        compact["queries_full"] = "BENCH/BENCH_full_latest.json"
+    compact.pop("retried", None)
+    line = json.dumps(compact)
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "BENCH_full_latest.json"), "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass  # benching must not fail on a read-only checkout
+    print(line)
+
+
 HEADLINE = [
     "alias_table",
     "best_alias",
@@ -275,7 +310,7 @@ def main():
         }
         if retried:
             result["retried"] = retried
-        print(json.dumps(result))
+        emit_result(result)
         return
 
     # construction throughput: docs table -> canonical triples.  The
@@ -338,7 +373,7 @@ def main():
             "triples_per_sec": round(tps, 1),
         },
     }
-    print(json.dumps(result))
+    emit_result(result)
 
 
 if __name__ == "__main__":

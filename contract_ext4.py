@@ -280,10 +280,10 @@ ORACLE_SHARD_PACK = """
         FROM documents
     )
     SELECT doc_id, source, n_tokens,
-           CAST(floor((SUM(n_tokens) OVER (
+           CAST((SUM(n_tokens) OVER (
                     PARTITION BY source ORDER BY doc_id
                     ROWS UNBOUNDED PRECEDING) - n_tokens)
-                / 2000.0) AS BIGINT) AS shard_no
+                // 2000 AS BIGINT) AS shard_no
     FROM d
 """
 

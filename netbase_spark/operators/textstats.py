@@ -611,11 +611,20 @@ def shard_pack(
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
     d = docs.select(order_col, group_col, n_tok.alias("n_tokens"))
     cum = F.sum("n_tokens").over(w)
+    # integer floor division (SQL `div`), NOT float `/` + cast: the
+    # float path is double-rounded and goes inexact past 2^53
+    # cumulative tokens — the pagerank fixed-point discipline applies
+    # to shard boundaries too (oracle mirrors with DuckDB `//`)
     return d.select(
         order_col,
         group_col,
         "n_tokens",
-        ((cum - F.col("n_tokens")) / F.lit(int(budget_tokens)))
+        (cum - F.col("n_tokens")).alias("_started"),
+    ).select(
+        order_col,
+        group_col,
+        "n_tokens",
+        F.expr(f"_started div {int(budget_tokens)}")
         .cast("long")
         .alias("shard_no"),
     )

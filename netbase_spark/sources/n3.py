@@ -14,8 +14,6 @@ leaves whole-stage codegen; filters push down to the text scan.
 
 from __future__ import annotations
 
-import pandas
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -130,18 +128,33 @@ def u8_unescape_py(s: str) -> str:
         pair,
         s,
     )
-    return re.sub(
-        r"\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})",
-        lambda m: chr(int(m.group(1) or m.group(2), 16)),
-        s,
-    )
+
+    def one(m):
+        cp = int(m.group(1) or m.group(2), 16)
+        # UNPAIRED surrogate escape (the pair pass above consumed every
+        # valid pair): chr() would build a string that cannot be UTF-8/
+        # Arrow-encoded, crashing the whole pandas-UDF batch — degrade
+        # the one malformed row to U+FFFD instead
+        return "�" if 0xD800 <= cp <= 0xDFFF else chr(cp)
+
+    return re.sub(r"\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})", one, s)
 
 
 def u8_unescape_col(c: Column) -> Column:
     """Column form of :func:`u8_unescape_py`: an Arrow-batched pandas
     UDF, gated so it only runs on rows that actually CONTAIN a ``\\u``
     escape — the overwhelmingly-common clean row stays a pure JVM
-    passthrough (no Python round-trip on the hot path)."""
+    passthrough (no Python round-trip on the hot path).
+
+    pandas is imported HERE, not at module top: the unescape path is
+    opt-in (``unescape_unicode=False`` default) and every other module
+    in the package imports pandas lazily — NT parsing itself must not
+    grow a hard import-time pandas dependency.  The import is published
+    to module globals because ``pandas_udf`` resolves the UDF's quoted
+    ``pandas.Series`` type hints against this module's globals."""
+    import pandas
+
+    globals().setdefault("pandas", pandas)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")

@@ -359,6 +359,9 @@ def test_nt_unicode_unescape(spark):
             ('<http://x/Schloss> <http://x/label> "Schlo\\u00df"@de .',),
             ('<http://x/E> <http://x/label> "hi \\uD83D\\uDE00" .',),
             ('<http://x/A> <http://x/label> "plain" .',),
+            # malformed: UNPAIRED high surrogate — must degrade to U+FFFD
+            # per-row, not crash the whole Arrow batch on UTF-8 encode
+            ('<http://x/Bad> <http://x/label> "x \\uD800 y" .',),
         ],
         "value string",
     )
@@ -369,8 +372,19 @@ def test_nt_unicode_unescape(spark):
     assert out["Schloss"] == "Schloß"
     assert out["E"] == "hi \U0001F600"
     assert out["A"] == "plain"
+    assert out["Bad"] == "x � y"
     # the pure-python twin agrees (used directly by non-Spark callers)
     assert u8_unescape_py("Schlo\\u00df") == "Schloß"
+    assert u8_unescape_py("a\\uDC00b") == "a�b"
+    # NT parsing must not import pandas at module load (lazy-import rule)
+    import subprocess
+    import sys
+
+    probe = (
+        "import sys; import netbase_spark.sources.n3; "
+        "sys.exit(1 if 'pandas' in sys.modules else 0)"
+    )
+    assert subprocess.run([sys.executable, "-c", probe]).returncode == 0
 
 
 def test_new_operators_empty_inputs(spark):
