@@ -38,6 +38,26 @@ def alias_canonical_map(aliases: DataFrame, mapping: DataFrame) -> dict[str, str
     }
 
 
+def alias_entity_table(aliases: DataFrame, mapping: DataFrame) -> DataFrame:
+    """DataFrame twin of :func:`alias_canonical_map`: the same rank-1 x
+    union-find composition, but as a JOIN — nothing reaches the driver.
+    Returns (alias_key, entity), one row per surface form.  This is the
+    scale path: when the gazetteer exceeds the broadcast cap
+    (plans/broadcast_gate), the fused scan joins THIS table instead of
+    collecting a dict (operators/mentions.scan_mention_triples_gated).
+    The union-find mapping is merge-edge-bounded (far smaller than the
+    alias table), so IT still broadcasts."""
+    best = best_entity_per_alias(aliases).select("name_norm", "key")
+    rep = mapping.select(F.col("node").alias("key"), "rep")
+    return (
+        best.join(F.broadcast(rep), "key", "left")
+        .select(
+            F.col("name_norm").alias("alias_key"),
+            F.coalesce("rep", F.col("key")).alias("entity"),
+        )
+    )
+
+
 def link_mentions(
     mentions: DataFrame, aliases: DataFrame, already_distinct: bool = False
 ) -> DataFrame:

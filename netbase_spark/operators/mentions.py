@@ -246,3 +246,202 @@ def scan_mention_triples(
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
         .mapInPandas(scan, schema=TRIPLES_SCHEMA)
     )
+
+
+# --- shuffle-join fallback (gazetteer too large to broadcast) ---------------
+#
+# Every path above assumes the gazetteer fits one ``sc.broadcast`` — the
+# reference's own assumption (Ahash sized 2*maxNodes in RAM,
+# src/netbase.cpp:159-228).  At the WikiData north-star (10^7-10^8
+# aliases) the broadcast is multi-GB; the fallback decomposes findEntites
+# into a JOIN so the alias table stays a partitioned DataFrame:
+#
+#   docs --mapInPandas--> probe keys (alias-set-independent enumeration,
+#        rules.enumerate_probe_keys; ~max_words probes per word)
+#        --shuffle join--> partitioned alias table (hits only survive)
+#        --groupBy(doc_id).applyInPandas--> per-doc precedence/blacklist/
+#        bigram resolution + longest-match filter (rules.resolve_probe_hits
+#        + filter_candidates: same rule module as the broadcast path).
+#
+# Cost: one corpus-sized shuffle (probes) + one doc_id shuffle
+# (resolution) that the broadcast path avoids — the price of an unbounded
+# gazetteer.  Both paths are property-tested identical
+# (tests/test_mention_shuffle.py); scan_mention_triples_gated picks per
+# input size via plans.broadcast_gate.
+
+_PROBE_SCHEMA = (
+    "doc_id string, variant string, probe_key string, "
+    "start_word int, n_words int"
+)
+
+
+def _max_alias_words(aliases: DataFrame, alias_col: str) -> int:
+    """max word count over the alias table — the scalar pruning hint of
+    rules.max_alias_word_count, computed as one cheap agg job."""
+    row = aliases.select(
+        F.max(F.size(F.split(F.col(alias_col), " "))).alias("m")
+    ).first()
+    return int(row["m"]) if row and row["m"] is not None else 0
+
+
+def _probe_frame(texts: DataFrame, german: bool, max_span_words: int | None):
+    """(doc_id, text) -> all findEntites probe keys, one row each.
+    Alias-set-independent: nothing is broadcast."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from netbase_spark.oracle.rules import enumerate_probe_keys
+
+        for pdf in batches:
+            d, v, k, s, n = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                for variant, key, i, nw in enumerate_probe_keys(
+                    text or "", german, max_span_words=max_span_words
+                ):
+                    d.append(doc_id)
+                    v.append(variant)
+                    k.append(key)
+                    s.append(i)
+                    n.append(nw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": d,
+                    "variant": v,
+                    "probe_key": k,
+                    "start_word": pd.Series(s, dtype="int32"),
+                    "n_words": pd.Series(n, dtype="int32"),
+                }
+            )
+
+    return texts.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInPandas(gen, schema=_PROBE_SCHEMA)
+
+
+def _resolve_rows(pdf, blacklist, german, distinct_per_doc):
+    """One doc's join-surviving probe rows -> final candidate list."""
+    from netbase_spark.oracle.rules import filter_candidates, resolve_probe_hits
+
+    rows = [
+        (v, k, int(i), int(n))
+        for v, k, i, n in zip(
+            pdf["variant"], pdf["probe_key"], pdf["start_word"], pdf["n_words"]
+        )
+    ]
+    cands = filter_candidates(resolve_probe_hits(rows, blacklist, german))
+    if distinct_per_doc:
+        seen: set[str] = set()
+        cands = [c for c in cands if c[0] not in seen and not seen.add(c[0])]
+    return cands
+
+
+def detect_mentions_shuffle(
+    texts: DataFrame,
+    aliases: DataFrame,
+    blacklist: set[str],
+    german: bool = False,
+    distinct_per_doc: bool = False,
+    alias_col: str = "alias_key",
+) -> DataFrame:
+    """Shuffle-join twin of :func:`detect_mentions_text`: ``aliases`` is
+    a DataFrame with a normalized-surface-form column ``alias_col`` that
+    NEVER reaches the driver.  Identical output (property-tested)."""
+    bl = frozenset(blacklist)
+    maxw = _max_alias_words(aliases, alias_col)
+    probes = _probe_frame(texts, german, maxw)
+    akeys = (
+        aliases.select(F.col(alias_col).alias("probe_key"))
+        .where(F.col("probe_key").isNotNull() & (F.col("probe_key") != ""))
+        .distinct()
+    )
+    hits = probes.join(akeys, "probe_key")
+
+    def resolve(pdf):
+        import pandas as pd
+
+        cands = _resolve_rows(pdf, bl, german, distinct_per_doc)
+        doc_id = pdf["doc_id"].iat[0]
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id] * len(cands),
+                "alias_key": [c[0] for c in cands],
+                "start_word": pd.Series([c[1] for c in cands], dtype="int32"),
+                "n_words": pd.Series([c[2] for c in cands], dtype="int32"),
+            }
+        )
+
+    return hits.groupBy("doc_id").applyInPandas(resolve, schema=MENTIONS_SCHEMA)
+
+
+def scan_mention_triples_shuffle(
+    docs: DataFrame,
+    alias_entity: DataFrame,
+    blacklist: set[str],
+    german: bool = False,
+) -> DataFrame:
+    """Shuffle-join twin of :func:`scan_mention_triples`:
+    ``alias_entity`` is a DataFrame (alias_key, entity) — the rank-1 x
+    canonical composition of :func:`~netbase_spark.operators.linking.
+    alias_entity_table` — joined instead of driver-collected.  Identical
+    triples (property-tested)."""
+    from netbase_spark.schemas import TRIPLES_SCHEMA
+
+    bl = frozenset(blacklist)
+    maxw = _max_alias_words(alias_entity, "alias_key")
+    probes = _probe_frame(doc_text(docs), german, maxw)
+    amap = alias_entity.select(
+        F.col("alias_key").alias("probe_key"), "entity"
+    ).where(F.col("probe_key").isNotNull() & (F.col("probe_key") != ""))
+    hits = probes.join(amap, "probe_key")
+
+    def resolve(pdf):
+        import pandas as pd
+
+        from netbase_spark.relations import MENTIONED_IN
+
+        ent_of = dict(zip(pdf["probe_key"], pdf["entity"]))
+        cands = _resolve_rows(pdf, bl, german, distinct_per_doc=False)
+        doc_id = pdf["doc_id"].iat[0]
+        out_s: list[str] = []
+        seen: set[str] = set()
+        for key, _i, _n in cands:
+            ent = ent_of[key]
+            if ent != doc_id and ent not in seen:  # self-loop guard parity
+                seen.add(ent)
+                out_s.append(ent)
+        n = len(out_s)
+        return pd.DataFrame(
+            {
+                "subj": out_s,
+                "rel": pd.Series([MENTIONED_IN] * n, dtype="int32"),
+                "obj": [doc_id] * n,
+                "rule": ["mention"] * n,
+                "doc_id": [doc_id] * n,
+            }
+        )
+
+    return hits.groupBy("doc_id").applyInPandas(resolve, schema=TRIPLES_SCHEMA)
+
+
+def scan_mention_triples_gated(
+    docs: DataFrame,
+    aliases: DataFrame,
+    mapping: DataFrame,
+    blacklist: set[str],
+    german: bool = False,
+    cap_bytes: int | None = None,
+) -> DataFrame:
+    """Size-gated construction scan: collect-and-broadcast the composed
+    alias->entity map when it fits (:func:`scan_mention_triples` — zero
+    doc-side shuffles), fall back to the shuffle join above it.  The
+    gate samples the DataFrame composition, so the oversized case never
+    materializes a driver dict at all."""
+    from netbase_spark.operators.linking import alias_entity_table
+    from netbase_spark.plans.broadcast_gate import fits_driver_collect
+
+    ae = alias_entity_table(aliases, mapping)
+    if fits_driver_collect(ae, cap_bytes):
+        amap = {r["alias_key"]: r["entity"] for r in ae.collect()}
+        return scan_mention_triples(docs, amap, blacklist, german)
+    return scan_mention_triples_shuffle(docs, ae, blacklist, german)

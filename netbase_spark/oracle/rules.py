@@ -623,6 +623,120 @@ def filter_candidates(cands: list[tuple[str, int, int]]) -> list[tuple[str, int,
     return [c for c, me in zip(cands, names) if me not in swallowed]
 
 
+# --- shuffle-join scan decomposition ---------------------------------------
+#
+# findEntites as a JOIN: when the gazetteer is too large to broadcast
+# (10^7-10^8 aliases at the WikiData target), the scan decomposes into
+# (1) alias-set-INDEPENDENT probe enumeration per document,
+# (2) a shuffle join of probe keys against the partitioned alias table,
+# (3) per-document hit resolution that replays findEntites' precedence
+#     (raw before stem), the blacklist, and the reversed-bigram gate.
+# Property-tested equal to find_mentions_naive for every alias set
+# (tests/test_mention_shuffle.py).
+
+_VARIANT_RANK = {"raw": 0, "stem_s": 1, "stem_e": 2}
+
+
+def enumerate_probe_keys(
+    text: str,
+    german: bool = False,
+    max_words: int = MAX_WORDS,
+    max_span_words: int | None = None,
+) -> list[tuple[str, str, int, int]]:
+    """Every (variant, probe_key, start_word, n_words) lookup that
+    :func:`find_mentions_naive` would issue against the alias set,
+    computed WITHOUT the alias set.  Variants: ``raw`` (the span's
+    normalized form), ``stem_s``/``stem_e`` (trailing-s / German
+    trailing-e stem retries, src/query.cpp:2014-2023), ``bigram`` (the
+    reversed-bigram probe "<span> <previous word>", 2036-2040 — emitted
+    unconditionally here; :func:`resolve_probe_hits` applies its
+    base-span-must-hit gate).  Number-leading starts are skipped
+    entirely (the "no numbers hack", 2026, nulls every hit from such a
+    start, bigram included).  ``max_span_words`` is the pure
+    word-count prune of :func:`find_mentions` (+1 for the stem retry's
+    possible 1-char-token collapse); pass
+    :func:`max_alias_word_count`'s value or None."""
+    q = text.translate(_PUNCT)
+    words = q.split(" ")
+    n = len(words)
+    out: list[tuple[str, str, int, int]] = []
+    max_words = min(max_words, MAX_WORDS)
+    maxsw1 = None if max_span_words is None else max_span_words + 1
+    for i in range(n):
+        w0 = words[i]
+        if not w0:
+            continue
+        if is_number_token(w0):
+            continue  # no-numbers hack kills every hit from this start
+        slen = -1  # span chars incl. separators
+        nct = 0  # nonempty-norm word count (for the word-count prune)
+        stop = False
+        for j in range(i + 1, min(i + max_words, n + 1)):
+            w = words[j - 1]
+            slen += len(w) + 1
+            if w and _norm_cached(w):
+                nct += 1
+                if maxsw1 is not None and nct > maxsw1:
+                    stop = True
+            if slen < MIN_CHARS or stop:
+                break  # loop guards — span length/word count are monotonic
+            span = " ".join(words[i:j])
+            nw = j - i
+            pk = _norm_cached(span)
+            if pk:
+                out.append(("raw", pk, i, nw))
+            if span.endswith("s"):
+                sk = _norm_cached(span[:-1])
+                if sk:
+                    out.append(("stem_s", sk, i, nw))
+            elif german and span.endswith("e"):
+                sk = _norm_cached(span[:-1])
+                if sk:
+                    out.append(("stem_e", sk, i, nw))
+            if i > 0 and words[i - 1]:
+                bk = _norm_cached(f"{span} {words[i - 1]}")
+                if bk:
+                    out.append(("bigram", bk, i, nw))
+    return out
+
+
+def resolve_probe_hits(
+    hit_rows: list[tuple[str, str, int, int]],
+    blacklist,
+    german: bool = False,
+) -> list[tuple[str, int, int]]:
+    """Rebuild one document's findEntites candidate list from the probe
+    rows that HIT the alias table (the join survivors of
+    :func:`enumerate_probe_keys` output).  Replays the probe precedence
+    (raw wins over stem_s wins over stem_e — the reference tries the
+    stem only when the raw span missed), the blacklist ``continue``
+    (which also suppresses the bigram probe, src/query.cpp:2030-2040),
+    and the bigram's base-span-must-hit gate.  Output order matches the
+    reference's append order: start asc, window length asc, base before
+    its bigram.  Feed the result to :func:`filter_candidates`."""
+    base: dict[tuple[int, int], tuple[int, str]] = {}
+    bigram: dict[tuple[int, int], str] = {}
+    for variant, key, i, nw in hit_rows:
+        if variant == "bigram":
+            bigram[(i, nw)] = key
+        else:
+            r = _VARIANT_RANK[variant]
+            cur = base.get((i, nw))
+            if cur is None or r < cur[0]:
+                base[(i, nw)] = (r, key)
+    found: list[tuple[str, int, int]] = []
+    for pos in sorted(base):
+        _, key = base[pos]
+        if key in blacklist:
+            continue  # forbidden[wordhash] — bigram suppressed too
+        i, nw = pos
+        found.append((key, i, nw))
+        bg = bigram.get(pos)
+        if bg is not None and bg not in blacklist:
+            found.append((bg, i - 1, nw + 1))
+    return found
+
+
 # --- end-to-end oracle ------------------------------------------------------
 
 

@@ -49,14 +49,13 @@ from netbase_spark.operators.canonicalize import (
 )
 from netbase_spark.operators.extraction import alias_instance_edges, dissect_triples
 from netbase_spark.operators.gazetteer import build_alias_table
-from netbase_spark.operators.linking import alias_canonical_map
+from netbase_spark.operators.mentions import scan_mention_triples_gated
 from netbase_spark.operators.materialize import (
     adjacency_reverse,
     adjacency_view,
     degrees_from_adjacency,
     write_triples,
 )
-from netbase_spark.operators.mentions import scan_mention_triples
 from netbase_spark.plans.table_io import link_partition_files, write_snapshot
 
 
@@ -160,8 +159,13 @@ class Pipeline:
         # canonical rep composed into one broadcast dict; the doc side
         # runs as a single mapInPandas — no join, no shuffle, no dedup
         # exchange (per-doc distinct == global distinct, obj=doc_id).
-        # a2e builds INSIDE the stage lambda: it costs two collects + a
-        # window job, which a resumed run must not pay for a skipped
+        # SIZE-GATED (plans/broadcast_gate): past the broadcast cap the
+        # gazetteer stays a partitioned DataFrame and the scan becomes a
+        # probe-key shuffle join (operators/mentions shuffle fallback) —
+        # the reference's fixed 2*maxNodes Ahash assumption
+        # (src/netbase.cpp:159-228) does not survive 10^8 aliases.
+        # The map builds INSIDE the stage lambda: it costs two collects +
+        # a window job, which a resumed run must not pay for a skipped
         # stage.  The snapshot is written DIRECTLY in the final
         # rel-partitioned layout (the scan emits one rel, so the
         # dynamic-partition writer adds no work), which lets the triples
@@ -169,8 +173,8 @@ class Pipeline:
         # hardlink instead of a full decode+re-encode pass.
         self._stage(
             "mention_triples",
-            lambda: scan_mention_triples(
-                docs, alias_canonical_map(scan_aliases, mapping), blacklist, german
+            lambda: scan_mention_triples_gated(
+                docs, scan_aliases, mapping, blacklist, german
             ),
             write=write_triples,
         )

@@ -60,8 +60,7 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
         dissect_triples,
     )
     from netbase_spark.operators.gazetteer import build_alias_table
-    from netbase_spark.operators.linking import alias_canonical_map
-    from netbase_spark.operators.mentions import scan_mention_triples
+    from netbase_spark.operators.mentions import scan_mention_triples_gated
 
     labels_df = labels_spark_df(spark)
     aliases = build_alias_table(labels_df, with_seo=False)
@@ -85,7 +84,9 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     mapping = connected_components(sameas_edges(label_side))
-    mention_triples = scan_mention_triples(
-        docs, alias_canonical_map(aliases, mapping), blacklist_fixture()
+    # size-gated (plans/broadcast_gate): broadcast-dict fast path under
+    # the cap, probe-key shuffle join above it
+    mention_triples = scan_mention_triples_gated(
+        docs, aliases, mapping, blacklist_fixture()
     )
     return mention_triples.unionByName(rewrite_triples(label_side, mapping))
