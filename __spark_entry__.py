@@ -208,6 +208,30 @@ def q_mention_scan(spark, sf_dir):
     return _mentions_df(spark, sf_dir)
 
 
+def q_mention_scan_shuffle(spark, sf_dir):
+    """Shuffle-join twin of mention_scan (SURVEY.md §2.3): identical
+    findEntites semantics, but the gazetteer stays a PARTITIONED
+    DataFrame joined against enumerated probe keys — the size-gated
+    fallback used when the alias table exceeds the broadcast cap
+    (operators/mentions.detect_mentions_shuffle, plans/broadcast_gate).
+    Oracled against the same SQL as mention_scan: the driver verifies
+    both physical paths produce the same mention set."""
+    from netbase_spark.operators.mentions import detect_mentions_shuffle
+
+    aliases = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("alias_key"))
+        .distinct()
+    )
+    m = detect_mentions_shuffle(
+        _enriched_docs(spark, sf_dir), aliases, SCAN_BLACKLIST
+    )
+    return m.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("alias_key").alias("alias"),
+    ).dropDuplicates(["doc_id", "alias"])
+
+
 def q_entity_link(spark, sf_dir):
     """Mentions joined to rank-1 candidate entity via the PACKAGE
     operators (operators/linking.py::link_mentions over the gazetteer's
@@ -387,14 +411,27 @@ def _shingles(spark, sf_dir):
     ).distinct()
 
 
+# contract parameterization for the hot-shingle stopword cap
+# (sandbox-sized so the cap is EXERCISED at sf0.01 — max df there is 7;
+# the operator default is 2000, dedup.JACCARD_HOT_SHINGLE_CAP)
+JACCARD_SHINGLE_CAP = 6
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """Near-dup detection: 3-token-shingle Jaccard >= 0.5 pairs.
+    """Near-dup detection: 3-token-shingle Jaccard >= 0.5 pairs, with
+    the hot-shingle stopword cap (dedup.cap_hot_shingles — the same
+    quadratic-bucket guard the simhash path has; round-2 verdict #3).
+    Dropped shingles are reported by the jaccard_hot_shingles query.
 
     The shingle table is persisted: it feeds BOTH self-join sides plus
     the per-doc size aggregate, and Catalyst does not reuse the
     exchange across the three consumers (audited: 4 scans + 4 shingle
     recomputations without it)."""
-    sh = _shingles(spark, sf_dir).persist()
+    from netbase_spark.operators.dedup import cap_hot_shingles
+
+    sh = cap_hot_shingles(
+        _shingles(spark, sf_dir), JACCARD_SHINGLE_CAP
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -414,6 +451,15 @@ def q_ngram_jaccard(spark, sf_dir):
         .where(F.col("jac_e4") >= 2000)
         .select("a", "b", "inter", "uni", "jac_e4")
     )
+
+
+def q_jaccard_hot_shingles(spark, sf_dir):
+    """No-silent-caps audit for ngram_jaccard: the shingles the
+    stopword cap drops, with their document frequency
+    (dedup.hot_shingles, mirroring simhash_oversized_buckets)."""
+    from netbase_spark.operators.dedup import hot_shingles
+
+    return hot_shingles(_shingles(spark, sf_dir), JACCARD_SHINGLE_CAP)
 
 
 # contract parameterization for MinHash (sandbox-sized; the operator
@@ -656,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissect_part_names": q_dissect_part_names,
         "dissect_paren_names": q_dissect_paren_names,
         "mention_scan": q_mention_scan,
+        "mention_scan_shuffle": q_mention_scan_shuffle,
         "entity_link": q_entity_link,
         "link_ranked": q_link_ranked,
         "mention_counts": q_mention_counts,
@@ -665,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isa_closure": q_isa_closure,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "jaccard_hot_shingles": q_jaccard_hot_shingles,
         "minhash_lsh": q_minhash_lsh,
         "neardup_clusters": q_neardup_clusters,
         "ann_cosine": q_ann_cosine,
@@ -729,6 +777,10 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY subj, rel, obj
         """,
         "mention_scan": f"""
+            WITH {MENTIONS_SQL.strip()}
+            SELECT doc_id, alias FROM mentions
+        """,
+        "mention_scan_shuffle": f"""
             WITH {MENTIONS_SQL.strip()}
             SELECT doc_id, alias FROM mentions
         """,
@@ -850,7 +902,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper
             FROM documents GROUP BY md5(text)
         """,
-        "ngram_jaccard": """
+        "ngram_jaccard": f"""
             WITH lists AS (
                 SELECT doc_id, string_split(text, ' ') AS l FROM documents
             ), sh0 AS (
@@ -858,8 +910,15 @@ def oracle_sql() -> dict[str, str]:
                        unnest(list_transform(range(1, len(l) - 1),
                               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
                 FROM lists
-            ), sh AS (
+            ), sh_all AS (
                 SELECT DISTINCT doc_id, shingle FROM sh0
+            ), sh AS (
+                -- hot-shingle stopword cap (cap_hot_shingles mirror)
+                SELECT doc_id, shingle FROM (
+                    SELECT doc_id, shingle,
+                           count(*) OVER (PARTITION BY shingle) AS df
+                    FROM sh_all
+                ) WHERE df <= {JACCARD_SHINGLE_CAP}
             ), sizes AS (
                 SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
             ), inter AS (
@@ -874,6 +933,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE (10000 * inter) // (sa.sz + sb.sz - inter) >= 2000
+        """,
+        "jaccard_hot_shingles": f"""
+            WITH lists AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), sh0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+                FROM lists
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM sh0
+            )
+            SELECT shingle, CAST(count(*) AS BIGINT) AS n
+            FROM sh GROUP BY shingle
+            HAVING count(*) > {JACCARD_SHINGLE_CAP}
         """,
         "minhash_lsh": _minhash_oracle_sql(),
         "neardup_clusters": _neardup_clusters_oracle_sql(),

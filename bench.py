@@ -60,6 +60,7 @@ HEADLINE = [
     "dissect_part_names",
     "dissect_paren_names",
     "mention_scan",
+    "mention_scan_shuffle",
     "entity_link",
     "link_ranked",
     "mention_counts",

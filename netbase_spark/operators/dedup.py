@@ -276,6 +276,53 @@ def minhash_lsh_pairs(
     )
 
 
+JACCARD_HOT_SHINGLE_CAP = 2000  # max docs per shingle in the self-join
+
+
+def cap_hot_shingles(
+    shingles: DataFrame,
+    cap: int | None = JACCARD_HOT_SHINGLE_CAP,
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Stopword-drop shingles whose document frequency exceeds ``cap``
+    before a shingle self-join (the n-gram-Jaccard candidate path).
+
+    One viral sentence shared by k documents makes its shingles produce
+    k^2/2 join rows — the same quadratic degeneration the simhash
+    bucket cap guards against (``SIMHASH_BUCKET_CAP``,
+    :func:`simhash_candidates`), fixed the same way: a window count on
+    the shingle key (ONE shuffle, no re-scan of the shingle subtree)
+    and a hard cap.  Capped shingles are treated as stopwords — removed
+    from BOTH the intersection join and the per-doc set sizes — so the
+    score stays a true Jaccard over the capped shingle space.  Dropped
+    shingles are reportable via :func:`hot_shingles` (no silent caps).
+    """
+    if not cap:
+        return shingles
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shingle_col)
+    return (
+        shingles.withColumn("_df", F.count(F.lit(1)).over(w))
+        .where(F.col("_df") <= cap)
+        .drop("_df")
+    )
+
+
+def hot_shingles(
+    shingles: DataFrame,
+    cap: int = JACCARD_HOT_SHINGLE_CAP,
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """(shingle, n) for shingles :func:`cap_hot_shingles` drops — the
+    no-silent-caps audit, mirroring :func:`simhash_oversized_buckets`."""
+    return (
+        shingles.groupBy(shingle_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cap)
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -294,15 +341,21 @@ def near_dup_clusters(
     own cluster with keep=1.
 
     Scale shape: ``pairs``/the component mapping are candidate-sized
-    (LSH-bucketed, orders of magnitude smaller than the corpus), so the
-    corpus side does ONE join against the mapping — broadcastable —
-    and only cluster members (again candidate-sized) pass through the
-    survivor window; the 10^12-doc singleton majority is a shuffle-free
-    anti-join with literal columns.
+    (LSH-bucketed, smaller than the corpus) and only cluster members
+    pass through the survivor window (per-cluster-keyed, so it
+    survives any member count); the 10^12-doc singleton majority is an
+    anti-join with literal columns.  The member set is SIZE-GATED, not
+    hard-broadcast: on sandbox-like corpora it is tiny, but on a real
+    web crawl 30-50% of documents are near-dup members — corpus-order,
+    not candidate-order — and round 2's unconditional
+    ``F.broadcast(members)`` OOMs exactly there
+    (plans/broadcast_gate; tests/test_curation_ops.py high-dup-rate
+    case pins the fallback).
     """
     from pyspark.sql import Window
 
     from netbase_spark.operators.canonicalize import _pin, connected_components
+    from netbase_spark.plans.broadcast_gate import gated_broadcast
 
     # the pairs DAG is typically EXPENSIVE (shingle/signature joins);
     # it feeds the CC probe, the CC solve, the member-id union and two
@@ -333,7 +386,7 @@ def near_dup_clusters(
         .select(id_col, "cluster_id", "keep")
     )
     singles = docs.join(
-        F.broadcast(members), docs[id_col] == members["m"], "left_anti"
+        gated_broadcast(members), docs[id_col] == members["m"], "left_anti"
     ).select(
         id_col,
         F.col(id_col).alias("cluster_id"),

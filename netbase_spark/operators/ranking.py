@@ -30,6 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# default per-entity neighbor cap for the candidate x neighbor
+# expansion: one Q5-class hub with 10^6+ neighbors would otherwise
+# multiply every mention of every hub-adjacent candidate by the hub's
+# degree.  The reference's own answer to hub noise is a drop-list
+# (filterWikiType, src/query.cpp:1632-1734); trimming to a
+# deterministic top-k keeps bounded coherence signal instead of
+# dropping it entirely.
+DEFAULT_MAX_NEIGHBOR_DEGREE = 10_000
+
 
 def relatedness_neighbors(edges: DataFrame) -> DataFrame:
     """Undirected (entity, nbr) pairs from an edge list (src, dst)."""
@@ -38,8 +47,28 @@ def relatedness_neighbors(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).dropDuplicates(["entity", "nbr"])
 
 
+def cap_neighbor_degree(nbrs: DataFrame, k: int) -> DataFrame:
+    """Keep at most ``k`` neighbors per entity — the DETERMINISTIC
+    first-k by neighbor key (layout-independent), so hub entities
+    contribute bounded, reproducible coherence instead of a
+    degree-proportional row explosion.  One dimension-side shuffle
+    (entity-keyed window); the graph side is never corpus-sized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy("nbr")
+    return (
+        nbrs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def rank_link_candidates(
-    mentions: DataFrame, aliases: DataFrame, edges: DataFrame
+    mentions: DataFrame,
+    aliases: DataFrame,
+    edges: DataFrame,
+    max_neighbor_degree: int | None = DEFAULT_MAX_NEIGHBOR_DEGREE,
+    cap_bytes: int | None = None,
 ) -> DataFrame:
     """Rank every candidate entity of every mention by
     prior x (1 + context coherence); return the winner per mention.
@@ -52,7 +81,16 @@ def rank_link_candidates(
 
     Returns (doc_id, alias_key, entity, prior, coh, score); score is
     exact integer arithmetic (BIGINT) so engine/oracle hashes agree.
+
+    ``max_neighbor_degree`` trims each entity's relatedness neighbors
+    to a deterministic first-k (:func:`cap_neighbor_degree`) before the
+    candidate x neighbor expansion — the hub-skew guard (None
+    disables).  ``cap_bytes`` feeds the broadcast size gate: every
+    dimension side here (candidates, rank-1 context map, trimmed
+    graph) broadcasts only under the cap and otherwise shuffle-joins
+    (plans/broadcast_gate; AQE re-promotes runtime-small sides).
     """
+    from netbase_spark.plans.broadcast_gate import gated_broadcast
     # ONE persisted projection of the gazetteer feeds both broadcasts:
     # each broadcast exchange runs as its own job, and without the cache
     # each job re-executed the full alias-table lineage (build + prior
@@ -64,12 +102,12 @@ def rank_link_candidates(
         F.col("key").alias("entity"),
         F.col("prior").cast("long").alias("prior"),
     ).persist()
-    cand_side = F.broadcast(cand)
+    cand_side = gated_broadcast(cand, cap_bytes)
     # rank-1 context map derived from the SAME cached projection:
     # min_by over (prior desc, key asc) == best_entity_per_alias's
     # window rank-1 (operators/gazetteer.py:92), without re-running
     # the alias lineage through a second Exchange + Window.
-    ctx_map = F.broadcast(
+    ctx_map = gated_broadcast(
         cand.groupBy(F.col("alias_key").alias("ctx_alias")).agg(
             F.min_by(
                 "entity",
@@ -78,9 +116,13 @@ def rank_link_candidates(
                     F.col("entity").alias("ent"),
                 ),
             ).alias("ctx_entity")
-        )
+        ),
+        cap_bytes,
     )
-    nbrs = F.broadcast(relatedness_neighbors(edges))
+    nbr_rows = relatedness_neighbors(edges)
+    if max_neighbor_degree is not None:
+        nbr_rows = cap_neighbor_degree(nbr_rows, max_neighbor_degree)
+    nbrs = gated_broadcast(nbr_rows, cap_bytes)
 
     # persist: the mention table feeds TWO legs (candidate expansion and
     # document context), and upstream it is usually the mention-scan UDF —

@@ -384,6 +384,44 @@ def test_near_dup_clusters_quality_tie_min_id(spark):
     assert rows == {(7, 7, 1), (8, 7, 0)}
 
 
+def test_near_dup_clusters_high_dup_rate_no_broadcast(spark):
+    """Crawl-shaped dup rate (round-2 verdict wrongness #1): most of the
+    corpus is a near-dup member, so the member set is corpus-order and
+    must NOT be hard-broadcast.  With the broadcast cap forced to 1 byte
+    the anti-join runs as a shuffle join and results are identical to
+    the broadcast plan."""
+    from netbase_spark.operators.dedup import near_dup_clusters
+    from netbase_spark.plans.broadcast_gate import CONF_KEY
+
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 997) for i in range(n)], "doc_id long, n_chars long"
+    )
+    # 80% of docs are members: chains of 4 over the first 320 ids
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(320) if i % 4 != 3], "a long, b long"
+    )
+    want = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    old = spark.conf.get(CONF_KEY, None)
+    spark.conf.set(CONF_KEY, "1")
+    try:
+        got = {
+            (r.doc_id, r.cluster_id, r.keep)
+            for r in near_dup_clusters(docs, pairs).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(CONF_KEY)
+        else:
+            spark.conf.set(CONF_KEY, old)
+    assert got == want
+    # sanity: members really are the corpus majority here
+    assert sum(1 for (_d, c, _k) in want if c < 320) >= 0.75 * n
+
+
 def test_clean_corpus_rule_priority(spark):
     from netbase_spark.operators.textstats import clean_corpus
 
@@ -1160,6 +1198,69 @@ def test_rank_link_prior_beats_weak_coherence(spark):
         for r in rank_link_candidates(mentions, aliases, edges).collect()
     }
     assert got[(1, "acme")] == ("E1", 3)  # 3*(1+0) > 1*(1+1)
+
+
+def test_rank_link_hub_degree_guard(spark):
+    """Hub-skew guard (round-2 verdict #2): a 10^5-degree hub entity
+    must not multiply the candidate x neighbor expansion by its degree.
+    cap_neighbor_degree keeps a deterministic first-k; the end-to-end
+    winners on a fixture-sized graph are unchanged by a cap far above
+    its true degrees."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.ranking import (
+        cap_neighbor_degree,
+        rank_link_candidates,
+        relatedness_neighbors,
+    )
+
+    # one hub with 100k neighbors + one normal entity
+    hub_edges = spark.range(100_000).select(
+        F.lit("HUB").alias("src"),
+        F.concat(F.lit("N"), F.col("id").cast("string")).alias("dst"),
+    ).unionByName(
+        spark.createDataFrame([("E2", "W1")], "src string, dst string")
+    )
+    nbrs = relatedness_neighbors(hub_edges)
+    capped = cap_neighbor_degree(nbrs, 50)
+    per_entity = {
+        r["entity"]: r["n"]
+        for r in capped.groupBy("entity").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_entity["HUB"] == 50  # bounded expansion
+    assert per_entity["E2"] == 1 and per_entity["W1"] == 1  # untouched
+    # deterministic first-k by neighbor key: N0, N1, N10, ... (string asc)
+    kept = sorted(
+        r["nbr"] for r in capped.where(F.col("entity") == "HUB").collect()
+    )
+    assert kept == sorted(f"N{i}" for i in range(100_000))[:50]
+
+    # winners unchanged on the coherence fixture when the cap is active
+    aliases = spark.createDataFrame(
+        [("acme", "E1", 1), ("acme", "E2", 1), ("widget", "W1", 1)],
+        "name_norm string, key string, prior long",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "acme"), (1, "widget"), (2, "acme")],
+        "doc_id long, alias_key string",
+    )
+    edges = spark.createDataFrame(
+        [("E2", "W1"), ("HUB", "E1")], "src string, dst string"
+    )
+    uncapped = {
+        (r["doc_id"], r["alias_key"]): (r["entity"], r["coh"], r["score"])
+        for r in rank_link_candidates(
+            mentions, aliases, edges, max_neighbor_degree=None
+        ).collect()
+    }
+    capped_run = {
+        (r["doc_id"], r["alias_key"]): (r["entity"], r["coh"], r["score"])
+        for r in rank_link_candidates(
+            mentions, aliases, edges, max_neighbor_degree=10
+        ).collect()
+    }
+    assert capped_run == uncapped
+    assert capped_run[(1, "acme")] == ("E2", 1, 2)
 
 
 def test_table_io_snapshot_roundtrip_and_iceberg_gate(spark, tmp_path):

@@ -199,6 +199,25 @@ def test_simhash_hot_band_bucket_cap(spark):
     assert len(dropped) >= 1 and all(r.n == 30 for r in dropped)
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    """The n-gram-Jaccard twin of the simhash bucket cap (round-2
+    verdict #3): a viral shingle shared by many docs is stopword-dropped
+    from the self-join AND the set sizes; rare shingles are untouched;
+    drops are reported by hot_shingles."""
+    from netbase_spark.operators.dedup import cap_hot_shingles, hot_shingles
+
+    rows = [(i, "viral quote here") for i in range(20)]
+    rows += [(100, "rare one alpha"), (101, "rare one alpha")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    capped = {(r.doc_id, r.shingle) for r in cap_hot_shingles(sh, 10).collect()}
+    assert capped == {(100, "rare one alpha"), (101, "rare one alpha")}
+    dropped = hot_shingles(sh, 10).collect()
+    assert [(r.shingle, r.n) for r in dropped] == [("viral quote here", 20)]
+    # cap=None / generous cap are pass-throughs
+    assert cap_hot_shingles(sh, None).count() == 22
+    assert cap_hot_shingles(sh, 20).count() == 22
+
+
 def test_minhash_params_and_cap(spark):
     from netbase_spark.operators.dedup import (
         minhash_lsh_pairs,
