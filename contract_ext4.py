@@ -121,33 +121,70 @@ def q_semantic_neardup(spark, sf_dir):
     """SemDeDup-style scale path (dedup.cosine_neardup_bucketed):
     cosine >= 0.45 pairs computed only within SRP-LSH buckets — the
     brute-force `embed_neardup` is its recall reference (this result
-    is the same-bucket subset of those pairs)."""
+    is the same-bucket subset of those pairs).  exact=True: buckets and
+    sim_e4 are pure integer fixed-point (pagerank discipline), so a dot
+    on a sign/floor boundary cannot flip with BLAS thread count or
+    engine summation order — the round-2 advisor's flake class."""
     from netbase_spark.operators.dedup import cosine_neardup_bucketed
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_neardup_bucketed(emb, threshold_e4=4500, n_planes=4)
+    return cosine_neardup_bucketed(
+        emb, threshold_e4=4500, n_planes=4, exact=True
+    )
 
 
+# Exact-integer mirror of cosine_neardup_bucketed(exact=True):
+# components quantized to e4 fixed point (ONE rounded multiply each —
+# IEEE-identical on any engine, no summation involved), integer SRP
+# sign bits (md5 24-bit weight minus 2^23; the positive 2^24
+# denominator cancels inside sign()), and
+# sim_e4 = isqrt((10^8 dot^2) div (na nb)) via floor(sqrt(floor(x))) ==
+# floor(sqrt(x)), with a +/-1 correction making DuckDB's double sqrt an
+# exact integer sqrt (qq <= 10^8, exactly representable).
 ORACLE_SEMANTIC_NEARDUP = """
-    WITH planes AS (
-        SELECT e.vec_id, p.j,
-               list_sum(list_transform(e.embedding,
-                   (x, i) -> CAST(x AS DOUBLE) *
-                       ((('0x' || substr(md5(CAST(p.j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 6))::BIGINT
-                         / 16777216.0) - 0.5))) AS dot
-        FROM embeddings e CROSS JOIN range(4) p(j)
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
+        FROM embeddings
+    ), planes AS (
+        SELECT q.vec_id, p.j,
+               list_sum(list_transform(iv,
+                   (x, i) -> x *
+                       (('0x' || substr(md5(CAST(p.j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 6))::BIGINT
+                        - 8388608))) AS idot
+        FROM q CROSS JOIN range(4) p(j)
     ), buckets AS (
         SELECT vec_id,
-               CAST(SUM(CASE WHEN dot >= 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS INT) AS bucket
+               CAST(SUM(CASE WHEN idot >= 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS INT) AS bucket
         FROM planes GROUP BY vec_id
+    ), pairs AS (
+        SELECT l.vec_id AS a, r.vec_id AS b, qa.iv AS va, qb.iv AS vb
+        FROM buckets l
+        JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        JOIN q qa ON qa.vec_id = l.vec_id
+        JOIN q qb ON qb.vec_id = r.vec_id
+    ), dots AS (
+        SELECT a, b,
+               CAST(list_sum(list_transform(va, (x, i) -> x * vb[i])) AS HUGEINT) AS dot,
+               CAST(list_sum(list_transform(va, x -> x * x)) AS HUGEINT) AS na,
+               CAST(list_sum(list_transform(vb, x -> x * x)) AS HUGEINT) AS nb
+        FROM pairs
+    ), sims AS (
+        SELECT a, b,
+               (100000000::HUGEINT * dot * dot) // (na * nb) AS qq
+        FROM dots WHERE dot > 0 AND na > 0 AND nb > 0
+    ), isq AS (
+        SELECT a, b, qq,
+               CAST(floor(sqrt(CAST(qq AS DOUBLE))) AS BIGINT) AS s0
+        FROM sims
+    ), sfix AS (
+        SELECT a, b,
+               s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= qq THEN 1
+                         WHEN s0 * s0 > qq THEN -1 ELSE 0 END AS s
+        FROM isq
     )
-    SELECT l.vec_id AS a, r.vec_id AS b,
-           CAST(floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) AS BIGINT) AS sim_e4
-    FROM buckets l
-    JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-    JOIN embeddings ea ON ea.vec_id = l.vec_id
-    JOIN embeddings eb ON eb.vec_id = r.vec_id
-    WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) >= 4500
+    SELECT a, b, CAST(s AS BIGINT) AS sim_e4 FROM sfix WHERE s >= 4500
 """
 
 

@@ -499,14 +499,49 @@ def _plane_weights(n_planes: int, dims: int):
     return w
 
 
+# embedding fixed-point scale for the exact (bit-deterministic) paths:
+# one rounded multiply per component — IEEE-exact and identical on any
+# engine, unlike SUMS whose float result depends on accumulation order
+EMB_FIXED_SCALE = 10_000
+
+
+def _plane_weights_int(n_planes: int, dims: int):
+    """Integer twin of :func:`_plane_weights`: the raw md5 24-bit value
+    minus 2^23, so sign(x . w) == sign(x_int . w_int) when x_int is any
+    positive rescale of x — the weight denominator 2^24 is positive and
+    cancels.  Used by the ``exact`` SRP mode: the bucket bit becomes a
+    pure int64 comparison with NO float summation anywhere."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((dims, n_planes), dtype=np.int64)
+    for j in range(n_planes):
+        for i in range(dims):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:6]
+            w[i, j] = int(h, 16) - (1 << 23)
+    return w
+
+
 def ann_lsh_buckets(
     emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
     vec_col: str = "embedding", keep_vec: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """(vec_id, bucket[, embedding]): sign-random-projection LSH.
     At scale the bucket id prunes the candidate set from O(n^2) to
     O(sum b_i^2).  One mapInPandas pass: broadcast weight matrix, one
-    BLAS gemm per Arrow batch, sign bits packed into an int."""
+    BLAS gemm per Arrow batch, sign bits packed into an int.
+
+    ``exact=True`` computes the sign bits over the e4-FIXED-POINT
+    embedding (floor(x*10^4)) with INTEGER plane weights
+    (:func:`_plane_weights_int`) — pure int64 arithmetic, so a dot
+    sitting on the sign boundary cannot flip with BLAS thread count or
+    engine summation order (the pagerank e12 fixed-point discipline;
+    a float gemm's reduction order is unspecified and a boundary dot
+    flipped pagerank's floor in round 2).  The default float path is
+    the production scale path; exact mode is for cross-engine-verified
+    contracts and defines bucket semantics over the quantized vector."""
     import numpy as np
     import pandas as pd
 
@@ -522,7 +557,8 @@ def ann_lsh_buckets(
         return emb.sparkSession.createDataFrame([], schema)
     dims = int(first["d"])
     bc = emb.sparkSession.sparkContext.broadcast(
-        _plane_weights(n_planes, dims)
+        _plane_weights_int(n_planes, dims) if exact
+        else _plane_weights(n_planes, dims)
     )
     bits = [1 << j for j in range(n_planes)]
 
@@ -532,8 +568,14 @@ def ann_lsh_buckets(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            dots = mat @ w
+            if exact:
+                mat = np.floor(
+                    np.array(list(pdf[vec_col]), dtype=np.float64)
+                    * EMB_FIXED_SCALE
+                ).astype(np.int64)
+            else:
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dots = mat @ w  # int64 matmul in exact mode: order-free
             bucket = ((dots >= 0) * bitv).sum(axis=1).astype(np.int32)
             out = {"vec_id": pdf[id_col], "bucket": bucket}
             if keep_vec:
@@ -743,6 +785,7 @@ def cosine_neardup_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Semantic near-dup pairs, LSH-pruned (the SemDeDup-style scale
     path next to the brute-force :func:`cosine_neardup_pairs`): vectors
@@ -760,6 +803,18 @@ def cosine_neardup_bucketed(
     within-bucket join cost is quadratic.  Each vector has exactly one
     bucket (single SRP code, not banded), so no cross-bucket pair dedup
     is needed.
+
+    ``exact=True`` makes the whole result BIT-DETERMINISTIC across
+    engines and BLAS configurations: buckets come from integer SRP
+    (see :func:`ann_lsh_buckets`), and sim_e4 is computed over the
+    e4-fixed-point vectors as isqrt((10^8 * dot^2) div (na * nb)) —
+    exact integer arithmetic, derived from floor(sqrt(floor(x))) ==
+    floor(sqrt(x)).  The float path's gemm reduction order is
+    unspecified (threaded BLAS), so a similarity exactly on a
+    floor/sign boundary can flip run-to-run — the flake class that hit
+    pagerank in round 2.  Float stays the default for production speed;
+    contracts verified against a sequential-summation SQL oracle use
+    exact mode (contract_ext4 semantic_neardup).
     """
     import numpy as np
     import pandas as pd
@@ -767,7 +822,8 @@ def cosine_neardup_bucketed(
     id_t = emb.schema[id_col].dataType.simpleString()
     out_schema = f"a {id_t}, b {id_t}, sim_e4 long"
     with_b = ann_lsh_buckets(
-        emb, n_planes, id_col=id_col, vec_col=vec_col, keep_vec=True
+        emb, n_planes, id_col=id_col, vec_col=vec_col, keep_vec=True,
+        exact=exact,
     )
     if bucket_cap is not None:
         from pyspark.sql import Window
@@ -779,6 +835,10 @@ def cosine_neardup_bucketed(
             .drop("bsz")
         )
     thr = int(threshold_e4)
+    if exact and thr < 1:
+        raise ValueError(
+            "exact mode emits only positive-dot pairs; threshold_e4 must be >= 1"
+        )
 
     def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) < 2:
@@ -787,6 +847,38 @@ def cosine_neardup_bucketed(
             )
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        if exact:
+            imat = np.floor(mat * EMB_FIXED_SCALE).astype(np.int64)
+            # int64 gram matrix is exact (|dot| <= d * 10^8 << 2^63)
+            dots = imat @ imat.T
+            na = np.diag(dots)
+            # float sims only PRUNE, with a 1-unit margin 10+ orders of
+            # magnitude beyond float64 dot error; the exact integer
+            # isqrt((10^8 dot^2) div (na nb)) decides every emission
+            fn = np.sqrt(na.astype(np.float64))
+            fn[fn == 0] = 1.0
+            approx = np.floor(
+                dots / np.outer(fn, fn) * 10000
+            ).astype(np.int64)
+            cand = (approx >= thr - 1) & (ids[:, None] < ids[None, :]) & (dots > 0)
+            ai, bj = np.nonzero(cand)
+            out_a, out_b, out_s = [], [], []
+            import math
+
+            for i, j in zip(ai.tolist(), bj.tolist()):
+                d = int(dots[i, j])
+                denom = int(na[i]) * int(na[j])
+                if denom == 0:
+                    continue
+                s = math.isqrt((100_000_000 * d * d) // denom)
+                if s >= thr:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(s)
+            return pd.DataFrame(
+                {"a": out_a, "b": out_b,
+                 "sim_e4": pd.Series(out_s, dtype="int64")}
+            )
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0] = 1.0  # zero vectors: sim 0, not NaN
         sims = (mat @ mat.T) / np.outer(norms, norms)

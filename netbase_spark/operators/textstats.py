@@ -261,7 +261,14 @@ def tfidf_top_terms(
     Scores compare exactly across engines: ``score_e6 =
     floor(tf * ln((N+1)/(df+1)) * 1e6)`` and the rank orders by the
     FLOORED integer (score_e6 desc, term asc), so Spark and the DuckDB
-    oracle agree bit-for-bit.
+    oracle agree bit-for-bit.  Residual caveat (round-2 ADVICE): the
+    ``ln`` itself is transcendental — JVM ``Math.log`` is specified to
+    1 ulp while DuckDB uses libm, so a product landing within 1 ulp of
+    an integer e6 boundary could floor differently.  Unlike a SUM's
+    reorder nondeterminism this is a fixed per-(tf, df, N) value
+    (deterministic run-to-run per engine), needs a measure-zero
+    coincidence, and the inputs here are small integers; accepted and
+    documented rather than reworked into a log-free form.
     """
     n_docs = docs.count()  # one tiny job; the scalar feeds the idf literal
     toks = docs.select(
@@ -551,7 +558,14 @@ def unigram_logprob(
     Returns (doc_id, n_tokens, mean_lp_e6) where each token's
     ``ln(count/total)`` is e6-floored FIRST and the per-doc mean is then
     floored — integer token scores make the cross-engine compare exact
-    (a doubles-all-the-way mean would be aggregation-order sensitive).
+    (a doubles-all-the-way mean would be aggregation-order sensitive;
+    the integer-valued double mean stays EXACT and order-free while the
+    per-doc sum is < 2^53, i.e. docs up to ~10^8 tokens).  Residual
+    caveat (round-2 ADVICE): the per-token ``ln`` is transcendental —
+    JVM Math.log (1-ulp spec) vs DuckDB libm could floor differently
+    within 1 ulp of an e6 boundary.  That is a fixed per-(count, total)
+    value, not a run-to-run flake; accepted and documented (same note
+    as tfidf_top_terms).
 
     Scale shape: one token-keyed agg (map-side combine) to fit the
     vocab, one token-keyed join to score (hot stopword keys are bounded

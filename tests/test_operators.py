@@ -218,6 +218,71 @@ def test_jaccard_hot_shingle_cap(spark):
     assert cap_hot_shingles(sh, 20).count() == 22
 
 
+def test_cosine_neardup_bucketed_exact_integer_reference(spark):
+    """exact=True must reproduce a pure-Python integer fixed-point
+    reference bit-for-bit: e4-quantized components, integer SRP sign
+    bits, sim_e4 = isqrt((1e8 dot^2) div (na nb)).  No float summation
+    anywhere, so no BLAS-order flake (round-2 ADVICE, medium)."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from netbase_spark.operators.dedup import (
+        _plane_weights_int,
+        cosine_neardup_bucketed,
+    )
+
+    rng = random.Random(5)
+    dims, n = 16, 40
+    vecs = {
+        i: [rng.uniform(-0.6, 0.6) for _ in range(dims)] for i in range(n)
+    }
+    # a couple of near-duplicate pairs + one zero vector
+    vecs[100] = list(vecs[0])
+    vecs[101] = [x * 1.001 for x in vecs[1]]
+    vecs[102] = [0.0] * dims
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    w = _plane_weights_int(4, dims)
+    iv = {
+        i: [int(math.floor(x * 10000)) for x in v] for i, v in vecs.items()
+    }
+    bucket = {
+        i: sum(
+            (1 << j)
+            if sum(iv[i][d] * int(w[d, j]) for d in range(dims)) >= 0
+            else 0
+            for j in range(4)
+        )
+        for i in iv
+    }
+    thr = 4500
+    want = set()
+    for a in sorted(iv):
+        for b in sorted(iv):
+            if a < b and bucket[a] == bucket[b]:
+                dot = sum(x * y for x, y in zip(iv[a], iv[b]))
+                na = sum(x * x for x in iv[a])
+                nb = sum(x * x for x in iv[b])
+                if dot > 0 and na and nb:
+                    s = math.isqrt((100_000_000 * dot * dot) // (na * nb))
+                    if s >= thr:
+                        want.add((a, b, s))
+    got = {
+        (r.a, r.b, r.sim_e4)
+        for r in cosine_neardup_bucketed(
+            emb, threshold_e4=thr, n_planes=4, exact=True
+        ).collect()
+    }
+    assert got == want
+    assert any(s >= 9990 for (_a, _b, s) in want), "near-dup pair missing"
+    # exact mode refuses a non-positive threshold (dot>0 precondition)
+    with _pytest.raises(ValueError):
+        cosine_neardup_bucketed(emb, threshold_e4=0, exact=True)
+
+
 def test_minhash_params_and_cap(spark):
     from netbase_spark.operators.dedup import (
         minhash_lsh_pairs,
