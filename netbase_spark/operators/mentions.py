@@ -15,13 +15,24 @@ NOT per task closure.  Round 1 embedded the alias map in the UDF
 closure — at the 10^7-10^8-alias WikiData target that re-serializes a
 multi-GB closure with every task and OOMs the driver;
 tests/test_pipeline_pr.py::test_scan_closure_stays_small_at_100k_aliases
-pins the fix.  The probe structure is the automaton role: an O(1)
-hash-set keyed by normalized span (the direct analog of the reference's
-wordhash index) plus the first-token prefix index that skips start
-positions which cannot begin any alias (the Aho-Corasick goto-function
-equivalent for this window-growth grammar; a full AC automaton over
-token streams would change semantics — span-level normalization can
-merge/collapse tokens, so matching must stay span-keyed).
+pins the fix.  Two interchangeable probe structures fill the automaton
+role (``automaton=`` on every scan entry point, both property-tested
+equal to the naive transcription):
+
+- ``"trie"`` (default): a token-level goto trie — the Aho-Corasick
+  goto function for this window grammar.  Anchored starts + the
+  MAX_WORDS cap make failure links useless (a per-start walk of depth
+  <= 6 IS the automaton); what the trie buys is O(1) transition per
+  safe-word extension and early termination on dead prefixes.
+  Measured 1.3-1.5x the hash probe's scan throughput and ~0.73x its
+  broadcast size at 10^5-10^7 aliases
+  (scripts/probe_gazetteer_scale.py -> BENCH/gazetteer_scale_probe.json).
+- ``"probe"``: O(1) hash-set per window (the direct analog of the
+  reference's wordhash index) with first-token + prefix2 pruning.
+
+A full AC automaton over raw token streams would change semantics —
+span-level normalization can merge/collapse tokens, so matching stays
+span-keyed in both modes.
 """
 
 from __future__ import annotations
@@ -56,28 +67,72 @@ def doc_text(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", txt.alias("text"))
 
 
-def _broadcast_gazetteer(spark, alias_struct, blacklist):
-    """One broadcast per scan: (alias set/map, first-token index,
-    blacklist, max alias word count, two-token prefix index).  The
-    indexes are built on the driver so every executor deserializes the
-    finished structures."""
+def _broadcast_gazetteer(spark, alias_struct, blacklist, automaton: str = "trie"):
+    """One broadcast per scan.  ``automaton`` picks the probe structure:
+
+    - ``"trie"`` (default): token-level goto trie
+      (rules.build_token_trie) — O(1) state transition per safe-word
+      extension plus early termination on dead prefixes; measured 1.3-
+      1.5x the probe's scan throughput AND ~0.73x its broadcast bytes
+      at 10^5-10^7 aliases (BENCH/gazetteer_scale_probe.json, runnable
+      via scripts/probe_gazetteer_scale.py).  This is the
+      Aho-Corasick goto function for this window grammar: starts are
+      anchored and windows capped at MAX_WORDS, so failure links buy
+      nothing over a per-start walk (see rules.py trie section).
+    - ``"probe"``: O(1) hash-set window probe with first-token/prefix2
+      pruning — the round-1/2 structure, kept as the benchmark twin.
+
+    Both are property-tested equal to find_mentions_naive.  The
+    structures are built on the driver so every executor deserializes
+    the finished arrays.  For dict alias_structs (the fused triple
+    scan) the alias->entity map rides along in either mode."""
     from netbase_spark.oracle.rules import (
+        build_token_trie,
         first_token_index,
         max_alias_word_count,
         prefix2_index,
     )
 
     keys = alias_struct.keys() if isinstance(alias_struct, dict) else alias_struct
-    ftoks = first_token_index(keys)
-    return spark.sparkContext.broadcast(
-        (
+    maxw = max_alias_word_count(keys)
+    bl = frozenset(blacklist)
+    if automaton == "trie":
+        payload = ("trie", alias_struct, build_token_trie(keys), bl, maxw)
+    elif automaton == "probe":
+        payload = (
+            "probe",
             alias_struct,
-            ftoks,
-            frozenset(blacklist),
-            max_alias_word_count(keys),
+            first_token_index(keys),
+            bl,
+            maxw,
             prefix2_index(keys),
         )
+    else:
+        raise ValueError(f"unknown automaton {automaton!r}")
+    return spark.sparkContext.broadcast(payload)
+
+
+def _scan_candidates(text, payload, german):
+    """Run the broadcast payload's automaton over one text; returns the
+    longest-match-filtered candidate list."""
+    from netbase_spark.oracle.rules import (
+        filter_candidates,
+        find_mentions,
+        find_mentions_trie,
     )
+
+    if payload[0] == "trie":
+        _, _struct, trie, bl, maxw = payload
+        cands = find_mentions_trie(
+            text or "", trie, bl, german, max_span_words=maxw
+        )
+    else:
+        _, struct, ftoks, bl, maxw, pfx2 = payload
+        cands = find_mentions(
+            text or "", struct, bl, german,
+            first_tokens=ftoks, max_span_words=maxw, prefix2=pfx2,
+        )
+    return filter_candidates(cands)
 
 
 def _make_mention_scan(bc, german: bool, distinct_per_doc: bool):
@@ -87,9 +142,7 @@ def _make_mention_scan(bc, german: bool, distinct_per_doc: bool):
     import pandas as pd
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from netbase_spark.oracle.rules import filter_candidates, find_mentions
-
-        alias_set, ftoks, blacklist_f, max_aw, pfx2 = bc.value
+        payload = bc.value
         # NOTE: window growth must stay at the reference's MAX_WORDS —
         # capping at the longest alias token count is NOT safe because
         # punctuation-produced empty tokens collapse at normalization
@@ -99,13 +152,7 @@ def _make_mention_scan(bc, german: bool, distinct_per_doc: bool):
             for doc_id, text in zip(
                 pdf["doc_id"].tolist(), pdf["text"].tolist()
             ):
-                cands = filter_candidates(
-                    find_mentions(
-                        text or "", alias_set, blacklist_f, german,
-                        first_tokens=ftoks, max_span_words=max_aw,
-                        prefix2=pfx2,
-                    )
-                )
+                cands = _scan_candidates(text, payload, german)
                 if distinct_per_doc:
                     seen: set[str] = set()
                     cands = [
@@ -135,10 +182,12 @@ def detect_mentions(
     blacklist: set[str],
     german: bool = False,
     distinct_per_doc: bool = False,
+    automaton: str = "trie",
 ) -> DataFrame:
     """docs(doc_id, spans) -> mentions(doc_id, alias_key, start_word, n_words)."""
     return detect_mentions_text(
-        doc_text(docs), alias_names, blacklist, german, distinct_per_doc
+        doc_text(docs), alias_names, blacklist, german, distinct_per_doc,
+        automaton,
     )
 
 
@@ -148,6 +197,7 @@ def detect_mentions_text(
     blacklist: set[str],
     german: bool = False,
     distinct_per_doc: bool = False,
+    automaton: str = "trie",
 ) -> DataFrame:
     """texts(doc_id, text) -> mentions(doc_id, alias_key, start_word, n_words).
 
@@ -161,7 +211,7 @@ def detect_mentions_text(
     scan batch, so per-doc dedup IS global dedup).
     """
     bc = _broadcast_gazetteer(
-        texts.sparkSession, frozenset(alias_names), blacklist
+        texts.sparkSession, frozenset(alias_names), blacklist, automaton
     )
     scan = _make_mention_scan(bc, german, distinct_per_doc)
     return texts.select(
@@ -177,21 +227,14 @@ def _make_triple_scan(bc, german: bool = False):
     from netbase_spark.relations import MENTIONED_IN
 
     def scan(batches):
-        from netbase_spark.oracle.rules import filter_candidates, find_mentions
-
-        amap, ftoks, blacklist_f, max_aw, pfx2 = bc.value
+        payload = bc.value
+        amap = payload[1]  # alias -> final-entity map rides the payload
         for pdf in batches:
             out_s, out_o = [], []
             for doc_id, text in zip(
                 pdf["doc_id"].tolist(), pdf["text"].tolist()
             ):
-                cands = filter_candidates(
-                    find_mentions(
-                        text or "", amap, blacklist_f, german,
-                        first_tokens=ftoks, max_span_words=max_aw,
-                        prefix2=pfx2,
-                    )
-                )
+                cands = _scan_candidates(text, payload, german)
                 seen: set[str] = set()
                 for key, _i, _n in cands:
                     ent = amap[key]
@@ -220,6 +263,7 @@ def scan_mention_triples(
     alias_to_entity: dict[str, str],
     blacklist: set[str],
     german: bool = False,
+    automaton: str = "trie",
 ) -> DataFrame:
     """Fused scan -> link -> canonicalize for the construction hot path:
     ``alias_to_entity`` maps each gazetteer surface form to its FINAL
@@ -238,7 +282,7 @@ def scan_mention_triples(
     from netbase_spark.schemas import TRIPLES_SCHEMA
 
     bc = _broadcast_gazetteer(
-        docs.sparkSession, dict(alias_to_entity), blacklist
+        docs.sparkSession, dict(alias_to_entity), blacklist, automaton
     )
     scan = _make_triple_scan(bc, german)
     return (

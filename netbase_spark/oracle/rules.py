@@ -623,6 +623,152 @@ def filter_candidates(cands: list[tuple[str, int, int]]) -> list[tuple[str, int,
     return [c for c, me in zip(cands, names) if me not in swallowed]
 
 
+# --- token-trie automaton scan ---------------------------------------------
+#
+# The north-star names Aho-Corasick for the gazetteer scan.  Because
+# every window start is anchored (the reference probes each start
+# position independently, windows capped at MAX_WORDS) and span-level
+# normalization is not token-compositional for unsafe words, a full
+# failure-link automaton buys nothing over a per-start GOTO-function
+# walk of depth <= MAX_WORDS — what matters is (a) O(1) state
+# transition per extension instead of re-hashing the whole growing
+# span, and (b) EARLY TERMINATION the moment the consumed safe tokens
+# stop being a prefix of any alias (the hash-set probe only had the
+# 2-token prefix2 gate).  ``build_token_trie`` builds the goto trie as
+# two flat dicts (pickle-cheap, one sc.broadcast); ``find_mentions_trie``
+# is the probe twin, property-tested equal to find_mentions_naive.
+
+
+def build_token_trie(alias_names):
+    """(children, term): goto trie over normalized alias names, token
+    alphabet.  ``children`` is one flat dict keyed by (node_id, token);
+    ``term`` the set of terminal node ids.  Matched keys are
+    reconstructed from the walked tokens (aliases are space-joined
+    token paths), so no per-node payload is stored."""
+    children: dict[tuple[int, str], int] = {}
+    term: set[int] = set()
+    next_id = 1
+    for a in alias_names:
+        if not a:
+            continue
+        node = 0
+        for t in a.split(" "):
+            nxt = children.get((node, t))
+            if nxt is None:
+                nxt = next_id
+                next_id += 1
+                children[(node, t)] = nxt
+            node = nxt
+        term.add(node)
+    return children, term
+
+
+def _trie_has(children, term, name: str | None) -> bool:
+    """Exact membership of a normalized name (walk from the root —
+    tokenization by single space is bijective for normalized names,
+    whose whitespace runs are collapsed)."""
+    if not name:
+        return False
+    node = 0
+    get = children.get
+    for t in name.split(" "):
+        node = get((node, t))
+        if node is None:
+            return False
+    return node in term
+
+
+def find_mentions_trie(
+    text: str,
+    trie,
+    blacklist,
+    german: bool = False,
+    max_words: int = MAX_WORDS,
+    max_span_words: int | None = None,
+) -> list[tuple[str, int, int]]:
+    """Trie-walk twin of :func:`find_mentions` (same results,
+    property-tested vs :func:`find_mentions_naive`): safe-word runs
+    advance a goto-trie state per token (no span re-hash), and the
+    window loop BREAKS as soon as the consumed safe tokens are not a
+    prefix of any alias — sound because safe tokens are stable under
+    span-level normalization (no edge quotes, char-1:1 lowering) and
+    later words only APPEND tokens while the stem retry only modifies
+    the final token, so a broken prefix can never heal.  Stem retries
+    and unsafe/bigram probes fall back to a rooted O(<=6-token) walk
+    (:func:`_trie_has`) on the same normalized strings the hash-set
+    path probes."""
+    children, term = trie
+    get = children.get
+    q = text.translate(_PUNCT)
+    words = q.split(" ")
+    found: list[tuple[str, int, int]] = []
+    n = len(words)
+    max_words = min(max_words, MAX_WORDS)
+    maxsw1 = None if max_span_words is None else max_span_words + 1
+    wi = _word_info
+    info = [wi(w) if w else _EMPTY_INFO for w in words]
+    for i in range(n):
+        w0 = words[i]
+        if not w0:
+            continue
+        num_i = info[i][3]
+        run: str | None = None
+        node = 0
+        all_safe = True
+        slen = -1
+        nct = 0
+        for j in range(i + 1, min(i + max_words, n + 1)):
+            w = words[j - 1]
+            slen += len(w) + 1
+            if w:
+                inf = info[j - 1]
+                if inf[0]:
+                    nct += 1
+                    if maxsw1 is not None and nct > maxsw1:
+                        break
+                if all_safe:
+                    if inf[1]:
+                        tok = inf[0]
+                        run = tok if run is None else run + " " + tok
+                        node = get((node, tok))
+                    else:
+                        all_safe = False
+            if slen < MIN_CHARS:
+                break
+            last = w[-1] if w else " "
+            if all_safe and run is not None:
+                key = run if (node is not None and node in term) else None
+                span = None
+                if key is None and (last == "s" or (german and last == "e")):
+                    stem = (run[:-1] if len(w) >= 2 else run[:-2]).rstrip("\"' ")
+                    key = stem if _trie_has(children, term, stem) else None
+            else:
+                span = " ".join(words[i:j])
+                nn = _norm_cached(span)
+                key = nn if _trie_has(children, term, nn) else None
+                if key is None and last == "s":
+                    st = _norm_cached(span[:-1])
+                    key = st if _trie_has(children, term, st) else None
+                if key is None and german and last == "e":
+                    st = _norm_cached(span[:-1])
+                    key = st if _trie_has(children, term, st) else None
+            if key is not None and num_i:
+                key = None  # "no numbers hack" (2026)
+            if key is not None and key not in blacklist:
+                found.append((key, i, j - i))
+                # reversed bigram probe "<span> <previous word>"
+                if i > 0 and words[i - 1]:
+                    if span is None:
+                        span = " ".join(words[i:j])
+                    ename = f"{span} {words[i - 1]}"
+                    en = _norm_cached(ename)
+                    if en not in blacklist and _trie_has(children, term, en):
+                        found.append((en, i - 1, j - i + 1))
+            if all_safe and node is None:
+                break  # consumed tokens are no alias's prefix: dead start
+    return found
+
+
 # --- shuffle-join scan decomposition ---------------------------------------
 #
 # findEntites as a JOIN: when the gazetteer is too large to broadcast

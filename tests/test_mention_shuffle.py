@@ -71,6 +71,45 @@ def test_probe_decomposition_matches_naive_scan():
         assert filter_candidates_naive(got) == filter_candidates_naive(ref)
 
 
+def test_trie_automaton_matches_naive_scan():
+    """find_mentions_trie (goto-trie walk + dead-prefix break) equals
+    find_mentions_naive for randomized texts/alias sets/blacklists."""
+    from netbase_spark.oracle.rules import build_token_trie, find_mentions_trie
+
+    rng = random.Random(424242)
+    vocab = [
+        "Tesla", "Tesla's", "New", "York", "New York", "5", "Öl", "a",
+        "ab", "the", "cat", "cats", "Hunde", "hunde", '"q"', "x-y", "of",
+        "Ofen", "...", "%", "()", "e.V", "Kiel", "42nd", "0", "07",
+        "St.", "s", "CATS",
+    ]
+    pool = [norm_name(v) for v in vocab] + [
+        "new york", "tesla", "cat", "hund", "kiel e.v", "st", "x y",
+        "a b", "york new", "new york cat", "tesla s",
+    ]
+    for _ in range(800):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))
+        aliases = frozenset(
+            a for a in rng.sample(pool, rng.randint(0, len(pool))) if a
+        )
+        blacklist = frozenset(
+            rng.sample(sorted(aliases), min(len(aliases), rng.randint(0, 2)))
+        )
+        german = rng.random() < 0.5
+        maxsw = max_alias_word_count(aliases) if rng.random() < 0.5 else None
+        ref = find_mentions_naive(
+            text,
+            lambda nn: nn if nn and nn in aliases else None,
+            blacklist,
+            german,
+        )
+        got = find_mentions_trie(
+            text, build_token_trie(aliases), blacklist, german,
+            max_span_words=maxsw,
+        )
+        assert got == ref, (text, sorted(aliases), sorted(blacklist), german)
+
+
 @pytest.fixture(scope="module")
 def fixture_scan_inputs(spark):
     """Fixture corpus + gazetteer, shared across the parity tests."""
@@ -106,6 +145,17 @@ def test_shuffle_scan_matches_broadcast_scan(spark, fixture_scan_inputs):
         got = sorted(map(tuple, got_df.collect()))
         assert got == want
         assert want, "fixture corpus produced no mentions — test is vacuous"
+        # and the probe automaton (broadcast twin) agrees with both
+        probe = sorted(
+            map(
+                tuple,
+                detect_mentions_text(
+                    texts, names, bl, distinct_per_doc=distinct,
+                    automaton="probe",
+                ).collect(),
+            )
+        )
+        assert probe == want
 
 
 def test_shuffle_triple_scan_matches_broadcast(spark, fixture_scan_inputs):
