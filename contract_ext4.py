@@ -385,3 +385,60 @@ ORACLE_CAPTION_PAIRS = """
 
 EXT4_QUERIES["caption_pairs"] = q_caption_pairs
 EXT4_ORACLES["caption_pairs"] = ORACLE_CAPTION_PAIRS
+
+
+def q_media_neardup(spark, sf_dir):
+    """Media near-dup candidate pairs (media.media_phash ->
+    dedup.simhash_candidates -> exact hamming annotation): a pool of 40
+    distinct media refs reused across the 500 docs, so same-content
+    items collide on every band (hamming 0) and cluster; distinct refs
+    collide only on chance 16-bit band matches.  The phash rides the
+    existing simhash band machinery unchanged (round-2 verdict #9)."""
+    from netbase_spark.operators.media import decode_media, media_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.lit("commons/"),
+            F.md5(F.pmod(F.col("doc_id"), F.lit(40)).cast("string")),
+            F.lit(".jpg"),
+        ).alias("media_ref"),
+    )
+    pairs = media_neardup_pairs(decode_media(media))
+    # decode_media keys items by STRING doc_id, so the candidate join's
+    # a<b orientation is lexicographic; reorient numerically to match
+    # the oracle's integer a<b (pairs are unordered sets either way)
+    al = F.col("a").cast("long")
+    bl = F.col("b").cast("long")
+    return pairs.select(
+        F.least(al, bl).alias("a"),
+        F.greatest(al, bl).alias("b"),
+        "hamming",
+    )
+
+
+ORACLE_MEDIA_NEARDUP = """
+    WITH m AS (
+        SELECT doc_id,
+               md5('commons/' || md5(CAST(doc_id % 40 AS VARCHAR)) || '.jpg') AS h
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               ('0x' || substr(h, 1, 8))::BIGINT AS lo,
+               ('0x' || substr(h, 9, 8))::BIGINT AS hi
+        FROM m
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS INT) AS hamming
+    FROM sig x JOIN sig y
+      ON x.doc_id < y.doc_id
+     AND ((x.lo & 65535) = (y.lo & 65535)
+       OR ((x.lo >> 16) & 65535) = ((y.lo >> 16) & 65535)
+       OR (x.hi & 65535) = (y.hi & 65535)
+       OR ((x.hi >> 16) & 65535) = ((y.hi >> 16) & 65535))
+"""
+
+EXT4_QUERIES["media_neardup"] = q_media_neardup
+EXT4_ORACLES["media_neardup"] = ORACLE_MEDIA_NEARDUP

@@ -307,3 +307,89 @@ def caption_candidates(spans: DataFrame) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("doc_id", "media_ref", "m_off", "caption", "gap")
     )
+
+
+# --- media near-dup ---------------------------------------------------------
+
+
+def media_phash(
+    features: DataFrame, fp_col: str = "content_fp", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual-hash analog over decoded media features: the 64-bit
+    fingerprint (first 16 hex chars of ``fp_col``) split into the
+    simhash column layout (simhash_lo/simhash_hi, 32 bits each) — so
+    media items feed the EXISTING banded-LSH candidate machinery
+    (:func:`~netbase_spark.operators.dedup.simhash_candidates`, with
+    its 16-bit bands and bucket cap) and the CC + survivor selection
+    (:func:`~netbase_spark.operators.dedup.near_dup_clusters`)
+    completely unchanged.
+
+    With the real decoder, ``content_fp`` is a true perceptual hash
+    (DCT-based pHash: near-identical images differ in a few bits, so
+    banded matching finds near-dups); the sandbox's deterministic fake
+    (md5 of the ref, media.py::_decode_core) makes only EXACT content
+    duplicates collide — the Spark-side plumbing, banding, capping and
+    clustering are identical either way.  Pure column expressions
+    (conv + substring), no UDF."""
+    return features.select(
+        F.col(id_col).alias("doc_id"),
+        F.conv(F.substring(fp_col, 1, 8), 16, 10)
+        .cast("long")
+        .alias("simhash_lo"),
+        F.conv(F.substring(fp_col, 9, 8), 16, 10)
+        .cast("long")
+        .alias("simhash_hi"),
+    )
+
+
+def media_neardup_pairs(
+    features: DataFrame,
+    max_hamming: int | None = None,
+    bucket_cap: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate media candidate pairs: banded-LSH over the
+    perceptual fingerprint (:func:`media_phash` ->
+    ``simhash_candidates``), annotated with the exact 64-bit hamming
+    distance (JVM-side bit_count(xor)) and optionally thresholded.
+    Returns (a, b, hamming); feed into ``near_dup_clusters`` for
+    survivor selection.  Scale shape is the simhash path's: one
+    band-keyed shuffle with the hot-bucket cap, no all-pairs join."""
+    from netbase_spark.operators.dedup import (
+        SIMHASH_BUCKET_CAP,
+        simhash_candidates,
+    )
+
+    if bucket_cap is None:
+        bucket_cap = SIMHASH_BUCKET_CAP
+    sigs = media_phash(features, id_col=id_col)
+    pairs = simhash_candidates(sigs, band_bits=16, bucket_cap=bucket_cap)
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        F.col("simhash_lo").alias("a_lo"),
+        F.col("simhash_hi").alias("a_hi"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        F.col("simhash_lo").alias("b_lo"),
+        F.col("simhash_hi").alias("b_hi"),
+    )
+    out = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.bit_count(
+                    F.col("a_lo").bitwiseXOR(F.col("b_lo"))
+                )
+                + F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    if max_hamming is not None:
+        out = out.where(F.col("hamming") <= max_hamming)
+    return out

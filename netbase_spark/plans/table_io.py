@@ -11,6 +11,18 @@ so the shipped default is a plain parquet snapshot directory with a
 Iceberg path below is the exact call a cluster deployment flips on by
 configuring a catalog, and it fails loudly — never silently — when the
 runtime is absent.
+
+Documented impossibility (round-3 audit, 2026-08-20): a true-Iceberg
+round-trip test cannot run here — a filesystem-wide search found no
+``iceberg-spark-runtime`` jar in the container image, and the sandbox
+has no package installation or network access to obtain one.  What IS
+covered: the catalog gate (fails loudly, never silently —
+tests/test_new_operators.py::test_table_io_snapshot_roundtrip_and_iceberg_gate),
+the parquet snapshot round-trip incl. a partitioned layout (same
+test), resume-from-snapshot (tests/test_pipeline_pr.py), and the
+fast-append analog (:func:`link_partition_files`).  On a cluster with
+the jar, ``write_snapshot(df, 'cat.db.t', fmt='iceberg')`` is the
+single switch point.
 """
 
 from __future__ import annotations

@@ -218,6 +218,46 @@ def test_jaccard_hot_shingle_cap(spark):
     assert cap_hot_shingles(sh, 20).count() == 22
 
 
+def test_media_neardup_end_to_end(spark):
+    """Media near-dup (round-2 verdict #9): phash-analog fingerprints
+    feed the EXISTING simhash-band candidate machinery and CC/survivor
+    selection unchanged.  Same-content items (same ref -> same fake
+    decode fp) pair at hamming 0 and cluster; distinct-content items
+    stay singletons."""
+    from netbase_spark.operators.dedup import near_dup_clusters
+    from netbase_spark.operators.media import decode_media, media_neardup_pairs
+
+    rows = [
+        ("1", "image", "commons/aa.jpg"),
+        ("2", "image", "commons/aa.jpg"),  # dup of 1
+        ("3", "image", "commons/aa.jpg"),  # dup of 1
+        ("4", "image", "commons/bb.jpg"),
+        ("5", "image", "commons/bb.jpg"),  # dup of 4
+        ("6", "image", "commons/cc.jpg"),  # unique
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, kind string, media_ref string"
+    )
+    feats = decode_media(media)
+    pairs = media_neardup_pairs(feats, max_hamming=0)
+    got_pairs = {(r.a, r.b) for r in pairs.collect()}
+    assert got_pairs == {("1", "2"), ("1", "3"), ("2", "3"), ("4", "5")}
+    assert all(r.hamming == 0 for r in pairs.collect())
+    # reuse the generic survivor selection: quality = doc_id desc proxy
+    docs = spark.createDataFrame(
+        [(str(i), i) for i in range(1, 7)], "doc_id string, n_chars long"
+    )
+    clusters = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in near_dup_clusters(docs, pairs.select("a", "b")).collect()
+    }
+    assert clusters == {
+        ("1", "1", 0), ("2", "1", 0), ("3", "1", 1),  # best quality=3
+        ("4", "4", 0), ("5", "4", 1),
+        ("6", "6", 1),
+    }
+
+
 def test_cosine_neardup_bucketed_exact_integer_reference(spark):
     """exact=True must reproduce a pure-Python integer fixed-point
     reference bit-for-bit: e4-quantized components, integer SRP sign
