@@ -362,7 +362,9 @@ def media_neardup_pairs(
 
     if bucket_cap is None:
         bucket_cap = SIMHASH_BUCKET_CAP
-    sigs = media_phash(features, id_col=id_col)
+    # persist: three consumers (banding + both hamming joins) would
+    # otherwise re-run the upstream decode UDF once each
+    sigs = media_phash(features, id_col=id_col).persist()
     pairs = simhash_candidates(sigs, band_bits=16, bucket_cap=bucket_cap)
     sa = sigs.select(
         F.col("doc_id").alias("a"),

@@ -468,6 +468,33 @@ def scan_mention_triples_shuffle(
     return hits.groupBy("doc_id").applyInPandas(resolve, schema=TRIPLES_SCHEMA)
 
 
+def detect_mentions_gated(
+    texts: DataFrame,
+    aliases: DataFrame,
+    blacklist: set[str],
+    german: bool = False,
+    distinct_per_doc: bool = False,
+    alias_col: str = "alias_key",
+    cap_bytes: int | None = None,
+    automaton: str = "trie",
+) -> DataFrame:
+    """Size-gated mention detection: collect-and-broadcast the alias
+    column when it fits (:func:`detect_mentions_text`), shuffle-join
+    above the cap (:func:`detect_mentions_shuffle`).  The gate samples
+    the DataFrame, so an oversized gazetteer never reaches the driver."""
+    from netbase_spark.plans.broadcast_gate import fits_driver_collect
+
+    keys = aliases.select(F.col(alias_col)).distinct()
+    if fits_driver_collect(keys, cap_bytes):
+        names = [r[0] for r in keys.collect()]
+        return detect_mentions_text(
+            texts, names, blacklist, german, distinct_per_doc, automaton
+        )
+    return detect_mentions_shuffle(
+        texts, aliases, blacklist, german, distinct_per_doc, alias_col
+    )
+
+
 def scan_mention_triples_gated(
     docs: DataFrame,
     aliases: DataFrame,

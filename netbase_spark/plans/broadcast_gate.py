@@ -114,7 +114,14 @@ def fits_driver_collect(
 ) -> bool:
     """Gate for driver-side ``collect()`` into Python dict/set lookup
     structures (the ``sc.broadcast`` gazetteer path): sampled pickled
-    size inflated by the live-object overhead factor must fit the cap."""
+    size inflated by the live-object overhead factor must fit the cap.
+    Same Catalyst fast path as :func:`fits_broadcast` — when even the
+    (over)estimate times the overhead factor fits, the gate costs ZERO
+    jobs, keeping the construction hot path's per-run overhead nil for
+    ordinary dimension tables."""
     cap = broadcast_cap_bytes(df.sparkSession, cap_bytes)
+    est = plan_size_bytes(df)
+    if est is not None and est * PY_OVERHEAD_FACTOR <= cap:
+        return True
     n, sampled = sampled_size_bytes(df, sample_rows)
     return sampled * PY_OVERHEAD_FACTOR + n * PY_PER_ROW_BYTES <= cap
