@@ -380,6 +380,42 @@ def _resolve_rows(pdf, blacklist, german, distinct_per_doc):
     return cands
 
 
+def _per_doc_stream(hits: DataFrame, batch_fn, out_schema) -> DataFrame:
+    """Per-document resolution as a partition STREAM instead of
+    ``groupBy(doc_id).applyInPandas``: hash-repartition on doc_id (the
+    same single shuffle the grouped-map form pays), locally sort so a
+    doc's rows are contiguous, then ONE ``mapInPandas`` whose generator
+    carries the batch-final doc over to the next Arrow batch and hands
+    whole batches to ``batch_fn`` (which does a vectorized pandas
+    groupby).  The grouped-map form spins up one Python/Arrow
+    round-trip per GROUP — measured ~10 s of pure per-group overhead
+    for ~8k tiny groups at sf0.1, two thirds of the whole fallback
+    scan; this form pays one pandas groupby per ~10k-row batch."""
+    import pandas as pd
+
+    def run(batches):
+        pending = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last = pdf["doc_id"].iloc[-1]
+            mask = pdf["doc_id"] == last
+            pending = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                yield batch_fn(body)
+        if pending is not None and len(pending):
+            yield batch_fn(pending)
+
+    return (
+        hits.repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
 def detect_mentions_shuffle(
     texts: DataFrame,
     aliases: DataFrame,
@@ -401,21 +437,26 @@ def detect_mentions_shuffle(
     )
     hits = probes.join(akeys, "probe_key")
 
-    def resolve(pdf):
+    def resolve_batch(pdf):
         import pandas as pd
 
-        cands = _resolve_rows(pdf, bl, german, distinct_per_doc)
-        doc_id = pdf["doc_id"].iat[0]
+        d, k, s, n = [], [], [], []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            for key, i, nw in _resolve_rows(g, bl, german, distinct_per_doc):
+                d.append(doc_id)
+                k.append(key)
+                s.append(i)
+                n.append(nw)
         return pd.DataFrame(
             {
-                "doc_id": [doc_id] * len(cands),
-                "alias_key": [c[0] for c in cands],
-                "start_word": pd.Series([c[1] for c in cands], dtype="int32"),
-                "n_words": pd.Series([c[2] for c in cands], dtype="int32"),
+                "doc_id": d,
+                "alias_key": k,
+                "start_word": pd.Series(s, dtype="int32"),
+                "n_words": pd.Series(n, dtype="int32"),
             }
         )
 
-    return hits.groupBy("doc_id").applyInPandas(resolve, schema=MENTIONS_SCHEMA)
+    return _per_doc_stream(hits, resolve_batch, MENTIONS_SCHEMA)
 
 
 def scan_mention_triples_shuffle(
@@ -439,33 +480,33 @@ def scan_mention_triples_shuffle(
     ).where(F.col("probe_key").isNotNull() & (F.col("probe_key") != ""))
     hits = probes.join(amap, "probe_key")
 
-    def resolve(pdf):
+    def resolve_batch(pdf):
         import pandas as pd
 
         from netbase_spark.relations import MENTIONED_IN
 
-        ent_of = dict(zip(pdf["probe_key"], pdf["entity"]))
-        cands = _resolve_rows(pdf, bl, german, distinct_per_doc=False)
-        doc_id = pdf["doc_id"].iat[0]
-        out_s: list[str] = []
-        seen: set[str] = set()
-        for key, _i, _n in cands:
-            ent = ent_of[key]
-            if ent != doc_id and ent not in seen:  # self-loop guard parity
-                seen.add(ent)
-                out_s.append(ent)
+        out_s, out_o = [], []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            ent_of = dict(zip(g["probe_key"], g["entity"]))
+            seen: set[str] = set()
+            for key, _i, _n in _resolve_rows(g, bl, german, distinct_per_doc=False):
+                ent = ent_of[key]
+                if ent != doc_id and ent not in seen:  # self-loop guard parity
+                    seen.add(ent)
+                    out_s.append(ent)
+                    out_o.append(doc_id)
         n = len(out_s)
         return pd.DataFrame(
             {
                 "subj": out_s,
                 "rel": pd.Series([MENTIONED_IN] * n, dtype="int32"),
-                "obj": [doc_id] * n,
+                "obj": out_o,
                 "rule": ["mention"] * n,
-                "doc_id": [doc_id] * n,
+                "doc_id": out_o,
             }
         )
 
-    return hits.groupBy("doc_id").applyInPandas(resolve, schema=TRIPLES_SCHEMA)
+    return _per_doc_stream(hits, resolve_batch, TRIPLES_SCHEMA)
 
 
 def detect_mentions_gated(
