@@ -125,3 +125,38 @@ def fits_driver_collect(
         return True
     n, sampled = sampled_size_bytes(df, sample_rows)
     return sampled * PY_OVERHEAD_FACTOR + n * PY_PER_ROW_BYTES <= cap
+
+
+def collect_under_cap(
+    df: DataFrame,
+    cap_bytes: int | None = None,
+    sample_rows: int = 2000,
+) -> list | None:
+    """Collect ``df`` for driver-dict use iff it fits the cap — in ONE
+    job.  ``fits_driver_collect`` + ``collect`` executes the dimension
+    lineage twice (and three times when Catalyst has no stats, e.g.
+    localCheckpoint-backed plans — measured ~0.7 s per construction at
+    fixture scale); this probe instead collects ``cap_rows + 1`` rows
+    via CollectLimit (incremental partition scan, cheap for small
+    results) where ``cap_rows = cap // PY_PER_ROW_BYTES`` — the row
+    count the cap could possibly admit at the per-entry overhead floor.
+    Returns the rows when they fit (the caller builds its dict from
+    them — no second execution), or None when the limit was hit or the
+    sampled estimate exceeds the cap (caller takes the shuffle path).
+    Transient driver memory is bounded by cap_rows actual rows."""
+    import pickle
+
+    cap = broadcast_cap_bytes(df.sparkSession, cap_bytes)
+    # clamp to a Java int: limit() rejects larger arguments
+    cap_rows = min(max(1, cap // PY_PER_ROW_BYTES), (1 << 31) - 2)
+    rows = df.limit(cap_rows + 1).collect()
+    if len(rows) > cap_rows:
+        return None
+    sample = rows[:sample_rows]
+    if sample:
+        avg = sum(len(pickle.dumps(tuple(r))) for r in sample) / len(sample)
+        est = int(avg * len(rows)) * PY_OVERHEAD_FACTOR
+        est += len(rows) * PY_PER_ROW_BYTES
+        if est > cap:
+            return None
+    return rows

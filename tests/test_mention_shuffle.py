@@ -259,3 +259,10 @@ def test_broadcast_gate_estimates(spark):
     empty = spark.createDataFrame([], "id long")
     assert sampled_size_bytes(empty) == (0, 0)
     assert fits_driver_collect(empty, cap_bytes=10)
+    # one-job collect probe: rows under the cap, None above it
+    from netbase_spark.plans.broadcast_gate import collect_under_cap
+
+    got = collect_under_cap(small)
+    assert got is not None and len(got) == 100
+    assert collect_under_cap(small, cap_bytes=1) is None
+    assert collect_under_cap(empty, cap_bytes=10) == []
