@@ -258,6 +258,43 @@ def _make_triple_scan(bc, german: bool = False):
     return scan
 
 
+def prepare_triple_scan(
+    spark,
+    alias_to_entity: dict[str, str],
+    blacklist: set[str],
+    automaton: str = "trie",
+):
+    """Build the fused-scan gazetteer broadcast ONCE and return the
+    handle for reuse across :func:`scan_mention_triples_prepared` calls.
+
+    Building the automaton (trie over every surface form) and shipping
+    the broadcast is O(gazetteer) work — trivial at fixture scale but
+    minutes of driver CPU + multi-GB of broadcast traffic at the
+    WikiData north-star (10^7-10^8 aliases).  A deployment constructs
+    over a STREAM of document batches against a fixed gazetteer (the
+    reference loads its shared-memory DB once at startup,
+    src/init.cpp:362, and scans any number of queries against it);
+    re-broadcasting per batch would dominate micro-batch latency, so
+    the prepared handle is the batch-loop API."""
+    return _broadcast_gazetteer(spark, dict(alias_to_entity), blacklist, automaton)
+
+
+def scan_mention_triples_prepared(
+    docs: DataFrame, bc, german: bool = False
+) -> DataFrame:
+    """Fused scan against a :func:`prepare_triple_scan` handle — the
+    per-batch half of the split: one mapInPandas over doc partitions,
+    zero doc-side joins/shuffles, no driver work besides plan assembly."""
+    from netbase_spark.schemas import TRIPLES_SCHEMA
+
+    scan = _make_triple_scan(bc, german)
+    return (
+        doc_text(docs)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .mapInPandas(scan, schema=TRIPLES_SCHEMA)
+    )
+
+
 def scan_mention_triples(
     docs: DataFrame,
     alias_to_entity: dict[str, str],
@@ -279,17 +316,10 @@ def scan_mention_triples(
     one mapInPandas over doc partitions, the gazetteer rides a single
     ``sc.broadcast``.
     """
-    from netbase_spark.schemas import TRIPLES_SCHEMA
-
-    bc = _broadcast_gazetteer(
-        docs.sparkSession, dict(alias_to_entity), blacklist, automaton
+    bc = prepare_triple_scan(
+        docs.sparkSession, alias_to_entity, blacklist, automaton
     )
-    scan = _make_triple_scan(bc, german)
-    return (
-        doc_text(docs)
-        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-        .mapInPandas(scan, schema=TRIPLES_SCHEMA)
-    )
+    return scan_mention_triples_prepared(docs, bc, german)
 
 
 # --- shuffle-join fallback (gazetteer too large to broadcast) ---------------

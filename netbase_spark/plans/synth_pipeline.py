@@ -41,10 +41,52 @@ def construct(spark: SparkSession, n_docs: int, seed: int = 42,
     )
 
 
-def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Run the full construction over a docs DataFrame (the input_hint
-    table shape); returns the canonical triple DataFrame (no writes —
-    callers persist/count)."""
+class ConstructionArtifacts:
+    """Dimension-side state of the construction, built ONCE per
+    gazetteer and reused across any number of document batches.
+
+    Everything here is label-side-only (gazetteer-bounded, never
+    corpus-bounded): the canonicalized label triples, the union-find
+    mapping, and the fused-scan structure — either a prepared
+    ``sc.broadcast`` handle (under the broadcast cap) or the
+    checkpointed alias->entity DataFrame (above it, shuffle-join path).
+    The reference's analog is its shared-memory DB loaded once at
+    startup (src/init.cpp:362); a Spark deployment constructing a
+    10^12-doc corpus in batches (or a Structured Streaming micro-batch
+    loop) must not rebuild + re-broadcast a multi-GB automaton per
+    batch — at 10^7-10^8 aliases the rebuild would dominate batch
+    latency."""
+
+    __slots__ = ("label_triples", "mapping", "scan_bc", "alias_entity", "blacklist")
+
+    def __init__(self, label_triples, mapping, scan_bc, alias_entity, blacklist):
+        self.label_triples = label_triples
+        self.mapping = mapping
+        self.scan_bc = scan_bc          # prepared broadcast handle, or None
+        self.alias_entity = alias_entity  # DataFrame fallback, or None
+        self.blacklist = blacklist
+
+
+def build_artifacts(
+    spark: SparkSession,
+    labels_df: DataFrame | None = None,
+    cap_bytes: int | None = None,
+) -> ConstructionArtifacts:
+    """Build the docs-independent half of the construction.
+
+    sameAs-class merge edges come from the LABEL side only (dissect
+    rules + synonym fixtures); the doc side emits MENTIONED_IN edges
+    exclusively.  So candidate selection AND canonicalization both
+    resolve before any document is read: compose alias -> rank-1
+    entity -> canonical rep into one broadcast map (size-gated via
+    plans/broadcast_gate: collect-and-broadcast under the cap,
+    checkpointed DataFrame for the shuffle-join path above it).
+
+    localCheckpoint, not persist: label-side tables are dimension-sized
+    and read by multiple consumers; checkpoint blocks are freed by the
+    context cleaner when the artifacts object is dropped, while a bare
+    persist() stays registered in the SQL cache manager for the session
+    lifetime (repeated builds would stack orphaned caches)."""
     from netbase_spark.data.fixtures import (
         blacklist_fixture,
         labels_spark_df,
@@ -60,23 +102,13 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
         dissect_triples,
     )
     from netbase_spark.operators.gazetteer import build_alias_table
-    from netbase_spark.operators.mentions import scan_mention_triples_gated
+    from netbase_spark.operators.linking import alias_entity_table
+    from netbase_spark.operators.mentions import prepare_triple_scan
+    from netbase_spark.plans.broadcast_gate import collect_under_cap
 
-    labels_df = labels_spark_df(spark)
+    if labels_df is None:
+        labels_df = labels_spark_df(spark)
     aliases = build_alias_table(labels_df, with_seo=False)
-    # sameAs-class merge edges come from the LABEL side only (dissect
-    # rules + synonym fixtures); the doc side emits MENTIONED_IN edges
-    # exclusively.  So candidate selection AND canonicalization both
-    # resolve before any document is read: compose alias -> rank-1
-    # entity -> canonical rep into one broadcast map and run the
-    # 10^12-doc side through a single fused mapInPandas — no join, no
-    # shuffle, no corpus-sized materialization anywhere on the doc side.
-    # localCheckpoint, not persist: label_side is dimension-sized and
-    # read by three consumers (CC edges, alias map, rewrite); checkpoint
-    # blocks are freed by the context cleaner when the result is
-    # dropped, while a bare persist() stays registered in the SQL cache
-    # manager for the session lifetime (repeated construct_from calls
-    # would stack orphaned caches)
     label_side = (
         dissect_triples(labels_df)
         .unionByName(alias_instance_edges(labels_df))
@@ -84,9 +116,42 @@ def construct_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     mapping = connected_components(sameas_edges(label_side))
-    # size-gated (plans/broadcast_gate): broadcast-dict fast path under
-    # the cap, probe-key shuffle join above it
-    mention_triples = scan_mention_triples_gated(
-        docs, aliases, mapping, blacklist_fixture()
+    label_triples = rewrite_triples(label_side, mapping).localCheckpoint()
+    blacklist = blacklist_fixture()
+    ae = alias_entity_table(aliases, mapping)
+    rows = collect_under_cap(ae, cap_bytes)
+    if rows is not None:
+        amap = {r["alias_key"]: r["entity"] for r in rows}
+        bc = prepare_triple_scan(spark, amap, blacklist)
+        return ConstructionArtifacts(label_triples, mapping, bc, None, blacklist)
+    # oversized gazetteer: keep the alias->entity table distributed;
+    # checkpoint so per-batch scans don't re-run the dimension lineage
+    return ConstructionArtifacts(
+        label_triples, mapping, None, ae.localCheckpoint(), blacklist
     )
-    return mention_triples.unionByName(rewrite_triples(label_side, mapping))
+
+
+def construct_from(
+    spark: SparkSession,
+    docs: DataFrame,
+    artifacts: ConstructionArtifacts | None = None,
+) -> DataFrame:
+    """Run the full construction over a docs DataFrame (the input_hint
+    table shape); returns the canonical triple DataFrame (no writes —
+    callers persist/count).  Pass prebuilt ``artifacts`` to amortize
+    the dimension side across batches (micro-batch / incremental
+    loops); without it the dimension side is built in-line."""
+    from netbase_spark.operators.mentions import (
+        scan_mention_triples_prepared,
+        scan_mention_triples_shuffle,
+    )
+
+    if artifacts is None:
+        artifacts = build_artifacts(spark)
+    if artifacts.scan_bc is not None:
+        mention_triples = scan_mention_triples_prepared(docs, artifacts.scan_bc)
+    else:
+        mention_triples = scan_mention_triples_shuffle(
+            docs, artifacts.alias_entity, artifacts.blacklist
+        )
+    return mention_triples.unionByName(artifacts.label_triples)

@@ -165,3 +165,35 @@ def test_construct_fused_matches_oracle(spark):
         synonym_pairs(),
     )
     assert got == expected
+
+
+def test_construct_artifacts_reuse_and_overflow(spark):
+    """Prebuilt ConstructionArtifacts reused across two doc batches emit
+    exactly the inline construct_from triples — on BOTH gate paths (the
+    broadcast-dict fast path and the forced-overflow shuffle join).
+    This pins the batch-loop API: the dimension side is built once, the
+    per-batch scan never rebuilds or re-broadcasts the gazetteer."""
+    from netbase_spark.data.synth import docs_df
+    from netbase_spark.plans.synth_pipeline import (
+        build_artifacts,
+        construct_from,
+    )
+
+    docs_a = docs_df(spark, 120, seed=42, partitions=4)
+    docs_b = docs_df(spark, 80, seed=9, partitions=4)
+
+    def tset(df):
+        return sorted(map(tuple, df.collect()))
+
+    inline_a = tset(construct_from(spark, docs_a))
+    inline_b = tset(construct_from(spark, docs_b))
+
+    arts = build_artifacts(spark)
+    assert arts.scan_bc is not None and arts.alias_entity is None
+    assert tset(construct_from(spark, docs_a, arts)) == inline_a
+    assert tset(construct_from(spark, docs_b, arts)) == inline_b
+
+    arts_small = build_artifacts(spark, cap_bytes=1)
+    assert arts_small.scan_bc is None and arts_small.alias_entity is not None
+    assert tset(construct_from(spark, docs_a, arts_small)) == inline_a
+    assert tset(construct_from(spark, docs_b, arts_small)) == inline_b
