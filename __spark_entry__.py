@@ -695,8 +695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from contract_ext2 import EXT2_QUERIES
     from contract_ext3 import EXT3_QUERIES
     from contract_ext4 import EXT4_QUERIES
+    from contract_ext5 import EXT5_QUERIES
 
-    return EXT_QUERIES | EXT2_QUERIES | EXT3_QUERIES | EXT4_QUERIES | {
+    return EXT_QUERIES | EXT2_QUERIES | EXT3_QUERIES | EXT4_QUERIES | EXT5_QUERIES | {
         "alias_table": q_alias_table,
         "best_alias": q_best_alias,
         "dissect_part_names": q_dissect_part_names,
@@ -730,9 +731,10 @@ def oracle_sql() -> dict[str, str]:
     from contract_ext2 import EXT2_ORACLES
     from contract_ext3 import EXT3_ORACLES
     from contract_ext4 import EXT4_ORACLES
+    from contract_ext5 import EXT5_ORACLES
 
     norm_label = NORM_SQL.format(c="label")
-    return EXT_ORACLES | EXT2_ORACLES | EXT3_ORACLES | EXT4_ORACLES | {
+    return EXT_ORACLES | EXT2_ORACLES | EXT3_ORACLES | EXT4_ORACLES | EXT5_ORACLES | {
         "alias_table": f"""
             WITH {LABELS_SQL.strip()}
             SELECT {norm_label} AS name_norm, key, label_type AS source,

@@ -150,6 +150,10 @@ HEADLINE = [
     "unigram_lm",
     "shard_pack",
     "caption_pairs",
+    "jaccard_hot_shingles",
+    "media_neardup",
+    "triple_pr",
+    "triple_upsert",
 ]
 
 

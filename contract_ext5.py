@@ -1,0 +1,160 @@
+"""Fifth batch of driver-contract queries: the triple-set P/R evaluator
+and the incremental triple-table upsert.
+
+Same conventions as contract_ext / contract_ext2 / contract_ext3 /
+contract_ext4: deterministic input from the sf-dir parquet tables,
+routed through the package operator being certified, DuckDB oracle twin
+with identical column names + types.  Ratio columns follow the
+fixed-point discipline (integer ``div`` of exact longs — engine-exact,
+no float rounding at a boundary; see the pagerank e12 precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- distributed P/R between two triple sets --------------------------------
+
+
+def _event_triples(ev, min_value):
+    return ev.where(F.col("value") > min_value).select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit(1).alias("rel"),
+        F.col("event_type").alias("obj"),
+    )
+
+
+def q_triple_pr(spark, sf_dir):
+    """operators/evaluate.triple_set_pr between two overlapping
+    (user, event_type) edge sets derived from events — the north rule's
+    P/R >= 0.95 grading comparison as a one-shuffle distributed op.
+    The contract row re-derives the ratios from the exact long counts
+    with integer division (engine-portable); the operator's own double
+    columns are exercised and then dropped here."""
+    from netbase_spark.operators.evaluate import triple_set_pr
+
+    ev = _t(spark, sf_dir, "events")
+    pr = triple_set_pr(_event_triples(ev, 50.0), _event_triples(ev, 20.0))
+    return pr.select(
+        "tp",
+        "got_n",
+        "expected_n",
+        F.expr("tp * 1000000 div got_n").alias("precision_e6"),
+        F.expr("tp * 1000000 div expected_n").alias("recall_e6"),
+        F.expr("2 * tp * 1000000 div (got_n + expected_n)").alias("f1_e6"),
+    )
+
+
+ORACLE_TRIPLE_PR = """
+    WITH g AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS subj, 1 AS rel,
+               event_type AS obj
+        FROM events WHERE value > 50.0
+    ),
+    e AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS subj, 1 AS rel,
+               event_type AS obj
+        FROM events WHERE value > 20.0
+    ),
+    c AS (
+        SELECT
+            (SELECT COUNT(*) FROM g JOIN e USING (subj, rel, obj)) AS tp,
+            (SELECT COUNT(*) FROM g) AS got_n,
+            (SELECT COUNT(*) FROM e) AS expected_n
+    )
+    SELECT tp, got_n, expected_n,
+           (tp * 1000000) // got_n AS precision_e6,
+           (tp * 1000000) // expected_n AS recall_e6,
+           (2 * tp * 1000000) // (got_n + expected_n) AS f1_e6
+    FROM c
+"""
+
+
+# --- incremental triple-table upsert ----------------------------------------
+
+
+def _tagged_triples(ev, tag):
+    """Events -> provenance-tagged triples; (subj, rel, obj) keys repeat
+    across events (same user x event_type), so within-batch dedup and
+    cross-batch first-writer-wins are both exercised."""
+    return ev.select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit(1).alias("rel"),
+        F.col("event_type").alias("obj"),
+        F.lit(tag).alias("rule"),
+        F.col("event_id").cast("string").alias("doc_id"),
+    )
+
+
+def q_triple_upsert(spark, sf_dir):
+    """operators/evaluate.merge_triples: delta batch (event_id % 3 != 0)
+    upserted into an existing table (event_id % 3 != 2).  Overlapping
+    keys must keep the EXISTING row's provenance; fresh delta keys
+    append with the delta's deterministic within-batch winner."""
+    from netbase_spark.operators.evaluate import merge_triples
+
+    ev = _t(spark, sf_dir, "events")
+    base_raw = _tagged_triples(ev.where(F.pmod("event_id", F.lit(3)) != 2), "base")
+    delta = _tagged_triples(ev.where(F.pmod("event_id", F.lit(3)) != 0), "delta")
+    # canonicalize the existing side the same way merge_triples dedupes
+    # a delta: deterministic min of the non-key columns per key
+    existing = (
+        base_raw.groupBy("subj", "rel", "obj")
+        .agg(F.min(F.struct("rule", "doc_id")).alias("_r"))
+        .select("subj", "rel", "obj", F.col("_r.rule").alias("rule"),
+                F.col("_r.doc_id").alias("doc_id"))
+    )
+    return merge_triples(existing, delta)
+
+
+ORACLE_TRIPLE_UPSERT = """
+    WITH base AS (
+        SELECT subj, rel, obj, rule, doc_id
+        FROM (
+            SELECT CAST(user_id AS VARCHAR) AS subj, 1 AS rel,
+                   event_type AS obj, 'base' AS rule,
+                   CAST(event_id AS VARCHAR) AS doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY CAST(user_id AS VARCHAR), event_type
+                       ORDER BY 'base', CAST(event_id AS VARCHAR)
+                   ) AS rn
+            FROM events WHERE event_id % 3 != 2
+        ) WHERE rn = 1
+    ),
+    delta AS (
+        SELECT subj, rel, obj, rule, doc_id
+        FROM (
+            SELECT CAST(user_id AS VARCHAR) AS subj, 1 AS rel,
+                   event_type AS obj, 'delta' AS rule,
+                   CAST(event_id AS VARCHAR) AS doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY CAST(user_id AS VARCHAR), event_type
+                       ORDER BY 'delta', CAST(event_id AS VARCHAR)
+                   ) AS rn
+            FROM events WHERE event_id % 3 != 0
+        ) WHERE rn = 1
+    )
+    SELECT * FROM base
+    UNION ALL
+    SELECT d.* FROM delta d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM base b
+        WHERE b.subj = d.subj AND b.rel = d.rel AND b.obj = d.obj
+    )
+"""
+
+
+EXT5_QUERIES = {
+    "triple_pr": q_triple_pr,
+    "triple_upsert": q_triple_upsert,
+}
+
+EXT5_ORACLES = {
+    "triple_pr": ORACLE_TRIPLE_PR,
+    "triple_upsert": ORACLE_TRIPLE_UPSERT,
+}
