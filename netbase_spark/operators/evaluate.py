@@ -67,27 +67,23 @@ def triple_set_pr(
     )
 
 
-def merge_triples(
+def fresh_triples(
     existing: DataFrame,
     delta: DataFrame,
     keys: tuple[str, ...] = TRIPLE_KEYS,
     cap_bytes: int | None = None,
 ) -> DataFrame:
-    """Upsert ``delta`` into ``existing``: keys already present keep the
-    EXISTING row (first-writer provenance — the reference's
-    dedup-at-insert keeps the stored statement, src/netbase.hpp:253);
-    fresh keys append, deduped within the delta by the deterministic
-    min of the non-key columns.
+    """The delta rows whose key is NOT already in ``existing``, deduped
+    within the delta by the deterministic min of the non-key columns —
+    the append half of :func:`merge_triples`, exposed separately so an
+    append-only sink (streaming/construct.py) can write just these.
 
     Shuffle shape is sized for "existing is the 100-TB table, delta is
     a batch": the delta's distinct keys ride a size-gated broadcast
     (plans/broadcast_gate) into a SEMI join against existing — existing
     is scanned, never shuffled — producing the (small, <= delta-sized)
     dup-key set, which then anti-joins the delta map-side.  Above the
-    cap both joins degrade to shuffle joins via the gate; the output
-    union is partition-layout-preserving on the existing side, so a
-    table bucketed/partitioned by key can append the delta without
-    rewriting history."""
+    cap both joins degrade to shuffle joins via the gate."""
     from netbase_spark.plans.broadcast_gate import gated_broadcast
 
     kcols = list(keys)
@@ -103,7 +99,24 @@ def merge_triples(
         d = delta.dropDuplicates(kcols)
     dkeys = gated_broadcast(d.select(*kcols).distinct(), cap_bytes)
     dup_keys = existing.select(*kcols).join(dkeys, kcols, "left_semi")
-    fresh = d.join(gated_broadcast(dup_keys, cap_bytes), kcols, "left_anti")
+    return d.join(gated_broadcast(dup_keys, cap_bytes), kcols, "left_anti")
+
+
+def merge_triples(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: tuple[str, ...] = TRIPLE_KEYS,
+    cap_bytes: int | None = None,
+) -> DataFrame:
+    """Upsert ``delta`` into ``existing``: keys already present keep the
+    EXISTING row (first-writer provenance — the reference's
+    dedup-at-insert keeps the stored statement, src/netbase.hpp:253);
+    fresh keys append, deduped within the delta by the deterministic
+    min of the non-key columns.  See :func:`fresh_triples` for the
+    join shape; the output union is partition-layout-preserving on the
+    existing side, so a table bucketed/partitioned by key can append
+    the delta without rewriting history."""
+    fresh = fresh_triples(existing, delta, keys, cap_bytes)
     return existing.unionByName(fresh.select(*existing.columns))
 
 

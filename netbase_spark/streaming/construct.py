@@ -1,0 +1,99 @@
+"""Full KG construction as a Structured Streaming batch loop.
+
+``streaming/ingest.py`` streams the scan+link half (mention triples to
+an append sink).  This module runs the WHOLE construction —
+fused scan -> link -> canonicalize against prebuilt dimension artifacts
+(plans/synth_pipeline.build_artifacts), then an idempotent merge into
+the canonical triple table — as a ``foreachBatch`` loop:
+
+- the gazetteer automaton is broadcast ONCE (artifacts), not per
+  micro-batch: at 10^7-10^8 aliases a per-batch rebuild would dominate
+  batch latency (trie build alone measured 40 s at 10^7 aliases,
+  BENCH/gazetteer_scale_probe.json);
+- each batch appends only FRESH (subj, rel, obj) keys — the
+  anti-join half of operators/evaluate.merge_triples — so re-ingested
+  or updated documents cannot duplicate triples; label-side triples
+  are seeded exactly once at table init;
+- the stream checkpoint is the replay log (the reference's only
+  incremental surface, src/netbase.cpp:2521-2533): restart resumes
+  from offsets, and a batch replayed after a mid-batch crash is
+  deduplicated by the same anti-join, so the table converges to the
+  batch-pipeline result (test_streaming_construct.py pins equality
+  with a full rebuild).
+
+The doc side stays shuffle-free per batch on the broadcast path; the
+anti-join reads the current table with the delta keys broadcast
+(existing scanned, never shuffled), which at a 100-TB table should be
+further narrowed by partition pruning on rel — the append writer keeps
+the table partitioned by nothing here (sandbox parquet), and the
+layout knob lives in plans/table_io.write_triples.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from netbase_spark.schemas import DOCS_SCHEMA
+
+
+def start_incremental_construct(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    artifacts=None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+) -> StreamingQuery:
+    """Start (or resume, via checkpoint) the full-construction stream:
+    new doc files under ``landing_dir`` -> canonical triples appended
+    to the parquet table at ``table_dir``.  ``available_now=True``
+    drains the backlog then stops (batch-equivalent semantics)."""
+    from netbase_spark.operators.mentions import (
+        scan_mention_triples_prepared,
+        scan_mention_triples_shuffle,
+    )
+    from netbase_spark.plans.synth_pipeline import build_artifacts
+
+    if artifacts is None:
+        artifacts = build_artifacts(spark)
+
+    # seed the table with the label-side triples exactly once, BEFORE
+    # the stream starts: they are docs-independent, and seeding them
+    # here keeps every micro-batch append doc-derived only
+    if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        artifacts.label_triples.write.mode("overwrite").parquet(table_dir)
+
+    def process_batch(docs: DataFrame, batch_id: int) -> None:
+        if artifacts.scan_bc is not None:
+            batch = scan_mention_triples_prepared(docs, artifacts.scan_bc)
+        else:
+            batch = scan_mention_triples_shuffle(
+                docs, artifacts.alias_entity, artifacts.blacklist
+            )
+        # fresh-keys-only append == the anti-join half of merge_triples
+        # (first-writer provenance): idempotent under batch replay; the
+        # batch's keys broadcast into a semi join, so the current table
+        # is scanned, never shuffled
+        from netbase_spark.operators.evaluate import fresh_triples
+
+        existing = spark.read.parquet(table_dir)
+        fresh_triples(existing, batch).select(*existing.columns).write.mode(
+            "append"
+        ).parquet(table_dir)
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
