@@ -68,6 +68,13 @@ def start_incremental_construct(
         artifacts.label_triples.write.mode("overwrite").parquet(table_dir)
 
     def process_batch(docs: DataFrame, batch_id: int) -> None:
+        import glob
+        import json
+        import time
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         if artifacts.scan_bc is not None:
             batch = scan_mention_triples_prepared(docs, artifacts.scan_bc)
         else:
@@ -81,9 +88,35 @@ def start_incremental_construct(
         from netbase_spark.operators.evaluate import fresh_triples
 
         existing = spark.read.parquet(table_dir)
-        fresh_triples(existing, batch).select(*existing.columns).write.mode(
+        fresh = fresh_triples(existing, batch).select(*existing.columns)
+        # north-rule metrics + lineage, at zero extra jobs: row count via
+        # an Observation on the write itself; per-partition lineage from
+        # the parquet footers of the files THIS batch appended (file-list
+        # diff + driver-side metadata reads, same discipline as
+        # plans/pipeline._file_stats)
+        obs = Observation(f"construct_batch_{batch_id}")
+        before = set(glob.glob(os.path.join(table_dir, "part-*.parquet")))
+        t0 = time.time()
+        fresh.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "append"
         ).parquet(table_dir)
+        secs = round(time.time() - t0, 3)
+        import pyarrow.parquet as pq
+
+        new_files = sorted(
+            set(glob.glob(os.path.join(table_dir, "part-*.parquet"))) - before
+        )
+        rec = {
+            "batch_id": batch_id,
+            "fresh_rows": obs.get["rows"],
+            "secs": secs,
+            "partitions": [
+                (os.path.basename(f), pq.read_metadata(f).num_rows)
+                for f in new_files
+            ],
+        }
+        with open(os.path.join(table_dir, "_construct_metrics.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)

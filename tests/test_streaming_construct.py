@@ -65,3 +65,13 @@ def test_streaming_construct_matches_batch_rebuild(spark, tmp_path: pathlib.Path
         streamed.count()
         == streamed.dropDuplicates(["subj", "rel", "obj"]).count()
     )
+    # per-batch metrics + per-partition lineage were recorded, and the
+    # lineage row counts reconcile with the appended table
+    import json
+
+    with open(table / "_construct_metrics.jsonl") as fh:
+        recs = [json.loads(l) for l in fh]
+    assert len(recs) >= 2  # multiple micro-batches ran
+    assert all(r["fresh_rows"] == sum(n for _, n in r["partitions"]) for r in recs)
+    label_rows = arts.label_triples.count()
+    assert label_rows + sum(r["fresh_rows"] for r in recs) == streamed.count()
