@@ -154,6 +154,7 @@ HEADLINE = [
     "media_neardup",
     "triple_pr",
     "triple_upsert",
+    "bgp_match",
 ]
 
 

@@ -158,3 +158,83 @@ EXT5_ORACLES = {
     "triple_pr": ORACLE_TRIPLE_PR,
     "triple_upsert": ORACLE_TRIPLE_UPSERT,
 }
+
+
+# --- conjunctive basic-graph-pattern matching --------------------------------
+
+
+def q_bgp_match(spark, sf_dir):
+    """operators/graph_query.bgp_match: three-pattern conjunctive query
+    over an events-derived triple table — users who both clicked and
+    purchased, bound to their value deciles.  Exercises selectivity
+    ordering (constant-object patterns first), shared-variable joins,
+    and distinct-bindings semantics."""
+    from netbase_spark.operators.graph_query import bgp_match
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit(1).alias("rel"),
+        F.col("event_type").alias("obj"),
+    ).unionByName(
+        ev.select(
+            F.col("user_id").cast("string").alias("subj"),
+            F.lit(2).alias("rel"),
+            F.floor(F.col("value") / 10).cast("long").cast("string").alias("obj"),
+        )
+    )
+    return bgp_match(
+        triples,
+        [("?u", 1, "click"), ("?u", 1, "purchase"), ("?u", 2, "?d")],
+    )
+
+
+ORACLE_BGP_MATCH = """
+    WITH t AS (
+        SELECT CAST(user_id AS VARCHAR) AS subj, 1 AS rel,
+               event_type AS obj
+        FROM events
+        UNION ALL
+        SELECT CAST(user_id AS VARCHAR) AS subj, 2 AS rel,
+               CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS obj
+        FROM events
+    )
+    SELECT DISTINCT a.subj AS u, c.obj AS d
+    FROM t a, t b, t c
+    WHERE a.rel = 1 AND a.obj = 'click'
+      AND b.rel = 1 AND b.obj = 'purchase' AND b.subj = a.subj
+      AND c.rel = 2 AND c.subj = a.subj
+"""
+
+
+EXT5_QUERIES["bgp_match"] = q_bgp_match
+EXT5_ORACLES["bgp_match"] = ORACLE_BGP_MATCH
+
+
+# --- incremental additive-aggregate maintenance ------------------------------
+
+
+def q_degree_merge(spark, sf_dir):
+    """operators/evaluate.merge_counts: a degree table materialized over
+    half the incidence rows (event_id even), then incrementally updated
+    with the other half — must equal a full recount over the union,
+    without re-aggregating the existing half's raw rows."""
+    from netbase_spark.operators.evaluate import merge_counts
+
+    ev = _t(spark, sf_dir, "events")
+    node = F.col("user_id").cast("string").alias("node")
+    half_a = ev.where(F.pmod("event_id", F.lit(2)) == 0).select(node)
+    half_b = ev.where(F.pmod("event_id", F.lit(2)) == 1).select(node)
+    existing = half_a.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return merge_counts(existing, half_b, ("node",), "degree")
+
+
+ORACLE_DEGREE_MERGE = """
+    SELECT CAST(user_id AS VARCHAR) AS node, COUNT(*) AS degree
+    FROM events
+    GROUP BY 1
+"""
+
+
+EXT5_QUERIES["degree_merge"] = q_degree_merge
+EXT5_ORACLES["degree_merge"] = ORACLE_DEGREE_MERGE

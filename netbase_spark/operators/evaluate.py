@@ -120,6 +120,46 @@ def merge_triples(
     return existing.unionByName(fresh.select(*existing.columns))
 
 
+def merge_counts(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: tuple[str, ...],
+    count_col: str,
+    cap_bytes: int | None = None,
+) -> DataFrame:
+    """Incremental additive-aggregate maintenance: ``existing`` is a
+    materialized count table (key -> count), ``delta`` is raw rows to
+    count in; returns the updated table without re-aggregating history.
+
+    The reference keeps ``statementCount`` live per node as statements
+    insert (src/util.cpp:918-929, src/netbase.hpp:145); the distributed
+    analog must not re-scan the 100-TB fact table per batch.  Shape:
+    aggregate the delta (small), LEFT-join it onto existing via a
+    size-gated broadcast — existing is scanned, never shuffled — adding
+    counts where keys match; the delta's genuinely-new keys are found
+    with the same broadcast semi/anti trick as :func:`fresh_triples`
+    and appended.  Degree maintenance for the adjacency pipeline is
+    ``merge_counts(degrees, fresh_adjacency, ("node",), "degree")``."""
+    from netbase_spark.plans.broadcast_gate import gated_broadcast
+
+    kcols = list(keys)
+    dc = delta.groupBy(*kcols).agg(F.count(F.lit(1)).alias("_d"))
+    updated = (
+        existing.join(gated_broadcast(dc, cap_bytes), kcols, "left")
+        .select(
+            *kcols,
+            (F.col(count_col) + F.coalesce(F.col("_d"), F.lit(0))).alias(count_col),
+        )
+    )
+    dup_keys = existing.select(*kcols).join(
+        gated_broadcast(dc.select(*kcols), cap_bytes), kcols, "left_semi"
+    )
+    new_rows = dc.join(gated_broadcast(dup_keys, cap_bytes), kcols, "left_anti")
+    return updated.unionByName(
+        new_rows.select(*kcols, F.col("_d").alias(count_col))
+    )
+
+
 def construct_incremental(
     spark,
     existing: DataFrame,

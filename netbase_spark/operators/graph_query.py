@@ -1,0 +1,130 @@
+"""Conjunctive basic-graph-pattern (BGP) matching over the triple table.
+
+The reference's query surface composes per-subject condition trees
+(filter And/Or trees, src/query.cpp:735-833; bare where-terms
+src/query.cpp:1506-1533) and fixed multi-hop shapes (getTopic chains,
+src/query.cpp:2171; findProperties legs, src/query.cpp:2127-2351).  A
+BGP generalizes both: a list of (subj, rel, obj) patterns over shared
+variables — "?x Instance city, ?x population ?p" — evaluated as a join
+tree.  This is the SPARQL-core fragment a triple store needs; on Spark
+it is a sequence of self-joins over the one triple table, so the whole
+planner's job is ORDER and JOIN STRATEGY:
+
+- patterns are ordered most-constant-first (a (c, c, ?v) pattern is a
+  point/range scan; a (?a, c, ?b) pattern is a predicate partition; a
+  fully-variable pattern is a full scan) — the classic selectivity
+  heuristic, applied statically so the plan is deterministic;
+  ties keep user order, and patterns sharing NO variable with the
+  bindings so far are deferred (joining them early would be a
+  cartesian product);
+- each step filters the triple table on the pattern's constants
+  (predicate/subject pushdown reaches the scan — rel is the partition
+  column of the canonical table, materialize.write_triples) and joins
+  on the shared variables; Catalyst/AQE pick broadcast vs shuffle from
+  runtime sizes, so a selective first pattern makes every later join
+  broadcast-sized;
+- a pattern with no shared variable left (disconnected component)
+  falls back to an explicit crossJoin LAST, when bindings are already
+  minimal — documented, not accidental.
+
+Variables are ``?name`` strings; constants are matched with equality
+(rel constants as ints).  Output: one column per variable in first-
+appearance order, distinct bindings (set semantics, like the
+reference's dedup-at-insert result lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("subj", "rel", "obj")
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _selectivity(pattern) -> int:
+    """Lower sorts earlier: count of variables (0 = all constants)."""
+    return sum(1 for t in pattern if _is_var(t))
+
+
+def bgp_match(
+    triples: DataFrame, patterns: list[tuple], distinct: bool = True
+) -> DataFrame:
+    """Match a conjunctive BGP; returns bindings for every variable.
+
+    ``patterns`` is a list of (subj, rel, obj) with ``?var`` strings in
+    any position.  Raises on zero patterns or a pattern with no
+    variables that could never bind (constant-only patterns are allowed
+    — they act as existence filters via an inner join on no columns ==
+    a semi-join guard, implemented as a crossJoin with the 0/1-row
+    filtered table)."""
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+    for p in patterns:
+        if len(p) != 3:
+            raise ValueError(f"pattern must be (subj, rel, obj): {p!r}")
+
+    # static selectivity order, stable for ties (user order)
+    ordered = sorted(range(len(patterns)), key=lambda i: (_selectivity(patterns[i]), i))
+    pending = [patterns[i] for i in ordered]
+
+    out: DataFrame | None = None
+    var_order: list[str] = []
+    bound: set[str] = set()
+
+    while pending:
+        # prefer the next pattern that shares a variable with what's
+        # bound (avoids intermediate cartesian products); fall back to
+        # the head (first pattern, or a disconnected component joined
+        # against minimal bindings)
+        idx = 0
+        if bound:
+            for j, p in enumerate(pending):
+                if any(_is_var(t) and t in bound for t in p):
+                    idx = j
+                    break
+        pat = pending.pop(idx)
+
+        step = triples
+        for col, term in zip(_POS, pat):
+            if not _is_var(term):
+                step = step.where(F.col(col) == F.lit(term))
+        # project variables; a repeated variable inside ONE pattern
+        # (e.g. (?x, r, ?x)) becomes an equality filter
+        seen_here: dict[str, str] = {}
+        cols = []
+        for col, term in zip(_POS, pat):
+            if _is_var(term):
+                if term in seen_here:
+                    step = step.where(F.col(col) == F.col(seen_here[term]))
+                else:
+                    seen_here[term] = col
+                    cols.append(F.col(col).alias(term[1:]))
+        step = step.select(*cols) if cols else step.select(F.lit(1).alias("_one"))
+        if not cols:
+            # constant-only pattern: existence guard
+            step = step.limit(1)
+
+        pvars = [t for t in pat if _is_var(t)]
+        if out is None:
+            out = step
+        else:
+            on = [v[1:] for v in pvars if v in bound]
+            if not cols:
+                # constant-only existence guard: inner join with the
+                # 0/1-row table keeps or empties the bindings
+                out = out.crossJoin(step).drop("_one")
+            elif not on:
+                out = out.crossJoin(step)  # disconnected component, deferred
+            else:
+                out = out.join(step, on)
+        for v in pvars:
+            if v not in bound:
+                bound.add(v)
+                var_order.append(v[1:])
+
+    res = out.select(*var_order) if var_order else out
+    return res.distinct() if distinct else res

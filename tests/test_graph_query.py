@@ -1,0 +1,111 @@
+"""BGP matcher (operators/graph_query): join semantics, selectivity
+ordering, repeated variables, existence guards, disconnected products."""
+
+from __future__ import annotations
+
+import pytest
+
+from netbase_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="test_graph_query", cpus=4, shuffle_partitions=4,
+                  driver_memory="4g")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("berlin", 1, "city"), ("paris", 1, "city"), ("rhine", 1, "river"),
+        ("berlin", 2, "germany"), ("paris", 2, "france"),
+        ("germany", 1, "country"), ("france", 1, "country"),
+        ("berlin", 3, "berlin"),  # self-loop for the repeated-var case
+    ]
+    return spark.createDataFrame(rows, "subj string, rel int, obj string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_two_pattern_join(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    out = bgp_match(
+        triples, [("?x", 1, "city"), ("?x", 2, "?c")]
+    )
+    assert out.columns == ["x", "c"]
+    assert _rows(out) == [("berlin", "germany"), ("paris", "france")]
+
+
+def test_three_pattern_chain(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    out = bgp_match(
+        triples,
+        [("?x", 1, "city"), ("?x", 2, "?c"), ("?c", 1, "country")],
+    )
+    assert _rows(out) == [("berlin", "germany"), ("paris", "france")]
+
+
+def test_repeated_variable_in_one_pattern(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    out = bgp_match(triples, [("?x", 3, "?x")])
+    assert _rows(out) == [("berlin",)]
+
+
+def test_constant_only_existence_guard(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    hit = bgp_match(
+        triples, [("?x", 1, "city"), ("rhine", 1, "river")]
+    )
+    assert _rows(hit) == [("berlin",), ("paris",)]
+    miss = bgp_match(
+        triples, [("?x", 1, "city"), ("rhine", 1, "mountain")]
+    )
+    assert miss.count() == 0
+
+
+def test_disconnected_components_cross(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    out = bgp_match(
+        triples, [("?x", 1, "river"), ("?y", 1, "country")]
+    )
+    assert _rows(out) == [("rhine", "france"), ("rhine", "germany")]
+
+
+def test_variable_predicate(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    out = bgp_match(triples, [("berlin", "?p", "?o")])
+    assert out.columns == ["p", "o"]
+    assert _rows(out) == [(1, "city"), (2, "germany"), (3, "berlin")]
+
+
+def test_empty_patterns_raise(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    with pytest.raises(ValueError):
+        bgp_match(triples, [])
+    with pytest.raises(ValueError):
+        bgp_match(triples, [("?x", 1)])
+
+
+def test_selectivity_order_defers_full_scan(spark, triples):
+    """A fully-variable pattern listed FIRST must still evaluate last
+    (most-constant-first ordering): the result is the same, and the
+    first join step filters on the constant pattern."""
+    from netbase_spark.operators.graph_query import bgp_match
+
+    out = bgp_match(
+        triples, [("?x", "?p", "?o"), ("?x", 1, "city")]
+    )
+    assert set(out.columns) == {"x", "p", "o"}
+    got = _rows(out.select("x", "p", "o"))
+    assert ("berlin", 1, "city") in got and ("paris", 2, "france") in got
+    assert all(x in ("berlin", "paris") for x, _, _ in got)

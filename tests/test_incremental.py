@@ -96,3 +96,31 @@ def test_incremental_equals_full_rebuild(spark):
     # provenance of batch-A mention rows survived the merge untouched
     a_rows = {tuple(r) for r in existing.collect()}
     assert a_rows <= {tuple(r) for r in merged.collect()}
+
+
+def test_merge_counts_matches_full_recount(spark):
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.evaluate import merge_counts
+
+    rows_a = [("n1",), ("n1",), ("n2",)]
+    rows_b = [("n1",), ("n3",), ("n3",)]
+    a = spark.createDataFrame(rows_a, "node string")
+    b = spark.createDataFrame(rows_b, "node string")
+    existing = a.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    merged = merge_counts(existing, b, ("node",), "degree")
+    got = {(r.node, r.degree) for r in merged.collect()}
+    assert got == {("n1", 3), ("n2", 1), ("n3", 2)}
+    # forced-overflow path (cap=1 disables the broadcasts): same rows
+    got2 = {
+        (r.node, r.degree)
+        for r in merge_counts(existing, b, ("node",), "degree", cap_bytes=1).collect()
+    }
+    assert got2 == got
+    # empty delta: table unchanged
+    empty = spark.createDataFrame([], "node string")
+    unchanged = {
+        (r.node, r.degree)
+        for r in merge_counts(existing, empty, ("node",), "degree").collect()
+    }
+    assert unchanged == {("n1", 2), ("n2", 1)}
