@@ -50,6 +50,17 @@ def _selectivity(pattern) -> int:
     return sum(1 for t in pattern if _is_var(t))
 
 
+def _const_compatible(term, dtype) -> bool:
+    """Can a Python constant inhabit a column of this Spark type?"""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StringType):
+        return isinstance(term, str)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return isinstance(term, int) and not isinstance(term, bool)
+    return True  # other types: let Spark's own coercion rules decide
+
+
 def bgp_match(
     triples: DataFrame, patterns: list[tuple], distinct: bool = True
 ) -> DataFrame:
@@ -69,25 +80,64 @@ def bgp_match(
 
     # static selectivity order, stable for ties (user order)
     ordered = sorted(range(len(patterns)), key=lambda i: (_selectivity(patterns[i]), i))
-    pending = [patterns[i] for i in ordered]
 
-    out: DataFrame | None = None
+    # symbolic pre-pass: fix the execution sequence (shared-variable
+    # preference, see below), the output column order, and each
+    # variable's column TYPE.  A variable bound in two positions whose
+    # input columns have different Spark types (e.g. string subj vs int
+    # rel) can never match — the domains are disjoint — so the result
+    # is EMPTY by semantics; executing the join anyway would make ANSI
+    # mode throw a cast error on the first string node id.  The
+    # pre-pass returns the execution plan for the normal case and
+    # detects the conflict for the empty short-circuit.
+    dtype_of = {c: triples.schema[c].dataType for c in _POS}
+    pending_sym = [patterns[i] for i in ordered]
+    sequence: list[tuple] = []
     var_order: list[str] = []
-    bound: set[str] = set()
-
-    while pending:
-        # prefer the next pattern that shares a variable with what's
-        # bound (avoids intermediate cartesian products); fall back to
-        # the head (first pattern, or a disconnected component joined
-        # against minimal bindings)
+    var_type: dict[str, object] = {}
+    bound_sym: set[str] = set()
+    conflict = False
+    while pending_sym:
         idx = 0
-        if bound:
-            for j, p in enumerate(pending):
-                if any(_is_var(t) and t in bound for t in p):
+        if bound_sym:
+            for j, p in enumerate(pending_sym):
+                if any(_is_var(t) and t in bound_sym for t in p):
                     idx = j
                     break
-        pat = pending.pop(idx)
+        pat = pending_sym.pop(idx)
+        sequence.append(pat)
+        for col, term in zip(_POS, pat):
+            if _is_var(term):
+                dt = dtype_of[col]
+                if term in var_type:
+                    if var_type[term] != dt:
+                        conflict = True
+                else:
+                    var_type[term] = dt
+                if term not in bound_sym:
+                    bound_sym.add(term)
+                    var_order.append(term[1:])
+            elif not _const_compatible(term, dtype_of[col]):
+                # SPARQL-style: a constant whose type cannot inhabit the
+                # column (string literal in an int rel slot) matches
+                # nothing — same empty short-circuit as a var conflict
+                conflict = True
+    if conflict:
+        from pyspark.sql import types as T
 
+        schema = T.StructType(
+            [T.StructField(v[1:], var_type[v]) for v in bound_sym
+             if v[1:] in var_order]
+        )
+        # preserve the first-appearance column order
+        schema = T.StructType(sorted(schema.fields, key=lambda f: var_order.index(f.name)))
+        return triples.sparkSession.createDataFrame([], schema)
+
+    out: DataFrame | None = None
+    bound: set[str] = set()
+    var_order = []
+
+    for pat in sequence:
         step = triples
         for col, term in zip(_POS, pat):
             if not _is_var(term):
@@ -112,7 +162,7 @@ def bgp_match(
         if out is None:
             out = step
         else:
-            on = [v[1:] for v in pvars if v in bound]
+            on = list(dict.fromkeys(v[1:] for v in pvars if v in bound))
             if not cols:
                 # constant-only existence guard: inner join with the
                 # 0/1-row table keeps or empties the bindings
