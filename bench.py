@@ -155,6 +155,7 @@ HEADLINE = [
     "triple_pr",
     "triple_upsert",
     "bgp_match",
+    "degree_merge",
 ]
 
 

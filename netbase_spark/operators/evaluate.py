@@ -63,7 +63,10 @@ def triple_set_pr(
         F.col("expected_n").cast("long").alias("expected_n"),
         F.round(p, 6).alias("precision"),
         F.round(r, 6).alias("recall"),
-        F.round(2 * p * r / (p + r), 6).alias("f1"),
+        # tp=0 makes p+r zero; define f1=0.0 instead of NaN
+        F.when(p + r > 0, F.round(2 * p * r / (p + r), 6))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
     )
 
 
