@@ -163,6 +163,7 @@ HEADLINE = [
     "triple_upsert",
     "bgp_match",
     "degree_merge",
+    "triple_pr_by_rel",
 ]
 
 

@@ -238,3 +238,61 @@ ORACLE_DEGREE_MERGE = """
 
 EXT5_QUERIES["degree_merge"] = q_degree_merge
 EXT5_ORACLES["degree_merge"] = ORACLE_DEGREE_MERGE
+
+
+def q_triple_pr_by_rel(spark, sf_dir):
+    """triple_set_pr grouped by a key column (by=("obj",)): per-group
+    P/R between the same two overlapping edge sets — the per-predicate
+    regression diagnostic.  Ratios re-derived from exact longs with
+    integer div, as in triple_pr."""
+    from netbase_spark.operators.evaluate import triple_set_pr
+
+    ev = _t(spark, sf_dir, "events")
+    pr = triple_set_pr(
+        _event_triples(ev, 50.0), _event_triples(ev, 20.0), by=("obj",)
+    )
+    return pr.select(
+        "obj",
+        "tp",
+        "got_n",
+        "expected_n",
+        F.expr("tp * 1000000 div got_n").alias("precision_e6"),
+        F.expr("tp * 1000000 div expected_n").alias("recall_e6"),
+    )
+
+
+ORACLE_TRIPLE_PR_BY_REL = """
+    WITH g AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS subj, 1 AS rel,
+               event_type AS obj
+        FROM events WHERE value > 50.0
+    ),
+    e AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS subj, 1 AS rel,
+               event_type AS obj
+        FROM events WHERE value > 20.0
+    ),
+    keys AS (
+        SELECT subj, rel, obj,
+               MAX(CASE WHEN side = 'g' THEN 1 ELSE 0 END) AS ing,
+               MAX(CASE WHEN side = 'e' THEN 1 ELSE 0 END) AS ine
+        FROM (
+            SELECT subj, rel, obj, 'g' AS side FROM g
+            UNION ALL
+            SELECT subj, rel, obj, 'e' AS side FROM e
+        )
+        GROUP BY subj, rel, obj
+    )
+    SELECT obj,
+           CAST(SUM(ing * ine) AS BIGINT) AS tp,
+           CAST(SUM(ing) AS BIGINT) AS got_n,
+           CAST(SUM(ine) AS BIGINT) AS expected_n,
+           CAST((SUM(ing * ine) * 1000000) // SUM(ing) AS BIGINT) AS precision_e6,
+           CAST((SUM(ing * ine) * 1000000) // SUM(ine) AS BIGINT) AS recall_e6
+    FROM keys
+    GROUP BY obj
+"""
+
+
+EXT5_QUERIES["triple_pr_by_rel"] = q_triple_pr_by_rel
+EXT5_ORACLES["triple_pr_by_rel"] = ORACLE_TRIPLE_PR_BY_REL

@@ -31,17 +31,24 @@ def triple_set_pr(
     got: DataFrame,
     expected: DataFrame,
     keys: tuple[str, ...] = TRIPLE_KEYS,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """One-row (tp, got_n, expected_n, precision, recall, f1) between
-    two triple tables, distinct on ``keys``.
+    """(tp, got_n, expected_n, precision, recall, f1) between two triple
+    tables, distinct on ``keys`` — one global row, or one row per
+    ``by`` group (``by`` must be a subset of ``keys``; e.g.
+    ``by=("rel",)`` grades each predicate separately, the diagnostic a
+    P/R regression hunt actually needs).
 
     ONE wide shuffle total: tag each side, union, groupBy the key
     (map-side partial agg collapses per-side duplicates before the
-    exchange), then a singleton agg.  The key (subj, rel, obj) is
-    near-unique, so no hub skew; compare with the naive plan
-    (2 distincts + a join = 3 shuffles).  Ratios are rounded to 1e-6 so
-    the number is engine-portable (IEEE double division of exact longs,
-    then a decimal round both engines implement identically)."""
+    exchange), then a singleton (or by-keyed) agg.  The key
+    (subj, rel, obj) is near-unique, so no hub skew; compare with the
+    naive plan (2 distincts + a join = 3 shuffles).  Ratios are rounded
+    to 1e-6 so the number is engine-portable (IEEE double division of
+    exact longs, then a decimal round both engines implement
+    identically)."""
+    if not set(by) <= set(keys):
+        raise ValueError(f"by columns {by!r} must be a subset of keys {keys!r}")
     kcols = list(keys)
     g = got.select(*kcols).withColumn("g", F.lit(1)).withColumn("e", F.lit(0))
     e = expected.select(*kcols).withColumn("g", F.lit(0)).withColumn("e", F.lit(1))
@@ -50,14 +57,20 @@ def triple_set_pr(
         .groupBy(*kcols)
         .agg(F.max("g").alias("g"), F.max("e").alias("e"))
     )
-    agg = per_key.agg(
+    measures = [
         F.sum(F.col("g") * F.col("e")).alias("tp"),
         F.sum("g").alias("got_n"),
         F.sum("e").alias("expected_n"),
+    ]
+    agg = per_key.groupBy(*by).agg(*measures) if by else per_key.agg(*measures)
+    # a by-group can be empty on one side; define the 0-denominator
+    # ratios as 0.0 instead of NaN/null
+    p = F.when(F.col("got_n") > 0, F.col("tp") / F.col("got_n")).otherwise(F.lit(0.0))
+    r = F.when(F.col("expected_n") > 0, F.col("tp") / F.col("expected_n")).otherwise(
+        F.lit(0.0)
     )
-    p = F.col("tp") / F.col("got_n")
-    r = F.col("tp") / F.col("expected_n")
     return agg.select(
+        *by,
         F.col("tp").cast("long").alias("tp"),
         F.col("got_n").cast("long").alias("got_n"),
         F.col("expected_n").cast("long").alias("expected_n"),

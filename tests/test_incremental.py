@@ -124,3 +124,31 @@ def test_merge_counts_matches_full_recount(spark):
         for r in merge_counts(existing, empty, ("node",), "degree").collect()
     }
     assert unchanged == {("n1", 2), ("n2", 1)}
+
+
+def test_triple_set_pr_by_group(spark):
+    from netbase_spark.operators.evaluate import triple_set_pr
+
+    got = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 1, "y"), ("c", 2, "z")],
+        "subj string, rel int, obj string",
+    )
+    exp = spark.createDataFrame(
+        [("a", 1, "x"), ("d", 1, "y"), ("e", 3, "w")],
+        "subj string, rel int, obj string",
+    )
+    rows = {r.rel: r for r in triple_set_pr(got, exp, by=("rel",)).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].tp, rows[1].got_n, rows[1].expected_n) == (1, 2, 2)
+    assert rows[1].precision == 0.5 and rows[1].recall == 0.5
+    # group present only in got: recall over 0 expected -> 0.0, not NaN
+    assert (rows[2].tp, rows[2].got_n, rows[2].expected_n) == (0, 1, 0)
+    assert rows[2].recall == 0.0 and rows[2].f1 == 0.0
+    # group present only in expected
+    assert (rows[3].tp, rows[3].got_n, rows[3].expected_n) == (0, 0, 1)
+    assert rows[3].precision == 0.0
+    # by must be a subset of keys
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        triple_set_pr(got, exp, by=("nope",))
