@@ -19,8 +19,12 @@ has no package installation or network access to obtain one.  What IS
 covered: the catalog gate (fails loudly, never silently —
 tests/test_new_operators.py::test_table_io_snapshot_roundtrip_and_iceberg_gate),
 the parquet snapshot round-trip incl. a partitioned layout (same
-test), resume-from-snapshot (tests/test_pipeline_pr.py), and the
-fast-append analog (:func:`link_partition_files`).  On a cluster with
+test), resume-from-snapshot (tests/test_pipeline_pr.py), the
+fast-append analog (:func:`link_partition_files`), and — in
+``plans/versioned.py`` — manifest-based SNAPSHOT VERSIONING itself
+(fast-append commits, time travel, rollback, replay-idempotent
+batch ids, version expiry), i.e. the Iceberg semantics the north star
+names, exercised end-to-end over plain parquet.  On a cluster with
 the jar, ``write_snapshot(df, 'cat.db.t', fmt='iceberg')`` is the
 single switch point.
 """
