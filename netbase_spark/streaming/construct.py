@@ -47,15 +47,24 @@ def start_incremental_construct(
     artifacts=None,
     available_now: bool = True,
     max_files_per_trigger: int = 8,
+    versioned: bool = False,
 ) -> StreamingQuery:
     """Start (or resume, via checkpoint) the full-construction stream:
     new doc files under ``landing_dir`` -> canonical triples appended
     to the parquet table at ``table_dir``.  ``available_now=True``
-    drains the backlog then stops (batch-equivalent semantics)."""
+    drains the backlog then stops (batch-equivalent semantics).
+
+    ``versioned=True`` makes ``table_dir`` a snapshot-versioned table
+    (plans/versioned): each micro-batch commits one manifest version
+    tagged with its foreachBatch id — replay after a mid-commit crash
+    is a manifest-level no-op (on TOP of the key anti-join, which
+    dedups re-ingested documents), any intermediate graph state stays
+    time-travel readable, and rollback is O(1)."""
     from netbase_spark.operators.mentions import (
         scan_mention_triples_prepared,
         scan_mention_triples_shuffle,
     )
+    from netbase_spark.plans import versioned as V
     from netbase_spark.plans.synth_pipeline import build_artifacts
 
     if artifacts is None:
@@ -64,7 +73,10 @@ def start_incremental_construct(
     # seed the table with the label-side triples exactly once, BEFORE
     # the stream starts: they are docs-independent, and seeding them
     # here keeps every micro-batch append doc-derived only
-    if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+    if versioned:
+        if V.current_version(table_dir) is None:
+            V.create(artifacts.label_triples, table_dir)
+    elif not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
         artifacts.label_triples.write.mode("overwrite").parquet(table_dir)
 
     def process_batch(docs: DataFrame, batch_id: int) -> None:
@@ -87,25 +99,37 @@ def start_incremental_construct(
         # is scanned, never shuffled
         from netbase_spark.operators.evaluate import fresh_triples
 
-        existing = spark.read.parquet(table_dir)
+        existing = (
+            V.read(spark, table_dir) if versioned
+            else spark.read.parquet(table_dir)
+        )
         fresh = fresh_triples(existing, batch).select(*existing.columns)
         # north-rule metrics + lineage, at zero extra jobs: row count via
         # an Observation on the write itself; per-partition lineage from
-        # the parquet footers of the files THIS batch appended (file-list
-        # diff + driver-side metadata reads, same discipline as
-        # plans/pipeline._file_stats)
+        # the parquet footers of the files THIS batch appended (manifest
+        # diff in versioned mode, file-list diff otherwise — same
+        # discipline as plans/pipeline._file_stats)
         obs = Observation(f"construct_batch_{batch_id}")
-        before = set(glob.glob(os.path.join(table_dir, "part-*.parquet")))
+        observed = fresh.observe(obs, F.count(F.lit(1)).alias("rows"))
         t0 = time.time()
-        fresh.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "append"
-        ).parquet(table_dir)
+        if versioned:
+            parent = V.read_manifest(table_dir)
+            v = V.append(observed, table_dir, batch_id=batch_id)
+            if v == parent["version"]:  # replayed batch: no-op commit
+                return
+            added = set(V.read_manifest(table_dir)["files"]) - set(parent["files"])
+            new_files = sorted(
+                os.path.join(table_dir, "data", f) for f in added
+            )
+        else:
+            before = set(glob.glob(os.path.join(table_dir, "part-*.parquet")))
+            observed.write.mode("append").parquet(table_dir)
+            new_files = sorted(
+                set(glob.glob(os.path.join(table_dir, "part-*.parquet"))) - before
+            )
         secs = round(time.time() - t0, 3)
         import pyarrow.parquet as pq
 
-        new_files = sorted(
-            set(glob.glob(os.path.join(table_dir, "part-*.parquet"))) - before
-        )
         rec = {
             "batch_id": batch_id,
             "fresh_rows": obs.get["rows"],
