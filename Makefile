@@ -1,7 +1,7 @@
 # netbase_spark verification targets.
 #
 # The grading driver samples ~50 of the contract queries per round; the
-# FULL 102-query oracle check lives in `make check` — run it (or `make
+# FULL 104-query oracle check lives in `make check` — run it (or `make
 # verify`) before every push so the never-sampled queries stay green
 # (round-2 verdict item 6).
 

@@ -164,6 +164,8 @@ HEADLINE = [
     "bgp_match",
     "degree_merge",
     "triple_pr_by_rel",
+    "bgp_optional",
+    "bgp_not_exists",
 ]
 
 

@@ -296,3 +296,83 @@ ORACLE_TRIPLE_PR_BY_REL = """
 
 EXT5_QUERIES["triple_pr_by_rel"] = q_triple_pr_by_rel
 EXT5_ORACLES["triple_pr_by_rel"] = ORACLE_TRIPLE_PR_BY_REL
+
+
+def _bgp_event_triples(ev):
+    """Shared triple derivation for the BGP queries: rel 1 = event-type
+    edges; rel 2 = value-decile edges for HIGH-value events only (>400,
+    rare), so OPTIONAL genuinely leaves nulls."""
+    t1 = ev.select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit(1).alias("rel"),
+        F.col("event_type").alias("obj"),
+    )
+    t2 = ev.where(F.col("value") > 400.0).select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit(2).alias("rel"),
+        F.floor(F.col("value") / 10).cast("long").cast("string").alias("obj"),
+    )
+    return t1.unionByName(t2)
+
+
+_BGP_SQL_T = """
+        SELECT CAST(user_id AS VARCHAR) AS subj, 1 AS rel,
+               event_type AS obj
+        FROM events
+        UNION ALL
+        SELECT CAST(user_id AS VARCHAR) AS subj, 2 AS rel,
+               CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS obj
+        FROM events WHERE value > 400.0
+"""
+
+
+def q_bgp_optional(spark, sf_dir):
+    """bgp_match with a SPARQL-OPTIONAL leg: users who clicked, with
+    their high-value decile where one exists, null otherwise."""
+    from netbase_spark.operators.graph_query import bgp_match
+
+    ev = _t(spark, sf_dir, "events")
+    return bgp_match(
+        _bgp_event_triples(ev),
+        [("?u", 1, "click")],
+        optional=[("?u", 2, "?d")],
+    )
+
+
+ORACLE_BGP_OPTIONAL = f"""
+    WITH t AS ({_BGP_SQL_T})
+    SELECT DISTINCT a.subj AS u, b.obj AS d
+    FROM t a
+    LEFT JOIN t b ON b.rel = 2 AND b.subj = a.subj
+    WHERE a.rel = 1 AND a.obj = 'click'
+"""
+
+
+def q_bgp_not_exists(spark, sf_dir):
+    """bgp_match with a FILTER NOT EXISTS leg: users who clicked but
+    have NO high-value decile edge."""
+    from netbase_spark.operators.graph_query import bgp_match
+
+    ev = _t(spark, sf_dir, "events")
+    return bgp_match(
+        _bgp_event_triples(ev),
+        [("?u", 1, "click")],
+        not_exists=[("?u", 2, "?d")],
+    )
+
+
+ORACLE_BGP_NOT_EXISTS = f"""
+    WITH t AS ({_BGP_SQL_T})
+    SELECT DISTINCT a.subj AS u
+    FROM t a
+    WHERE a.rel = 1 AND a.obj = 'click'
+      AND NOT EXISTS (
+          SELECT 1 FROM t b WHERE b.rel = 2 AND b.subj = a.subj
+      )
+"""
+
+
+EXT5_QUERIES["bgp_optional"] = q_bgp_optional
+EXT5_QUERIES["bgp_not_exists"] = q_bgp_not_exists
+EXT5_ORACLES["bgp_optional"] = ORACLE_BGP_OPTIONAL
+EXT5_ORACLES["bgp_not_exists"] = ORACLE_BGP_NOT_EXISTS

@@ -61,8 +61,34 @@ def _const_compatible(term, dtype) -> bool:
     return True  # other types: let Spark's own coercion rules decide
 
 
+def _pattern_step(triples: DataFrame, pat) -> tuple[DataFrame, list[str]]:
+    """Filter ``triples`` on the pattern's constants and project its
+    variables (repeated variables inside the pattern become equality
+    filters).  Returns (step_df, unique ?vars in position order); a
+    variable-free pattern projects a single ``_one`` literal."""
+    step = triples
+    for col, term in zip(_POS, pat):
+        if not _is_var(term):
+            step = step.where(F.col(col) == F.lit(term))
+    seen: dict[str, str] = {}
+    cols = []
+    for col, term in zip(_POS, pat):
+        if _is_var(term):
+            if term in seen:
+                step = step.where(F.col(col) == F.col(seen[term]))
+            else:
+                seen[term] = col
+                cols.append(F.col(col).alias(term[1:]))
+    step = step.select(*cols) if cols else step.select(F.lit(1).alias("_one"))
+    return step, list(seen)
+
+
 def bgp_match(
-    triples: DataFrame, patterns: list[tuple], distinct: bool = True
+    triples: DataFrame,
+    patterns: list[tuple],
+    distinct: bool = True,
+    optional: list[tuple] | None = None,
+    not_exists: list[tuple] | None = None,
 ) -> DataFrame:
     """Match a conjunctive BGP; returns bindings for every variable.
 
@@ -71,10 +97,21 @@ def bgp_match(
     variables that could never bind (constant-only patterns are allowed
     — they act as existence filters via an inner join on no columns ==
     a semi-join guard, implemented as a crossJoin with the 0/1-row
-    filtered table)."""
+    filtered table).
+
+    ``optional`` patterns LEFT-join after the required block (SPARQL
+    OPTIONAL): their new variables bind where the pattern matches and
+    are null elsewhere.  ``not_exists`` patterns ANTI-join (SPARQL
+    FILTER NOT EXISTS): bindings with a match are removed; variables
+    appearing only there are existential, never output.  Each
+    optional/not_exists pattern is independent (a single-pattern group,
+    not a nested group graph pattern) and must share at least one
+    variable with the required block.  The same cross-domain type rule
+    applies: an optional pattern that can never match contributes null
+    columns; an impossible not_exists pattern removes nothing."""
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
-    for p in patterns:
+    for p in list(patterns) + list(optional or []) + list(not_exists or []):
         if len(p) != 3:
             raise ValueError(f"pattern must be (subj, rel, obj): {p!r}")
 
@@ -122,16 +159,62 @@ def bgp_match(
                 # column (string literal in an int rel slot) matches
                 # nothing — same empty short-circuit as a var conflict
                 conflict = True
+
+    def _side_plan(pats, kind):
+        """Symbolic pass for optional/not_exists patterns: per pattern
+        (possible?, vars shared with the required block, new vars with
+        their position types).  Validates the shared-variable rule."""
+        plan = []
+        seen_new: set[str] = set()
+        for pat in pats or []:
+            shared = [t for t in dict.fromkeys(pat) if _is_var(t) and t in bound_sym]
+            if not shared:
+                raise ValueError(
+                    f"{kind} pattern {pat!r} shares no variable with the "
+                    "required patterns"
+                )
+            possible = True
+            new: list[tuple[str, object]] = []
+            local_type: dict[str, object] = {}
+            for col, term in zip(_POS, pat):
+                if _is_var(term):
+                    dt = dtype_of[col]
+                    known = var_type.get(term, local_type.get(term))
+                    if known is not None and known != dt:
+                        possible = False
+                    if term not in bound_sym and term not in local_type:
+                        local_type[term] = dt
+                        new.append((term, dt))
+                elif not _const_compatible(term, dtype_of[col]):
+                    possible = False
+            if kind == "optional":
+                for v, _dt in new:
+                    if v in seen_new:
+                        raise ValueError(
+                            f"optional variable {v!r} appears in two optional "
+                            "patterns; optionals are independent single-"
+                            "pattern groups and cannot correlate"
+                        )
+                    seen_new.add(v)
+            plan.append((pat, possible, shared, new))
+        return plan
+
+    opt_plan = _side_plan(optional, "optional")
+    ne_plan = _side_plan(not_exists, "not_exists")
+
     if conflict:
         from pyspark.sql import types as T
 
-        schema = T.StructType(
-            [T.StructField(v[1:], var_type[v]) for v in bound_sym
-             if v[1:] in var_order]
-        )
-        # preserve the first-appearance column order
-        schema = T.StructType(sorted(schema.fields, key=lambda f: var_order.index(f.name)))
-        return triples.sparkSession.createDataFrame([], schema)
+        fields = [
+            T.StructField(v[1:], var_type[v]) for v in bound_sym
+            if v[1:] in var_order
+        ]
+        fields.sort(key=lambda f: var_order.index(f.name))
+        # the required block can never match, so optional vars are all
+        # null — but they are still output columns
+        for _pat, _possible, _shared, new in opt_plan:
+            fields.extend(T.StructField(v[1:], dt) for v, dt in new)
+        return triples.sparkSession.createDataFrame([], T.StructType(fields))
 
     out: DataFrame | None = None
     bound: set[str] = set()
@@ -175,6 +258,27 @@ def bgp_match(
             if v not in bound:
                 bound.add(v)
                 var_order.append(v[1:])
+
+    # OPTIONAL: left-join each pattern on its required-shared variables;
+    # an impossible pattern (type conflict) contributes its new columns
+    # as typed nulls
+    for pat, possible, shared, new in opt_plan:
+        if possible:
+            step, pvars = _pattern_step(triples, pat)
+            keep = [t[1:] for t in shared] + [v[1:] for v, _dt in new]
+            out = out.join(step.select(*keep), [t[1:] for t in shared], "left")
+        else:
+            for v, dt in new:
+                out = out.withColumn(v[1:], F.lit(None).cast(dt))
+        var_order.extend(v[1:] for v, _dt in new)
+
+    # FILTER NOT EXISTS: anti-join on the required-shared variables;
+    # an impossible pattern matches nothing, so it removes nothing
+    for pat, possible, shared, _new in ne_plan:
+        if possible:
+            step, _pvars = _pattern_step(triples, pat)
+            on = [t[1:] for t in shared]
+            out = out.join(step.select(*on), on, "left_anti")
 
     res = out.select(*var_order) if var_order else out
     return res.distinct() if distinct else res

@@ -109,3 +109,62 @@ def test_selectivity_order_defers_full_scan(spark, triples):
     got = _rows(out.select("x", "p", "o"))
     assert ("berlin", 1, "city") in got and ("paris", 2, "france") in got
     assert all(x in ("berlin", "paris") for x, _, _ in got)
+
+
+def test_optional_pattern_binds_or_null(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    out = bgp_match(
+        triples, [("?x", 1, "city")], optional=[("?x", 2, "?c")]
+    )
+    assert out.columns == ["x", "c"]
+    got = {(r.x, r.c) for r in out.collect()}
+    assert got == {("berlin", "germany"), ("paris", "france")}
+    # an optional that never matches leaves nulls, keeps the row
+    out2 = bgp_match(
+        triples, [("?x", 1, "river")], optional=[("?x", 2, "?c")]
+    )
+    assert {(r.x, r.c) for r in out2.collect()} == {("rhine", None)}
+
+
+def test_optional_type_conflict_yields_typed_nulls(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    # ?x is a string (subj); using it in the int rel slot can't match,
+    # so ?o is all-null but still an output column
+    out = bgp_match(
+        triples, [("?x", 1, "city")], optional=[("berlin", "?x", "?o")]
+    )
+    assert out.columns == ["x", "o"]
+    assert {(r.x, r.o) for r in out.collect()} == {
+        ("berlin", None), ("paris", None)
+    }
+
+
+def test_not_exists_filters_bindings(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    # cities without a rel-3 self-loop: berlin has one, paris doesn't
+    out = bgp_match(
+        triples, [("?x", 1, "city")], not_exists=[("?x", 3, "?y")]
+    )
+    assert {r.x for r in out.collect()} == {"paris"}
+    # impossible not_exists (string var in rel slot) removes nothing
+    out2 = bgp_match(
+        triples, [("?x", 1, "city")], not_exists=[("berlin", "?x", "?y")]
+    )
+    assert {r.x for r in out2.collect()} == {"berlin", "paris"}
+
+
+def test_optional_not_exists_validation(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    with pytest.raises(ValueError):  # no shared variable
+        bgp_match(triples, [("?x", 1, "city")], optional=[("?y", 2, "?c")])
+    with pytest.raises(ValueError):  # correlated optionals forbidden
+        bgp_match(
+            triples, [("?x", 1, "city")],
+            optional=[("?x", 2, "?c"), ("?c", 1, "?x")],
+        )
+    with pytest.raises(ValueError):  # not_exists must share too
+        bgp_match(triples, [("?x", 1, "city")], not_exists=[("?a", 1, "?b")])
