@@ -149,6 +149,94 @@ def connected_components(
     return mapping.where(F.col("node") != F.col("rep"))
 
 
+def merge_mapping(
+    mapping: DataFrame, new_edges: DataFrame, **cc_kwargs
+) -> DataFrame:
+    """Incremental canonical-map maintenance: fold new sameAs/merge
+    edges into an existing ``(node, rep)`` mapping WITHOUT recomputing
+    connected components over the historical edge set.
+
+    The reference can splice a merge at any time (``:merge``,
+    src/console.cpp:397-407 -> ``mergeNode`` src/netbase.cpp:2610-2638);
+    the distributed analog must not pay an O(all-edges) CC solve per
+    correction batch.  Shape:
+
+    1. route both endpoints of the new edges through the CURRENT map
+       (left joins, coalesce to self) — edges now connect current
+       representatives;
+    2. solve CC on that rep-level edge set ONLY (delta-sized: touched
+       components + brand-new nodes, never the full node universe);
+    3. fold the delta back: old entries whose rep was re-rooted follow
+       it (mapping side scanned once, delta side broadcast), and the
+       delta's own entries (old reps / fresh nodes -> new reps) append.
+
+    The min-rep invariant is preserved: each old rep is already the min
+    of its component, so the min over a merged set of reps IS the min
+    over the merged components' full membership.  Equality with a full
+    recompute over the edge union is pinned by tests and by the
+    ``cc_incremental`` contract query (recursive-CTE DuckDB oracle).
+    """
+    m_src = mapping.select(F.col("node").alias("src"), F.col("rep").alias("_sr"))
+    m_dst = mapping.select(F.col("node").alias("dst"), F.col("rep").alias("_dr"))
+    rep_edges = (
+        new_edges.join(m_src, "src", "left")
+        .join(m_dst, "dst", "left")
+        .select(
+            F.coalesce("_sr", "src").alias("src"),
+            F.coalesce("_dr", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    delta = connected_components(rep_edges, **cc_kwargs)
+    # delta nodes are current reps or previously-unmapped nodes, so they
+    # are disjoint from mapping's node column; the union needs no dedup.
+    d2 = F.broadcast(
+        delta.select(F.col("node").alias("rep"), F.col("rep").alias("_r2"))
+    )
+    updated = mapping.join(d2, "rep", "left").select(
+        "node", F.coalesce("_r2", "rep").alias("rep")
+    )
+    return updated.unionByName(delta).where(F.col("node") != F.col("rep"))
+
+
+def mapping_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """The entries of ``new`` whose rep differs from ``old``'s (including
+    nodes ``old`` did not map at all) — exactly the node set whose
+    canonical target changed, i.e. the rewrite frontier for
+    :func:`recanonicalize_delta`.  Anti join on the full (node, rep)
+    pair; both sides are dimension-sized maps."""
+    return new.join(old, ["node", "rep"], "left_anti")
+
+
+def recanonicalize_delta(table: DataFrame, changed: DataFrame) -> DataFrame:
+    """Re-canonicalize an EXISTING triple table after a mapping delta,
+    rewriting only the touched rows: a row is touched iff its subj or
+    obj is in ``changed`` (the :func:`mapping_delta` output — values in
+    a previously-canonicalized table are old reps or unmapped nodes, and
+    those are precisely the node keys a delta can contain).  Untouched
+    rows pass through without a shuffle; touched rows (delta-bounded)
+    run the standard three-join rewrite, then merge back with
+    first-writer provenance (a rewrite can land on a key the untouched
+    side already holds — the reference's dedup-at-insert keeps the
+    stored statement, src/netbase.cpp:760-767)."""
+    from netbase_spark.operators.evaluate import merge_triples
+
+    chs = F.broadcast(
+        changed.select(F.col("node").alias("subj"), F.lit(1).alias("_ts"))
+    )
+    cho = F.broadcast(
+        changed.select(F.col("node").alias("obj"), F.lit(1).alias("_to"))
+    )
+    t = table.join(chs, "subj", "left").join(cho, "obj", "left")
+    untouched = t.where(F.col("_ts").isNull() & F.col("_to").isNull()).drop(
+        "_ts", "_to"
+    )
+    touched = t.where(F.col("_ts").isNotNull() | F.col("_to").isNotNull()).drop(
+        "_ts", "_to"
+    )
+    return merge_triples(untouched, rewrite_triples(touched, changed))
+
+
 def merge_all_edges(aliases: DataFrame, word: str | None = None) -> DataFrame:
     """``mergeAll`` (src/netbase.cpp:2491-2497): merge every entity
     sharing one surface form into a single node — emitted as star edges

@@ -279,6 +279,27 @@ def prepare_triple_scan(
     return _broadcast_gazetteer(spark, dict(alias_to_entity), blacklist, automaton)
 
 
+def remap_scan_entities(spark, bc, rep_of: dict[str, str]):
+    """Refresh a :func:`prepare_triple_scan` broadcast after a canonical-
+    map delta: alias -> entity values route through ``rep_of`` (old rep
+    -> new rep); aliases whose entity is untouched keep it.  The
+    automaton structure (trie / probe indexes) is REUSED — the alias key
+    set is unchanged, and rebuilding it is the O(gazetteer) driver cost
+    the incremental loop exists to avoid (minutes at 10^7-10^8 aliases,
+    BENCH/gazetteer_scale_probe.json).  The old broadcast is released.
+    Reference semantics: ``mergeNode`` rewrites ids in place and later
+    lookups see the merged node (src/netbase.cpp:2610-2638)."""
+    payload = bc.value
+    amap = payload[1]
+    if not isinstance(amap, dict):
+        raise ValueError("broadcast does not carry an alias->entity map")
+    new_map = {k: rep_of.get(v, v) for k, v in amap.items()}
+    new_payload = (payload[0], new_map) + tuple(payload[2:])
+    out = spark.sparkContext.broadcast(new_payload)
+    bc.unpersist()
+    return out
+
+
 def scan_mention_triples_prepared(
     docs: DataFrame, bc, german: bool = False
 ) -> DataFrame:

@@ -72,6 +72,10 @@ def read_manifest(table: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+def _schema_json(df: DataFrame) -> str:
+    return df.schema.json()
+
+
 def _write_batch_files(df: DataFrame, table: str) -> list[str]:
     """Materialize a batch as immutable uniquely-named files under
     data/ via a staging write + hardlink publish; returns the new
@@ -112,7 +116,13 @@ def create(df: DataFrame, table: str) -> int:
     files = _write_batch_files(df, table)
     return _commit(
         table,
-        {"version": 0, "files": files, "batch_ids": [], "parent": None},
+        {
+            "version": 0,
+            "files": files,
+            "batch_ids": [],
+            "parent": None,
+            "schema": _schema_json(df),
+        },
     )
 
 
@@ -125,31 +135,68 @@ def append(df: DataFrame, table: str, batch_id: str | int | None = None) -> int:
     if batch_id is not None and str(batch_id) in committed:
         return man["version"]
     files = _write_batch_files(df, table)
-    # next version must exceed EVERY existing manifest, not just the
-    # parent: after a rollback, parent+1 would overwrite the
-    # rolled-back-over manifest and clobber its lineage
+    new = {
+        "version": _next_version(table),
+        "files": man["files"] + files,
+        "batch_ids": sorted(committed | ({str(batch_id)} if batch_id is not None else set())),
+        "parent": man["version"],
+        "schema": man.get("schema") or _schema_json(df),
+    }
+    return _commit(table, new)
+
+
+def _next_version(table: str) -> int:
+    """Next version number: must exceed EVERY existing manifest, not
+    just the parent — after a rollback, parent+1 would overwrite the
+    rolled-back-over manifest and clobber its lineage."""
     existing = [
         int(f[1:9]) for f in os.listdir(_vdir(table))
         if f.startswith("v") and f.endswith(".json")
     ]
+    return max(existing) + 1
+
+
+def replace(df: DataFrame, table: str, batch_id: str | int | None = None) -> int:
+    """Commit ``df`` as a new version whose file list is ONLY the new
+    files — a full-table rewrite commit (the Iceberg
+    overwrite/rewrite-snapshot analog).  Used when a late merge
+    re-canonicalizes existing rows (streaming/construct.apply_merges):
+    the old version's files are untouched and stay time-travel readable
+    until ``expire_versions``.  Same ``batch_id`` replay idempotence as
+    :func:`append`."""
+    man = read_manifest(table)
+    committed = set(man.get("batch_ids") or [])
+    if batch_id is not None and str(batch_id) in committed:
+        return man["version"]
+    files = _write_batch_files(df, table)
     new = {
-        "version": max(existing) + 1,
-        "files": man["files"] + files,
+        "version": _next_version(table),
+        "files": files,
         "batch_ids": sorted(committed | ({str(batch_id)} if batch_id is not None else set())),
         "parent": man["version"],
+        "schema": _schema_json(df),
     }
     return _commit(table, new)
 
 
 def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """DataFrame over the exact file set of ``version`` (default
-    CURRENT).  An empty file list yields an empty scan via an impossible
-    filter on an arbitrary committed schema — callers always created the
-    table with at least a schema-bearing version 0."""
+    CURRENT).  An empty file list (a version committed from a DataFrame
+    whose write produced zero part files) yields an empty DataFrame with
+    the manifest's recorded schema — every commit path records one, so
+    no version is ever unreadable."""
+    from pyspark.sql.types import StructType
+
     man = read_manifest(table, version)
     paths = [os.path.join(table, "data", f) for f in man["files"]]
     if not paths:
-        raise ValueError(f"version {man['version']} of {table} lists no files")
+        schema = man.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"version {man['version']} of {table} lists no files and "
+                "predates schema-bearing manifests"
+            )
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     return spark.read.parquet(*paths)
 
 
@@ -163,10 +210,16 @@ def rollback(table: str, version: int) -> int:
     return version
 
 
-def expire_versions(table: str, keep: int = 2) -> list[str]:
+def expire_versions(
+    table: str, keep: int = 2, keep_future: bool = False
+) -> list[str]:
     """Drop all but the newest ``keep`` manifests at or below CURRENT
     and delete data files no surviving manifest references (orphans from
-    crashed appends included).  Returns the deleted file names."""
+    crashed appends included).  Versions ABOVE current — the abandoned
+    branch left behind by a :func:`rollback` — are expired too unless
+    ``keep_future=True``, so repeated rollbacks cannot leak disk; any
+    leftover ``_staging-*`` directory from a crashed append is removed
+    as well.  Returns the deleted data file names."""
     cur = current_version(table)
     if cur is None:
         return []
@@ -174,9 +227,9 @@ def expire_versions(table: str, keep: int = 2) -> list[str]:
         int(f[1:9]) for f in os.listdir(_vdir(table))
         if f.startswith("v") and f.endswith(".json")
     )
-    survivors = [v for v in versions if v <= cur][-keep:] + [
-        v for v in versions if v > cur
-    ]
+    survivors = [v for v in versions if v <= cur][-keep:]
+    if keep_future:
+        survivors += [v for v in versions if v > cur]
     live: set[str] = set()
     for v in survivors:
         live |= set(read_manifest(table, v)["files"])
@@ -189,4 +242,7 @@ def expire_versions(table: str, keep: int = 2) -> list[str]:
     for v in versions:
         if v not in survivors:
             os.remove(_manifest_path(table, v))
+    for f in os.listdir(table):
+        if f.startswith("_staging-"):
+            shutil.rmtree(os.path.join(table, f), ignore_errors=True)
     return sorted(deleted)

@@ -39,6 +39,93 @@ from pyspark.sql.streaming import StreamingQuery
 from netbase_spark.schemas import DOCS_SCHEMA
 
 
+def apply_merges(
+    spark: SparkSession,
+    table_dir: str,
+    merge_edges: DataFrame,
+    artifacts,
+    versioned: bool = False,
+    batch_id: str | None = None,
+):
+    """Console ``:merge`` analog for the incremental/streaming loop: fold
+    late sameAs/merge edges into the LIVE construction state between
+    micro-batches, without a full CC recompute and without rewriting the
+    whole table (the reference splices merges at any time:
+    src/console.cpp:397-407 -> ``mergeNode`` src/netbase.cpp:2610-2638).
+
+    Three delta-sized steps:
+
+    1. canonical map: :func:`~netbase_spark.operators.canonicalize.
+       merge_mapping` re-solves ONLY the touched components;
+    2. the on-disk triple table: :func:`~netbase_spark.operators.
+       canonicalize.recanonicalize_delta` rewrites only rows touching
+       re-rooted nodes, committed as a ``versioned.replace`` rewrite
+       snapshot (or a staged parquet overwrite in plain mode);
+    3. dimension artifacts: the gazetteer broadcast's alias->entity
+       values remap through the (tiny, collected) rep delta — the
+       automaton is reused, never rebuilt — and the shuffle-path
+       alias_entity table takes the same remap as a broadcast join, so
+       FUTURE batches link straight to the new representatives.
+
+    Returns the refreshed ``ConstructionArtifacts``.  Equality with a
+    from-scratch rebuild over (docs, edges ∪ late edges) is pinned by
+    tests/test_streaming_construct.py.
+    """
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.canonicalize import (
+        mapping_delta,
+        merge_mapping,
+        recanonicalize_delta,
+        rewrite_triples,
+    )
+    from netbase_spark.operators.mentions import remap_scan_entities
+    from netbase_spark.plans import versioned as V
+    from netbase_spark.plans.synth_pipeline import ConstructionArtifacts
+
+    old_map = artifacts.mapping
+    new_map = merge_mapping(old_map, merge_edges).localCheckpoint()
+    changed = mapping_delta(old_map, new_map).localCheckpoint()
+    if changed.limit(1).count() == 0:
+        return artifacts
+
+    # 2. delta-rewrite the table
+    existing = (
+        V.read(spark, table_dir) if versioned else spark.read.parquet(table_dir)
+    )
+    updated = recanonicalize_delta(existing, changed)
+    if versioned:
+        V.replace(updated, table_dir, batch_id=batch_id)
+    else:
+        # materialize before overwriting the directory being read
+        updated = updated.localCheckpoint()
+        updated.write.mode("overwrite").parquet(table_dir)
+
+    # 3. refresh the dimension artifacts through the rep delta
+    rep_of = {r["node"]: r["rep"] for r in changed.collect()}
+    label_triples = rewrite_triples(
+        artifacts.label_triples, changed
+    ).localCheckpoint()
+    scan_bc = artifacts.scan_bc
+    alias_entity = artifacts.alias_entity
+    if scan_bc is not None:
+        scan_bc = remap_scan_entities(spark, scan_bc, rep_of)
+    if alias_entity is not None:
+        d = F.broadcast(
+            changed.select(F.col("node").alias("entity"), F.col("rep").alias("_r"))
+        )
+        alias_entity = (
+            alias_entity.join(d, "entity", "left")
+            .select(
+                "alias_key", F.coalesce("_r", "entity").alias("entity")
+            )
+            .localCheckpoint()
+        )
+    return ConstructionArtifacts(
+        label_triples, new_map, scan_bc, alias_entity, artifacts.blacklist
+    )
+
+
 def start_incremental_construct(
     spark: SparkSession,
     landing_dir: str,

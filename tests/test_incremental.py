@@ -152,3 +152,121 @@ def test_triple_set_pr_by_group(spark):
 
     with _pytest.raises(ValueError):
         triple_set_pr(got, exp, by=("nope",))
+
+
+def _cc_full(spark, edges):
+    from netbase_spark.operators.canonicalize import connected_components
+
+    return connected_components(edges)
+
+
+def test_merge_mapping_equals_full_recompute(spark):
+    """merge_mapping over (base mapping, late edges) == full CC over the
+    edge union, across every structural case: bridge between two
+    components, brand-new chain, fresh node attaching to an old
+    component, and an edge wholly inside one component (no-op)."""
+    from netbase_spark.operators.canonicalize import (
+        connected_components,
+        merge_mapping,
+    )
+
+    base = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("f", "e"), ("y", "x")],
+        "src string, dst string",
+    )
+    late = spark.createDataFrame(
+        [
+            ("c", "d"),   # bridge: {a,b,c} + {d,e,f}
+            ("q", "p"),   # brand-new component
+            ("z", "y"),   # fresh node onto {x,y}
+            ("b", "a"),   # inside-component no-op
+        ],
+        "src string, dst string",
+    )
+    mapping = connected_components(base)
+    got = {
+        (r["node"], r["rep"])
+        for r in merge_mapping(mapping, late).collect()
+    }
+    want = {
+        (r["node"], r["rep"])
+        for r in connected_components(base.unionByName(late)).collect()
+    }
+    assert got == want
+    # spot-check the semantics: the bridge re-roots d/e/f under "a"
+    assert ("d", "a") in got and ("f", "a") in got and ("q", "p") in got
+    assert ("z", "x") in got
+
+
+def test_merge_mapping_distributed_path(spark):
+    """Same equality with the delta CC forced onto the distributed
+    pointer-jumping path (driver_threshold=0)."""
+    from netbase_spark.operators.canonicalize import (
+        connected_components,
+        merge_mapping,
+    )
+
+    base = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(0, 40) if i % 5 != 4],
+        "src string, dst string",
+    )
+    late = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(4, 40, 10)],
+        "src string, dst string",
+    )
+    mapping = connected_components(base, driver_threshold=0)
+    got = {
+        (r["node"], r["rep"])
+        for r in merge_mapping(mapping, late, driver_threshold=0).collect()
+    }
+    want = {
+        (r["node"], r["rep"])
+        for r in connected_components(base.unionByName(late)).collect()
+    }
+    assert got == want
+
+
+def test_recanonicalize_delta_rewrites_only_touched(spark):
+    """A late merge edge re-canonicalizes an existing triple table:
+    only rows touching re-rooted nodes are rewritten, a rewrite landing
+    on an existing key keeps the existing row (first-writer), and
+    untouched rows pass through."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.canonicalize import (
+        connected_components,
+        mapping_delta,
+        merge_mapping,
+        recanonicalize_delta,
+        rewrite_triples,
+    )
+
+    base_edges = spark.createDataFrame(
+        [("b", "a")], "src string, dst string"
+    )
+    raw = spark.createDataFrame(
+        [
+            ("b", 7, "doc1", "mention", "doc1"),   # b -> a under base map
+            ("c", 7, "doc1", "mention", "doc1"),   # untouched until late edge
+            ("a", 7, "doc2", "mention", "doc2"),
+            ("c", 7, "doc2", "mention", "doc2"),   # rewrite collides with a->doc2
+            ("d", 7, "doc3", "mention", "doc3"),   # never touched
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    m0 = connected_components(base_edges)
+    table = rewrite_triples(raw, m0)
+    late = spark.createDataFrame([("c", "a")], "src string, dst string")
+    m1 = merge_mapping(m0, late)
+    got = recanonicalize_delta(table, mapping_delta(m0, m1))
+    want = rewrite_triples(raw, m1)
+    gs = {(r["subj"], r["rel"], r["obj"]) for r in got.collect()}
+    ws = {(r["subj"], r["rel"], r["obj"]) for r in want.collect()}
+    assert gs == ws
+    assert ("a", 7, "doc3") not in gs and ("d", 7, "doc3") in gs
+    # the doc2 row kept the FIRST writer's provenance (a's original row)
+    row = {
+        (r["subj"], r["obj"]): r["doc_id"]
+        for r in got.where(F.col("obj") == "doc2").collect()
+    }
+    assert row[("a", "doc2")] == "doc2"

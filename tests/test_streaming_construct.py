@@ -126,3 +126,84 @@ def test_streaming_construct_versioned_sink(spark, tmp_path: pathlib.Path):
         recs = [json.loads(l) for l in fh]
     label_rows = arts.label_triples.count()
     assert label_rows + sum(r["fresh_rows"] for r in recs) == streamed.count()
+
+
+def test_late_merge_recanonicalizes_prior_batches(spark, tmp_path: pathlib.Path):
+    """A late merge edge arriving BETWEEN micro-batches (the console
+    ``:merge`` analog, apply_merges) re-canonicalizes prior batches'
+    triples on disk AND re-routes future batches' linking — the end
+    state equals constructing everything with the old artifacts and
+    applying the full-map rewrite once at the end (full-recompute
+    oracle; merge_mapping itself is oracle-checked by cc_incremental)."""
+    from netbase_spark.operators.canonicalize import (
+        mapping_delta,
+        merge_mapping,
+        rewrite_triples,
+    )
+    from netbase_spark.plans import versioned as V
+    from netbase_spark.plans.synth_pipeline import build_artifacts, construct_from
+    from netbase_spark.streaming.construct import (
+        apply_merges,
+        start_incremental_construct,
+    )
+
+    arts = build_artifacts(spark)
+    arts_ref = build_artifacts(spark)  # untouched twin for the oracle
+    table = tmp_path / "mtriples"
+    ckpt = tmp_path / "mckpt"
+
+    _land(spark, tmp_path, 40)
+    q = start_incremental_construct(
+        spark, str(tmp_path / "landing"), str(table), str(ckpt), arts,
+        available_now=True, max_files_per_trigger=2, versioned=True,
+    )
+    q.awaitTermination(180)
+
+    # pick two distinct mention subjects present in the table and merge
+    from netbase_spark.relations import MENTIONED_IN
+
+    subs = sorted(
+        r["subj"]
+        for r in V.read(spark, str(table))
+        .where(F.col("rel") == MENTIONED_IN)
+        .select("subj")
+        .distinct()
+        .limit(3)
+        .collect()
+    )
+    assert len(subs) >= 2
+    late = spark.createDataFrame([(subs[1], subs[0])], "src string, dst string")
+    arts2 = apply_merges(
+        spark, str(table), late, arts, versioned=True, batch_id="late-merge-1"
+    )
+    # prior batches' rows were rewritten on disk
+    assert (
+        V.read(spark, str(table)).where(F.col("subj") == subs[1]).count() == 0
+    )
+
+    # future batches link against the refreshed artifacts
+    _land(spark, tmp_path, 25, start=40)
+    q2 = start_incremental_construct(
+        spark, str(tmp_path / "landing"), str(table), str(ckpt), arts2,
+        available_now=True, max_files_per_trigger=2, versioned=True,
+    )
+    q2.awaitTermination(180)
+
+    # oracle: construct everything with OLD artifacts, then one full
+    # rewrite through the updated map
+    full = construct_from(
+        spark, spark.read.parquet(str(tmp_path / "landing")), arts_ref
+    )
+    changed = mapping_delta(
+        arts_ref.mapping, merge_mapping(arts_ref.mapping, late)
+    )
+    expected = rewrite_triples(full, changed)
+    keyset = lambda df: {(r.subj, r.rel, r.obj) for r in df.collect()}
+    got = V.read(spark, str(table))
+    assert keyset(got) == keyset(expected)
+    # replay idempotence of the merge commit itself
+    v_now = V.current_version(str(table))
+    apply_merges(
+        spark, str(table), late, arts2, versioned=True, batch_id="late-merge-1"
+    )
+    assert V.current_version(str(table)) == v_now

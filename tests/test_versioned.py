@@ -106,3 +106,55 @@ def test_versioned_holds_construction_batches(spark, tmp_path: pathlib.Path):
     assert keyset(V.read(spark, t, 1)) == keyset(
         arts.label_triples.unionByName(b0)
     )
+
+
+def test_versioned_replace_and_empty_read(spark, tmp_path: pathlib.Path):
+    """replace() commits a full-rewrite version (only the new files);
+    a version committed from an empty DataFrame stays readable via the
+    manifest's recorded schema."""
+    from netbase_spark.plans import versioned as V
+
+    t = str(tmp_path / "triples")
+    V.create(_df(spark, [("a", 1, "x"), ("b", 1, "y")]), t)
+    v = V.replace(_df(spark, [("a", 1, "CANON")]), t, batch_id="m1")
+    assert V.current_version(t) == v
+    assert {tuple(r) for r in V.read(spark, t).collect()} == {("a", 1, "CANON")}
+    # time travel still sees the pre-replace rows
+    assert {tuple(r) for r in V.read(spark, t, 0).collect()} == {
+        ("a", 1, "x"), ("b", 1, "y"),
+    }
+    # replay idempotence on the same batch_id
+    assert V.replace(_df(spark, [("z", 9, "zz")]), t, batch_id="m1") == v
+    # empty commit -> readable empty frame with the recorded schema
+    empty = _df(spark, []).where("1=0")
+    v2 = V.replace(empty, t)
+    got = V.read(spark, t, v2)
+    assert got.count() == 0
+    assert got.schema == empty.schema
+
+
+def test_versioned_expiry_reclaims_rolled_back_branch(spark, tmp_path: pathlib.Path):
+    from netbase_spark.plans import versioned as V
+
+    t = str(tmp_path / "triples")
+    V.create(_df(spark, [("a", 1, "x")]), t)
+    V.append(_df(spark, [("b", 1, "y")]), t)
+    V.append(_df(spark, [("c", 1, "z")]), t)
+    V.rollback(t, 1)
+    # a crashed-append staging dir lingers
+    os.makedirs(os.path.join(t, "_staging-deadbeef"), exist_ok=True)
+    deleted = V.expire_versions(t, keep=2)
+    # the abandoned branch (version 2) is gone: manifest AND its files
+    with pytest.raises(FileNotFoundError):
+        V.read_manifest(t, 2)
+    assert deleted  # version 2's exclusive data file was reclaimed
+    assert not [f for f in os.listdir(t) if f.startswith("_staging-")]
+    # CURRENT unaffected
+    assert {tuple(r) for r in V.read(spark, t).collect()} == {
+        ("a", 1, "x"), ("b", 1, "y"),
+    }
+    # keep_future=True preserves the old behavior
+    v = V.append(_df(spark, [("d", 1, "w")]), t)
+    V.rollback(t, 1)
+    V.expire_versions(t, keep=2, keep_future=True)
+    assert V.read_manifest(t, v) is not None
