@@ -90,3 +90,157 @@ EXT6_QUERIES = {
 EXT6_ORACLES = {
     "cc_incremental": ORACLE_CC_INCREMENTAL,
 }
+
+
+# --- SPARQL property paths over the closure machinery ------------------------
+
+
+def _chain_triples(spark, sf_dir):
+    """rel 1: part-key chain edges (decade chains, as cc_chain); rel 2:
+    'marked' tags on every 7th key.  A multi-hop-able graph with a
+    selective side pattern."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    pk = F.col("p_partkey")
+    chain = part.where(pk % 10 != 9).select(
+        _p(pk).alias("subj"), F.lit(1).alias("rel"), _p(pk + 1).alias("obj")
+    )
+    marks = part.where(pk % 7 == 0).select(
+        _p(pk).alias("subj"), F.lit(2).alias("rel"), F.lit("marked").alias("obj")
+    )
+    return chain.unionByName(marks)
+
+
+_CHAIN_SQL = """
+        SELECT 'P' || CAST(p_partkey AS VARCHAR) AS subj, 1 AS rel,
+               'P' || CAST(p_partkey + 1 AS VARCHAR) AS obj
+        FROM part WHERE p_partkey % 10 != 9
+        UNION ALL
+        SELECT 'P' || CAST(p_partkey AS VARCHAR) AS subj, 2 AS rel,
+               'marked' AS obj
+        FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+def q_bgp_path(spark, sf_dir):
+    """operators/graph_query.bgp_match with a bounded ``+`` property
+    path (Path(1, '+', 3)): marked nodes and everything they reach in
+    1..3 chain hops — the reference's depth-bounded recursion surface
+    (src/query.cpp:902-1046) reachable from the pattern language."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    return bgp_match(
+        _chain_triples(spark, sf_dir),
+        [("?a", 2, "marked"), ("?a", Path(1, "+", max_hops=3), "?b")],
+    )
+
+
+ORACLE_BGP_PATH = f"""
+    WITH RECURSIVE t AS ({_CHAIN_SQL}),
+    e AS (SELECT subj, obj FROM t WHERE rel = 1),
+    r(a, b, d) AS (
+        SELECT subj, obj, 1 FROM e
+        UNION
+        SELECT r.a, e.obj, r.d + 1 FROM r JOIN e ON e.subj = r.b
+        WHERE r.d < 3
+    )
+    SELECT DISTINCT r.a AS a, r.b AS b
+    FROM r JOIN t m ON m.rel = 2 AND m.subj = r.a
+"""
+
+
+def q_bgp_path_star(spark, sf_dir):
+    """Zero-or-more path (Path(1, '*', 2)): marked nodes and everything
+    within 0..2 chain hops — the zero-hop identity ranges over the
+    graph's node domain."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    return bgp_match(
+        _chain_triples(spark, sf_dir),
+        [("?a", 2, "marked"), ("?a", Path(1, "*", max_hops=2), "?b")],
+    )
+
+
+ORACLE_BGP_PATH_STAR = f"""
+    WITH RECURSIVE t AS ({_CHAIN_SQL}),
+    e AS (SELECT subj, obj FROM t WHERE rel = 1),
+    r(a, b, d) AS (
+        SELECT subj, obj, 1 FROM e
+        UNION
+        SELECT r.a, e.obj, r.d + 1 FROM r JOIN e ON e.subj = r.b
+        WHERE r.d < 2
+    ),
+    marked AS (SELECT subj FROM t WHERE rel = 2)
+    SELECT DISTINCT a, b FROM (
+        SELECT r.a AS a, r.b AS b FROM r JOIN marked m ON m.subj = r.a
+        UNION ALL
+        SELECT m.subj AS a, m.subj AS b FROM marked m
+    )
+"""
+
+
+EXT6_QUERIES["bgp_path"] = q_bgp_path
+EXT6_QUERIES["bgp_path_star"] = q_bgp_path_star
+EXT6_ORACLES["bgp_path"] = ORACLE_BGP_PATH
+EXT6_ORACLES["bgp_path_star"] = ORACLE_BGP_PATH_STAR
+
+
+# --- grouped OPTIONAL (nested group graph pattern) ---------------------------
+
+
+def q_bgp_group_optional(spark, sf_dir):
+    """bgp_match with an optional GROUP: users who clicked, with their
+    high-value decile AND that decile's tier tag where the WHOLE group
+    matches (internal ?d correlates across the group's two patterns),
+    nulls otherwise."""
+    from netbase_spark.operators.graph_query import bgp_match
+
+    ev = _t(spark, sf_dir, "events")
+    t1 = ev.select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit(1).alias("rel"),
+        F.col("event_type").alias("obj"),
+    )
+    t2 = ev.where(F.col("value") > 400.0).select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit(2).alias("rel"),
+        F.floor(F.col("value") / 10).cast("long").cast("string").alias("obj"),
+    )
+    t3 = ev.where(F.col("value") > 450.0).select(
+        F.floor(F.col("value") / 10).cast("long").cast("string").alias("subj"),
+        F.lit(3).alias("rel"),
+        F.lit("top-tier").alias("obj"),
+    )
+    triples = t1.unionByName(t2).unionByName(t3)
+    return bgp_match(
+        triples,
+        [("?u", 1, "click")],
+        optional=[[("?u", 2, "?d"), ("?d", 3, "?tier")]],
+    )
+
+
+ORACLE_BGP_GROUP_OPTIONAL = """
+    WITH t1 AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS subj
+        FROM events WHERE event_type = 'click'
+    ),
+    t2 AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS subj,
+               CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS obj
+        FROM events WHERE value > 400.0
+    ),
+    t3 AS (
+        SELECT DISTINCT CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR)
+               AS subj, 'top-tier' AS obj
+        FROM events WHERE value > 450.0
+    ),
+    grp AS (
+        SELECT t2.subj AS u, t2.obj AS d, t3.obj AS tier
+        FROM t2 JOIN t3 ON t3.subj = t2.obj
+    )
+    SELECT DISTINCT t1.subj AS u, grp.d AS d, grp.tier AS tier
+    FROM t1 LEFT JOIN grp ON grp.u = t1.subj
+"""
+
+
+EXT6_QUERIES["bgp_group_optional"] = q_bgp_group_optional
+EXT6_ORACLES["bgp_group_optional"] = ORACLE_BGP_GROUP_OPTIONAL

@@ -28,8 +28,14 @@ planner's job is ORDER and JOIN STRATEGY:
   minimal — documented, not accidental.
 
 Variables are ``?name`` strings; constants are matched with equality
-(rel constants as ints).  Output: one column per variable in first-
-appearance order, distinct bindings (set semantics, like the
+(rel constants as ints).  A rel slot may also hold a :class:`Path` —
+a bounded SPARQL property-path term ``rel+`` / ``rel*`` compiled onto
+the same iterative-closure machinery as ``isa_closure``
+(src/query.cpp:902-1046 is the reference's recursion surface; here the
+closure table simply substitutes for the triple scan in that pattern's
+join step).  Output: one column per variable in first-appearance order
+over the USER's pattern list (required block first, then each
+optional entry), distinct bindings by default (set semantics, like the
 reference's dedup-at-insert result lists).
 """
 
@@ -41,12 +47,36 @@ from pyspark.sql import functions as F
 _POS = ("subj", "rel", "obj")
 
 
+class Path:
+    """Bounded property-path term for the rel slot of a BGP pattern:
+    ``Path(rel, "+")`` is one-or-more hops, ``Path(rel, "*")`` is
+    zero-or-more, both bounded at ``max_hops`` (the reference's
+    recursion surface is depth-bounded too: ``all_instances2/3`` carry
+    an explicit depth, src/query.cpp:902-1046).  The zero-hop identity
+    of ``*`` ranges over every node occurring in the triple table
+    (subj or obj side)."""
+
+    __slots__ = ("rel", "op", "max_hops")
+
+    def __init__(self, rel, op: str = "+", max_hops: int = 10):
+        if op not in ("+", "*"):
+            raise ValueError(f"Path op must be '+' or '*', got {op!r}")
+        if max_hops < 1:
+            raise ValueError("Path max_hops must be >= 1")
+        self.rel, self.op, self.max_hops = rel, op, max_hops
+
+    def _key(self):
+        return (self.rel, self.op, self.max_hops)
+
+
 def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
 def _selectivity(pattern) -> int:
-    """Lower sorts earlier: count of variables (0 = all constants)."""
+    """Lower sorts earlier: count of variables (0 = all constants).
+    A Path term is a constant for ordering (it fixes the edge set),
+    though its closure step is costlier than a plain rel filter."""
     return sum(1 for t in pattern if _is_var(t))
 
 
@@ -61,18 +91,118 @@ def _const_compatible(term, dtype) -> bool:
     return True  # other types: let Spark's own coercion rules decide
 
 
-def _pattern_step(triples: DataFrame, pat) -> tuple[DataFrame, list[str]]:
-    """Filter ``triples`` on the pattern's constants and project its
+def path_closure(
+    triples: DataFrame, path: Path, driver_threshold: int = 200_000
+) -> DataFrame:
+    """(subj, obj) pairs connected by 1..max_hops (``+``) or
+    0..max_hops (``*``) edges of ``path.rel``.  Size-adaptive like
+    ``isa_closure``: below ``driver_threshold`` edges, one collect +
+    bounded Python BFS (rel-filtered edge sets are dimension-sized in a
+    KG — taxonomy/containment rels — so this is the common case); above
+    it, a checkpointed frontier-join loop, one shuffle per hop level,
+    anti-joined against the accumulated closure so each pair is found
+    at its shortest depth exactly once.  Cyclic edges are fine: a node
+    reachable from itself within the bound yields a (n, n) pair under
+    ``+`` (and every node yields one under ``*``)."""
+    from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    edges = (
+        triples.where(F.col("rel") == F.lit(path.rel))
+        .select("subj", "obj")
+        .dropDuplicates()
+    )
+    st = triples.schema["subj"].dataType.simpleString()
+    ot = triples.schema["obj"].dataType.simpleString()
+
+    def _with_identity(closure: DataFrame) -> DataFrame:
+        if path.op != "*":
+            return closure
+        nodes = (
+            triples.select(F.col("subj").alias("n"))
+            .unionByName(triples.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+        ident = nodes.select(F.col("n").alias("subj"), F.col("n").alias("obj"))
+        return closure.unionByName(ident).dropDuplicates()
+
+    if driver_threshold:
+        pairs = edges.limit(driver_threshold + 1).collect()
+    if driver_threshold and len(pairs) <= driver_threshold:
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+        rows = []
+        for n in adj:
+            seen: set = set()
+            frontier = {n}
+            for _ in range(path.max_hops):
+                nxt = set()
+                for x in frontier:
+                    nxt |= adj.get(x, set())
+                nxt -= seen
+                if not nxt:
+                    break
+                seen |= nxt
+                frontier = nxt
+            rows.extend((n, b) for b in seen)
+        out = triples.sparkSession.createDataFrame(
+            rows, f"subj {st}, obj {ot}"
+        )
+        return _with_identity(out)
+
+    edges = _pin(edges)
+    e2 = edges.select(F.col("subj").alias("e_s"), F.col("obj").alias("e_o"))
+    closure = edges
+    frontier = edges
+    for _ in range(path.max_hops - 1):
+        nxt = _pin(
+            frontier.join(e2, frontier["obj"] == e2["e_s"])
+            .select(frontier["subj"].alias("subj"), F.col("e_o").alias("obj"))
+            .join(closure, ["subj", "obj"], "left_anti")
+            .dropDuplicates(["subj", "obj"])
+        )
+        if nxt.isEmpty():
+            _unpin(nxt)
+            break
+        new_closure = _pin(closure.unionByName(nxt))
+        if frontier is not closure:
+            _unpin(frontier)
+        if closure is not edges:
+            _unpin(closure)
+        closure = new_closure
+        frontier = nxt
+    if closure is not edges:
+        _unpin(edges)
+    if frontier is not closure and frontier is not edges:
+        _unpin(frontier)
+    return _with_identity(closure)
+
+
+def _pos_terms(pat) -> list[tuple[str, object]]:
+    """The (source column, term) pairs a pattern binds: all three slots
+    for a plain pattern, subj/obj only for a Path pattern (the closure
+    table has no rel column)."""
+    if isinstance(pat[1], Path):
+        return [("subj", pat[0]), ("obj", pat[2])]
+    return list(zip(_POS, pat))
+
+
+def _step_df(triples: DataFrame, pat, closures: dict) -> DataFrame:
+    return closures[pat[1]._key()] if isinstance(pat[1], Path) else triples
+
+
+def _pattern_step(source: DataFrame, pos_terms) -> tuple[DataFrame, list[str]]:
+    """Filter ``source`` on the pattern's constants and project its
     variables (repeated variables inside the pattern become equality
     filters).  Returns (step_df, unique ?vars in position order); a
     variable-free pattern projects a single ``_one`` literal."""
-    step = triples
-    for col, term in zip(_POS, pat):
+    step = source
+    for col, term in pos_terms:
         if not _is_var(term):
             step = step.where(F.col(col) == F.lit(term))
     seen: dict[str, str] = {}
     cols = []
-    for col, term in zip(_POS, pat):
+    for col, term in pos_terms:
         if _is_var(term):
             if term in seen:
                 step = step.where(F.col(col) == F.col(seen[term]))
@@ -83,37 +213,65 @@ def _pattern_step(triples: DataFrame, pat) -> tuple[DataFrame, list[str]]:
     return step, list(seen)
 
 
+def _validate_pattern(p):
+    if len(p) != 3:
+        raise ValueError(f"pattern must be (subj, rel, obj): {p!r}")
+    if isinstance(p[0], Path) or isinstance(p[2], Path):
+        raise ValueError(f"Path terms are only valid in the rel slot: {p!r}")
+
+
+def _entry_patterns(entry) -> list[tuple]:
+    """An optional/not_exists entry is a single (s, r, o) tuple or a
+    LIST of them (a group graph pattern, evaluated as one sub-BGP)."""
+    if isinstance(entry, list):
+        return entry
+    return [entry]
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple],
     distinct: bool = True,
-    optional: list[tuple] | None = None,
-    not_exists: list[tuple] | None = None,
+    optional: list | None = None,
+    not_exists: list | None = None,
 ) -> DataFrame:
-    """Match a conjunctive BGP; returns bindings for every variable.
+    """Match a conjunctive BGP; returns bindings for every variable,
+    columns ordered by first appearance in the user's ``patterns`` list
+    (then each ``optional`` entry's new variables, in entry order).
 
     ``patterns`` is a list of (subj, rel, obj) with ``?var`` strings in
-    any position.  Raises on zero patterns or a pattern with no
-    variables that could never bind (constant-only patterns are allowed
-    — they act as existence filters via an inner join on no columns ==
+    any position and optionally a :class:`Path` in the rel slot (bounded
+    ``+``/``*`` property path — that step joins the path's closure table
+    instead of the triple scan).  Raises on zero patterns; constant-only
+    patterns act as existence filters via an inner join on no columns ==
     a semi-join guard, implemented as a crossJoin with the 0/1-row
-    filtered table).
+    filtered table.
 
-    ``optional`` patterns LEFT-join after the required block (SPARQL
-    OPTIONAL): their new variables bind where the pattern matches and
-    are null elsewhere.  ``not_exists`` patterns ANTI-join (SPARQL
-    FILTER NOT EXISTS): bindings with a match are removed; variables
-    appearing only there are existential, never output.  Each
-    optional/not_exists pattern is independent (a single-pattern group,
-    not a nested group graph pattern) and must share at least one
-    variable with the required block.  The same cross-domain type rule
-    applies: an optional pattern that can never match contributes null
-    columns; an impossible not_exists pattern removes nothing."""
+    ``optional`` entries LEFT-join after the required block (SPARQL
+    OPTIONAL): their new variables bind where the entry matches and are
+    null elsewhere.  An entry is a single pattern or a LIST of patterns
+    — a group graph pattern, evaluated as one sub-BGP whose internal
+    shared variables correlate (``OPTIONAL { ?x a ?y . ?y b ?z }``).
+    Distinct entries stay independent: a new variable appearing in two
+    separate entries raises — put correlated patterns in one group.
+    ``not_exists`` entries ANTI-join (SPARQL FILTER NOT EXISTS):
+    bindings with a match are removed; variables appearing only there
+    are existential, never output; groups are allowed here too.  Every
+    entry must share at least one variable with the required block.
+    The cross-domain type rule applies throughout: an optional entry
+    that can never match contributes null columns; an impossible
+    not_exists entry removes nothing.  Optional/not_exists steps are
+    deduplicated on their kept columns before joining, so solution
+    multiplicity under ``distinct=False`` treats the graph as a SET of
+    triples (the reference's dedup-at-insert invariant,
+    src/netbase.cpp:760-767)."""
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
-    for p in list(patterns) + list(optional or []) + list(not_exists or []):
-        if len(p) != 3:
-            raise ValueError(f"pattern must be (subj, rel, obj): {p!r}")
+    for p in patterns:
+        _validate_pattern(p)
+    for entry in list(optional or []) + list(not_exists or []):
+        for p in _entry_patterns(entry):
+            _validate_pattern(p)
 
     # static selectivity order, stable for ties (user order)
     ordered = sorted(range(len(patterns)), key=lambda i: (_selectivity(patterns[i]), i))
@@ -130,7 +288,6 @@ def bgp_match(
     dtype_of = {c: triples.schema[c].dataType for c in _POS}
     pending_sym = [patterns[i] for i in ordered]
     sequence: list[tuple] = []
-    var_order: list[str] = []
     var_type: dict[str, object] = {}
     bound_sym: set[str] = set()
     conflict = False
@@ -143,7 +300,15 @@ def bgp_match(
                     break
         pat = pending_sym.pop(idx)
         sequence.append(pat)
-        for col, term in zip(_POS, pat):
+        rel = pat[1]
+        if isinstance(rel, Path):
+            if not _const_compatible(rel.rel, dtype_of["rel"]):
+                conflict = True
+            if rel.op == "*" and dtype_of["subj"] != dtype_of["obj"]:
+                # the zero-hop identity needs one node domain; disjoint
+                # subj/obj types also make multi-hop composition empty
+                conflict = True
+        for col, term in _pos_terms(pat):
             if _is_var(term):
                 dt = dtype_of[col]
                 if term in var_type:
@@ -151,52 +316,71 @@ def bgp_match(
                         conflict = True
                 else:
                     var_type[term] = dt
-                if term not in bound_sym:
-                    bound_sym.add(term)
-                    var_order.append(term[1:])
+                bound_sym.add(term)
             elif not _const_compatible(term, dtype_of[col]):
                 # SPARQL-style: a constant whose type cannot inhabit the
                 # column (string literal in an int rel slot) matches
                 # nothing — same empty short-circuit as a var conflict
                 conflict = True
 
-    def _side_plan(pats, kind):
-        """Symbolic pass for optional/not_exists patterns: per pattern
-        (possible?, vars shared with the required block, new vars with
-        their position types).  Validates the shared-variable rule."""
+    # output column order: first appearance over the USER's pattern
+    # list, not the selectivity-reordered execution sequence
+    var_order: list[str] = []
+    for pat in patterns:
+        for _col, term in _pos_terms(pat):
+            if _is_var(term) and term[1:] not in var_order:
+                var_order.append(term[1:])
+
+    def _side_plan(entries, kind):
+        """Symbolic pass for optional/not_exists entries: per entry
+        (patterns, possible?, vars shared with the required block, new
+        vars with their types).  Validates the shared-variable rule and
+        the no-correlation-across-entries rule (groups correlate
+        INSIDE themselves)."""
         plan = []
         seen_new: set[str] = set()
-        for pat in pats or []:
-            shared = [t for t in dict.fromkeys(pat) if _is_var(t) and t in bound_sym]
-            if not shared:
-                raise ValueError(
-                    f"{kind} pattern {pat!r} shares no variable with the "
-                    "required patterns"
-                )
+        for entry in entries or []:
+            pats = _entry_patterns(entry)
             possible = True
+            shared: list[str] = []
             new: list[tuple[str, object]] = []
             local_type: dict[str, object] = {}
-            for col, term in zip(_POS, pat):
-                if _is_var(term):
-                    dt = dtype_of[col]
-                    known = var_type.get(term, local_type.get(term))
-                    if known is not None and known != dt:
+            for pat in pats:
+                rel = pat[1]
+                if isinstance(rel, Path):
+                    if not _const_compatible(rel.rel, dtype_of["rel"]):
                         possible = False
-                    if term not in bound_sym and term not in local_type:
-                        local_type[term] = dt
-                        new.append((term, dt))
-                elif not _const_compatible(term, dtype_of[col]):
-                    possible = False
+                    if rel.op == "*" and dtype_of["subj"] != dtype_of["obj"]:
+                        possible = False
+                for col, term in _pos_terms(pat):
+                    if _is_var(term):
+                        dt = dtype_of[col]
+                        known = var_type.get(term, local_type.get(term))
+                        if known is not None and known != dt:
+                            possible = False
+                        if term in bound_sym:
+                            if term not in shared:
+                                shared.append(term)
+                        elif term not in local_type:
+                            local_type[term] = dt
+                            new.append((term, dt))
+                    elif not _const_compatible(term, dtype_of[col]):
+                        possible = False
+            if not shared:
+                raise ValueError(
+                    f"{kind} entry {entry!r} shares no variable with the "
+                    "required patterns"
+                )
             if kind == "optional":
                 for v, _dt in new:
                     if v in seen_new:
                         raise ValueError(
                             f"optional variable {v!r} appears in two optional "
-                            "patterns; optionals are independent single-"
-                            "pattern groups and cannot correlate"
+                            "entries; entries are independent — put "
+                            "correlated patterns in one group (a list)"
                         )
                     seen_new.add(v)
-            plan.append((pat, possible, shared, new))
+            plan.append((pats, possible, shared, new))
         return plan
 
     opt_plan = _side_plan(optional, "optional")
@@ -206,47 +390,40 @@ def bgp_match(
         from pyspark.sql import types as T
 
         fields = [
-            T.StructField(v[1:], var_type[v]) for v in bound_sym
-            if v[1:] in var_order
+            T.StructField(name, var_type["?" + name]) for name in var_order
         ]
-        fields.sort(key=lambda f: var_order.index(f.name))
         # the required block can never match, so optional vars are all
         # null — but they are still output columns
-        for _pat, _possible, _shared, new in opt_plan:
+        for _pats, _possible, _shared, new in opt_plan:
             fields.extend(T.StructField(v[1:], dt) for v, dt in new)
         return triples.sparkSession.createDataFrame([], T.StructType(fields))
 
+    # build each distinct Path's closure table exactly once
+    closures: dict = {}
+    for entry in (
+        list(patterns)
+        + [p for e in (optional or []) for p in _entry_patterns(e)]
+        + [p for e in (not_exists or []) for p in _entry_patterns(e)]
+    ):
+        rel = entry[1]
+        if isinstance(rel, Path) and rel._key() not in closures:
+            closures[rel._key()] = path_closure(triples, rel)
+
     out: DataFrame | None = None
     bound: set[str] = set()
-    var_order = []
 
     for pat in sequence:
-        step = triples
-        for col, term in zip(_POS, pat):
-            if not _is_var(term):
-                step = step.where(F.col(col) == F.lit(term))
-        # project variables; a repeated variable inside ONE pattern
-        # (e.g. (?x, r, ?x)) becomes an equality filter
-        seen_here: dict[str, str] = {}
-        cols = []
-        for col, term in zip(_POS, pat):
-            if _is_var(term):
-                if term in seen_here:
-                    step = step.where(F.col(col) == F.col(seen_here[term]))
-                else:
-                    seen_here[term] = col
-                    cols.append(F.col(col).alias(term[1:]))
-        step = step.select(*cols) if cols else step.select(F.lit(1).alias("_one"))
-        if not cols:
+        pos_terms = _pos_terms(pat)
+        step, pvars = _pattern_step(_step_df(triples, pat, closures), pos_terms)
+        if not pvars:
             # constant-only pattern: existence guard
             step = step.limit(1)
 
-        pvars = [t for t in pat if _is_var(t)]
         if out is None:
             out = step
         else:
             on = list(dict.fromkeys(v[1:] for v in pvars if v in bound))
-            if not cols:
+            if not pvars:
                 # constant-only existence guard: inner join with the
                 # 0/1-row table keeps or empties the bindings
                 out = out.crossJoin(step).drop("_one")
@@ -254,31 +431,42 @@ def bgp_match(
                 out = out.crossJoin(step)  # disconnected component, deferred
             else:
                 out = out.join(step, on)
-        for v in pvars:
-            if v not in bound:
-                bound.add(v)
-                var_order.append(v[1:])
+        bound.update(pvars)
 
-    # OPTIONAL: left-join each pattern on its required-shared variables;
-    # an impossible pattern (type conflict) contributes its new columns
+    def _entry_step(pats, shared, new):
+        """One optional/not_exists entry as a DataFrame over its kept
+        columns: single patterns run the plain step; groups run a
+        sub-BGP (internal shared variables correlate).  Either way the
+        result is deduplicated on the kept columns (set-of-triples
+        multiplicity, see the docstring)."""
+        keep = [t[1:] for t in shared] + [v[1:] for v, _dt in new]
+        if len(pats) == 1:
+            step, _pv = _pattern_step(
+                _step_df(triples, pats[0], closures), _pos_terms(pats[0])
+            )
+        else:
+            step = bgp_match(triples, pats, distinct=True)
+        return step.select(*keep).dropDuplicates(keep)
+
+    # OPTIONAL: left-join each entry on its required-shared variables;
+    # an impossible entry (type conflict) contributes its new columns
     # as typed nulls
-    for pat, possible, shared, new in opt_plan:
+    for pats, possible, shared, new in opt_plan:
         if possible:
-            step, pvars = _pattern_step(triples, pat)
-            keep = [t[1:] for t in shared] + [v[1:] for v, _dt in new]
-            out = out.join(step.select(*keep), [t[1:] for t in shared], "left")
+            step = _entry_step(pats, shared, new)
+            out = out.join(step, [t[1:] for t in shared], "left")
         else:
             for v, dt in new:
                 out = out.withColumn(v[1:], F.lit(None).cast(dt))
         var_order.extend(v[1:] for v, _dt in new)
 
     # FILTER NOT EXISTS: anti-join on the required-shared variables;
-    # an impossible pattern matches nothing, so it removes nothing
-    for pat, possible, shared, _new in ne_plan:
+    # an impossible entry matches nothing, so it removes nothing
+    for pats, possible, shared, _new in ne_plan:
         if possible:
-            step, _pvars = _pattern_step(triples, pat)
+            step = _entry_step(pats, shared, [])
             on = [t[1:] for t in shared]
-            out = out.join(step.select(*on), on, "left_anti")
+            out = out.join(step, on, "left_anti")
 
     res = out.select(*var_order) if var_order else out
     return res.distinct() if distinct else res

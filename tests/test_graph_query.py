@@ -168,3 +168,116 @@ def test_optional_not_exists_validation(spark, triples):
         )
     with pytest.raises(ValueError):  # not_exists must share too
         bgp_match(triples, [("?x", 1, "city")], not_exists=[("?a", 1, "?b")])
+
+
+def test_output_columns_follow_user_pattern_order(spark, triples):
+    """Column order = first appearance in the USER's pattern list, even
+    when selectivity reordering executes another pattern first."""
+    from netbase_spark.operators.graph_query import bgp_match
+
+    out = bgp_match(triples, [("?a", "?p", "?b"), ("?b", 1, "country")])
+    assert out.columns == ["a", "p", "b"]
+    out2 = bgp_match(
+        triples, [("?x", "?r", "?y")], optional=[("?y", 1, "?k")]
+    )
+    assert out2.columns == ["x", "r", "y", "k"]
+
+
+def test_optional_multiplicity_set_semantics(spark):
+    """distinct=False: duplicate triples in the store must not multiply
+    required-block rows through an OPTIONAL leg (set-of-triples
+    semantics — the optional step dedupes on its kept columns)."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.graph_query import bgp_match
+
+    rows = [("u1", 1, "click"), ("u1", 2, "d5"), ("u1", 2, "d5")]
+    df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    out = bgp_match(
+        df, [("?u", 1, "click")], optional=[("?u", 2, "?d")], distinct=False
+    )
+    assert out.count() == 1  # not multiplied by the duplicated triple
+
+
+def test_grouped_optional_correlates_inside_group(spark, triples):
+    """An optional GROUP (list of patterns) evaluates as one sub-BGP:
+    its internal shared variable must correlate across the group's
+    patterns."""
+    from netbase_spark.operators.graph_query import bgp_match
+
+    # city ?x OPTIONAL { ?x in ?c . ?c kindof country }
+    out = bgp_match(
+        triples,
+        [("?x", 1, "city")],
+        optional=[[("?x", 2, "?c"), ("?c", 1, "?k")]],
+    )
+    assert out.columns == ["x", "c", "k"]
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        ("berlin", "germany", "country"),
+        ("paris", "france", "country"),
+    }
+    # group whose second leg can't match -> the whole group misses,
+    # nulls for BOTH group vars (correlated, unlike two separate entries)
+    out2 = bgp_match(
+        triples,
+        [("?x", 1, "river")],
+        optional=[[("?x", 2, "?c"), ("?c", 1, "?k")]],
+    )
+    assert {tuple(r) for r in out2.collect()} == {("rhine", None, None)}
+
+
+def test_path_plus_bounded_closure(spark):
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    rows = [
+        ("a", 1, "b"), ("b", 1, "c"), ("c", 1, "d"), ("d", 1, "e"),
+        ("x", 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    out = bgp_match(df, [("a", Path(1, "+", max_hops=2), "?v")])
+    assert {r["v"] for r in out.collect()} == {"b", "c"}
+    # unbounded-ish (default 10) reaches the chain end
+    out2 = bgp_match(df, [("a", Path(1, "+"), "?v")])
+    assert {r["v"] for r in out2.collect()} == {"b", "c", "d", "e"}
+    # joins with other patterns on the path variables
+    out3 = bgp_match(
+        df, [("?s", 2, "a"), ("a", Path(1, "+", 3), "?v")]
+    )
+    assert out3.columns == ["s", "v"]
+    assert {tuple(r) for r in out3.collect()} == {
+        ("x", "b"), ("x", "c"), ("x", "d"),
+    }
+
+
+def test_path_star_includes_identity_and_cycles(spark):
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    rows = [("a", 1, "b"), ("b", 1, "a"), ("b", 2, "m")]
+    df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    # cycle: a+ reaches itself
+    plus = bgp_match(df, [("a", Path(1, "+", 4), "?v")])
+    assert {r["v"] for r in plus.collect()} == {"a", "b"}
+    # star: identity over every node in the graph
+    star = bgp_match(df, [("?n", Path(1, "*", 4), "?n")])
+    assert {r["n"] for r in star.collect()} == {"a", "b", "m"}
+    # star in an optional leg
+    out = bgp_match(
+        df, [("?x", 2, "m")], optional=[("?x", Path(3, "*", 2), "?y")]
+    )
+    # rel 3 has no edges: star still yields identity (x itself)
+    assert {tuple(r) for r in out.collect()} == {("b", "b")}
+
+
+def test_path_validation(spark, triples):
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    with pytest.raises(ValueError):
+        Path(1, "?")
+    with pytest.raises(ValueError):
+        Path(1, "+", 0)
+    with pytest.raises(ValueError):  # Path outside the rel slot
+        bgp_match(triples, [(Path(1, "+"), 1, "?x")])
+    # type-incompatible path rel -> empty result, correct schema
+    out = bgp_match(triples, [("?a", Path("not-an-int", "+"), "?b")])
+    assert out.columns == ["a", "b"] and out.count() == 0

@@ -85,8 +85,118 @@ def test_bgp_match_equals_brute_force(spark):
         if not want_cols:
             continue  # constant-only BGPs return a guard table, not bindings
         got_df = bgp_match(df, patterns)
-        assert sorted(got_df.columns) == sorted(want_cols), (patterns, rows)
+        assert got_df.columns == want_cols, (patterns, rows)
         got = {
             tuple(r[c] for c in want_cols) for r in got_df.collect()
         }
         assert got == want, (patterns, rows, got, want)
+
+
+def brute_force_optional(rows, required, group):
+    """Brute force with ONE SPARQL-OPTIONAL group: each required binding
+    extends with each distinct group solution where the whole group
+    matches (required vars pre-bound), else nulls for the group's new
+    variables."""
+    req_cols, req = brute_force(rows, required)
+    req_vars = ["?" + c for c in req_cols]
+    new = []
+    for p in group:
+        for t in p:
+            if (
+                isinstance(t, str) and t.startswith("?")
+                and t not in req_vars and t not in new
+            ):
+                new.append(t)
+    all_cols = req_cols + [n[1:] for n in new]
+    out = set()
+    for binding in req:
+        base = dict(zip(req_vars, binding))
+        sub_pats = [
+            tuple(base.get(t, t) if isinstance(t, str) else t for t in p)
+            for p in group
+        ]
+        cols, sols = brute_force(rows, sub_pats)
+        if sols:
+            key = ["?" + c for c in cols]
+            for s in sols:
+                m = dict(zip(key, s))
+                out.add(binding + tuple(m.get(n) for n in new))
+        else:
+            out.add(binding + tuple(None for _ in new))
+    return all_cols, out
+
+
+def test_bgp_grouped_optional_equals_brute_force(spark):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    rng = random.Random(4042026)
+    subjects = ["a", "b", "c"]
+    objs = ["a", "b", "x"]
+    for trial in range(15):
+        rows = sorted(
+            {
+                (rng.choice(subjects), rng.choice([1, 2]), rng.choice(objs))
+                for _ in range(rng.randint(4, 10))
+            }
+        )
+        df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+        required = [("?x", 1, rng.choice(objs))]
+        # a 2-pattern group correlated through ?m (new var)
+        group = [
+            ("?x", 2, "?m"),
+            ("?m", rng.choice([1, 2]), rng.choice(["?k", rng.choice(objs)])),
+        ]
+        want_cols, want = brute_force_optional(rows, required, group)
+        got_df = bgp_match(df, required, optional=[group])
+        assert got_df.columns == want_cols, (required, group, rows)
+        got = {tuple(r[c] for c in want_cols) for r in got_df.collect()}
+        assert got == want, (required, group, rows, got, want)
+
+
+def brute_closure(rows, rel, op, max_hops):
+    """Reachability pairs over rel edges within the hop bound."""
+    adj = {}
+    for s, r, o in rows:
+        if r == rel:
+            adj.setdefault(s, set()).add(o)
+    pairs = set()
+    for n in adj:
+        seen, frontier = set(), {n}
+        for _ in range(max_hops):
+            nxt = set().union(*(adj.get(x, set()) for x in frontier)) - seen
+            if not nxt:
+                break
+            seen |= nxt
+            frontier = nxt
+        pairs |= {(n, b) for b in seen}
+    if op == "*":
+        nodes = {s for s, _, _ in rows} | {o for _, _, o in rows}
+        pairs |= {(n, n) for n in nodes}
+    return pairs
+
+
+def test_bgp_path_equals_brute_force_closure(spark):
+    """Path('+'/'*') over random (cyclic) graphs == brute-force bounded
+    reachability, on both the driver and the distributed closure path."""
+    from netbase_spark.operators.graph_query import Path, path_closure
+
+    rng = random.Random(777)
+    nodes = ["a", "b", "c", "d", "e"]
+    for trial in range(10):
+        rows = sorted(
+            {
+                (rng.choice(nodes), rng.choice([1, 2]), rng.choice(nodes))
+                for _ in range(rng.randint(3, 12))
+            }
+        )
+        df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+        op = rng.choice(["+", "*"])
+        hops = rng.randint(1, 4)
+        want = brute_closure(rows, 1, op, hops)
+        p = Path(1, op, hops)
+        got_drv = {tuple(r) for r in path_closure(df, p).collect()}
+        got_dist = {
+            tuple(r) for r in path_closure(df, p, driver_threshold=0).collect()
+        }
+        assert got_drv == want, (rows, op, hops)
+        assert got_dist == want, (rows, op, hops)
