@@ -443,7 +443,7 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb"))
-    return (
+    out = (
         inter.join(sa, "a")
         .join(sb, "b")
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
@@ -451,6 +451,12 @@ def q_ngram_jaccard(spark, sf_dir):
         .where(F.col("jac_e4") >= 2000)
         .select("a", "b", "inter", "uni", "jac_e4")
     )
+    # materialize, then release the shingle cache (no session-lifetime
+    # cache accumulation across repeated passes — see dedup.
+    # _materialize_release)
+    from netbase_spark.operators.dedup import _materialize_release
+
+    return _materialize_release(out, sh)
 
 
 def q_jaccard_hot_shingles(spark, sf_dir):

@@ -84,6 +84,23 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _materialize_release(out, *cached):
+    """Eagerly materialize a cap-bounded result via localCheckpoint,
+    then release the SQL caches that fed it.  ``persist()`` registers
+    in the session cache manager and stays there until clearCache — a
+    long-lived batch loop re-running dedup passes accumulates orphaned
+    caches (round-3 advice item).  The checkpoint blocks of the RESULT
+    are context-cleaner-managed instead: freed when the caller drops
+    the DataFrame, no session-lifetime registration (same discipline as
+    canonicalize._pin/_unpin).  Candidate-pair outputs are always
+    cap-bounded (bucket caps / top-k), so the eager materialization is
+    cheap next to the banded subtrees it lets go of."""
+    out = out.localCheckpoint()
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def simhash_candidates(
     sigs: DataFrame,
     band_bits: int = SIMHASH_BAND_BITS,
@@ -144,12 +161,13 @@ def simhash_candidates(
     banded = banded.persist()
     l = banded.select(F.col("doc_id").alias("a"), "band", "bv")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bv")
-    return (
+    pairs = (
         l.join(r, ["band", "bv"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    return _materialize_release(pairs, banded)
 
 
 def simhash_oversized_buckets(
@@ -268,12 +286,13 @@ def minhash_lsh_pairs(
     band_rows = band_rows.persist()  # reused by self-join (see simhash note)
     l = band_rows.select(F.col("doc_id").alias("a"), "band", "bv")
     r = band_rows.select(F.col("doc_id").alias("b"), "band", "bv")
-    return (
+    pairs = (
         l.join(r, ["band", "bv"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    return _materialize_release(pairs, band_rows)
 
 
 JACCARD_HOT_SHINGLE_CAP = 2000  # max docs per shingle in the self-join
@@ -634,7 +653,8 @@ def ann_topk_bucketed(
     )
     # global top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
     # heap + driver merge), NOT a single-partition global Window sort
-    return scored.orderBy(F.col("sim_e4").desc(), F.col("vec_id").asc()).limit(k)
+    topk = scored.orderBy(F.col("sim_e4").desc(), F.col("vec_id").asc()).limit(k)
+    return _materialize_release(topk, with_b)
 
 
 # ---------------------------------------------------------------------------
@@ -773,9 +793,10 @@ def ivf_topk(
     scored = cands.select(id_col, vec_col).mapInPandas(
         score, schema=f"{id_col} {id_t}, sim_e4 long"
     )
-    return scored.orderBy(
+    topk = scored.orderBy(
         F.col("sim_e4").desc(), F.col(id_col).asc()
     ).limit(k)
+    return _materialize_release(topk, assigned)
 
 
 def cosine_neardup_bucketed(

@@ -370,6 +370,54 @@ _PROBE_SCHEMA = (
 )
 
 
+def first_token_hash_filter(
+    aliases: DataFrame, alias_col: str = "alias_key", cap_bytes: int | None = None
+):
+    """Executor-side pre-filter for the shuffle-join scan: the CRC-32
+    hashes of every alias's FIRST token, as an ``sc.broadcast`` sorted
+    int64 numpy array (8 bytes/entry — it fits a broadcast long after
+    the full alias->entity table doesn't; distinct first tokens run
+    10-100x fewer than aliases on real gazetteers).
+
+    Soundness: the join matches ``probe_key == alias_key``, which
+    implies equal first tokens, which implies equal CRC-32 (JVM
+    ``F.crc32`` and Python ``zlib.crc32`` are both standard CRC-32 over
+    the UTF-8 bytes — parity pinned by test).  A hash collision only
+    lets a doomed probe through to the join; it can never drop a live
+    one.  Returns None when even the hash set exceeds the cap (callers
+    then shuffle unfiltered, the previous behavior).
+
+    This is the probe-side answer to the shuffle path's cost gap vs the
+    broadcast scan: ``enumerate_probe_keys`` emits ~max_words probes
+    per token, nearly all of which miss the alias table; dropping them
+    executor-side cuts the corpus-sized probe shuffle to the plausible
+    subset before any bytes move."""
+    import numpy as np
+
+    from netbase_spark.plans.broadcast_gate import broadcast_cap_bytes
+
+    spark = aliases.sparkSession
+    cap_rows = broadcast_cap_bytes(spark, cap_bytes) // 8
+    h = (
+        aliases.where(
+            F.col(alias_col).isNotNull() & (F.col(alias_col) != "")
+        )
+        .select(
+            F.crc32(
+                F.encode(
+                    F.element_at(F.split(F.col(alias_col), " ", 2), 1), "UTF-8"
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+    pdf = h.limit(min(cap_rows + 1, (1 << 31) - 2)).toPandas()
+    if len(pdf) > cap_rows:
+        return None
+    arr = np.sort(pdf["h"].to_numpy(dtype="int64"))
+    return spark.sparkContext.broadcast(arr)
+
+
 def _max_alias_words(aliases: DataFrame, alias_col: str) -> int:
     """max word count over the alias table — the scalar pruning hint of
     rules.max_alias_word_count, computed as one cheap agg job."""
@@ -379,20 +427,44 @@ def _max_alias_words(aliases: DataFrame, alias_col: str) -> int:
     return int(row["m"]) if row and row["m"] is not None else 0
 
 
-def _probe_frame(texts: DataFrame, german: bool, max_span_words: int | None):
-    """(doc_id, text) -> all findEntites probe keys, one row each.
-    Alias-set-independent: nothing is broadcast."""
+def _probe_frame(
+    texts: DataFrame, german: bool, max_span_words: int | None, ft_bc=None
+):
+    """(doc_id, text) -> findEntites probe keys, one row each.
+    Alias-set-independent by default; with ``ft_bc`` (a
+    :func:`first_token_hash_filter` broadcast) probes whose first token
+    hashes outside the alias first-token set are dropped BEFORE the
+    shuffle — pure pruning, the join would discard them anyway."""
 
     def gen(batches):
+        import zlib
+
+        import numpy as np
         import pandas as pd
 
         from netbase_spark.oracle.rules import enumerate_probe_keys
 
+        arr = ft_bc.value if ft_bc is not None else None
+        # per-partition memo: distinct first tokens are vocabulary-
+        # bounded, so this stays small relative to the probe stream
+        memo: dict[str, bool] = {}
+
+        def tok_ok(tok: str) -> bool:
+            v = memo.get(tok)
+            if v is None:
+                hh = zlib.crc32(tok.encode("utf-8"))
+                j = int(np.searchsorted(arr, hh))
+                v = bool(j < arr.size and arr[j] == hh)
+                memo[tok] = v
+            return v
+
+        first_token_ok = tok_ok if arr is not None else None
         for pdf in batches:
             d, v, k, s, n = [], [], [], [], []
             for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
                 for variant, key, i, nw in enumerate_probe_keys(
-                    text or "", german, max_span_words=max_span_words
+                    text or "", german, max_span_words=max_span_words,
+                    first_token_ok=first_token_ok,
                 ):
                     d.append(doc_id)
                     v.append(variant)
@@ -474,13 +546,21 @@ def detect_mentions_shuffle(
     german: bool = False,
     distinct_per_doc: bool = False,
     alias_col: str = "alias_key",
+    ft_bc="auto",
 ) -> DataFrame:
     """Shuffle-join twin of :func:`detect_mentions_text`: ``aliases`` is
     a DataFrame with a normalized-surface-form column ``alias_col`` that
-    NEVER reaches the driver.  Identical output (property-tested)."""
+    NEVER reaches the driver.  Identical output (property-tested).
+
+    ``ft_bc``: first-token pre-filter — ``"auto"`` builds one from the
+    alias table (:func:`first_token_hash_filter`; two dimension-sized
+    jobs), ``None`` disables it, or pass a prepared broadcast handle to
+    amortize the build across batches."""
     bl = frozenset(blacklist)
     maxw = _max_alias_words(aliases, alias_col)
-    probes = _probe_frame(texts, german, maxw)
+    if ft_bc == "auto":
+        ft_bc = first_token_hash_filter(aliases, alias_col)
+    probes = _probe_frame(texts, german, maxw, ft_bc)
     akeys = (
         aliases.select(F.col(alias_col).alias("probe_key"))
         .where(F.col("probe_key").isNotNull() & (F.col("probe_key") != ""))
@@ -515,17 +595,23 @@ def scan_mention_triples_shuffle(
     alias_entity: DataFrame,
     blacklist: set[str],
     german: bool = False,
+    ft_bc="auto",
 ) -> DataFrame:
     """Shuffle-join twin of :func:`scan_mention_triples`:
     ``alias_entity`` is a DataFrame (alias_key, entity) — the rank-1 x
     canonical composition of :func:`~netbase_spark.operators.linking.
     alias_entity_table` — joined instead of driver-collected.  Identical
-    triples (property-tested)."""
+    triples (property-tested).  ``ft_bc`` as in
+    :func:`detect_mentions_shuffle` — streaming/batch loops should pass
+    a prepared :func:`first_token_hash_filter` handle so the filter
+    build (two dimension jobs) is paid once, not per batch."""
     from netbase_spark.schemas import TRIPLES_SCHEMA
 
     bl = frozenset(blacklist)
     maxw = _max_alias_words(alias_entity, "alias_key")
-    probes = _probe_frame(doc_text(docs), german, maxw)
+    if ft_bc == "auto":
+        ft_bc = first_token_hash_filter(alias_entity, "alias_key")
+    probes = _probe_frame(doc_text(docs), german, maxw, ft_bc)
     amap = alias_entity.select(
         F.col("alias_key").alias("probe_key"), "entity"
     ).where(F.col("probe_key").isNotNull() & (F.col("probe_key") != ""))

@@ -788,6 +788,7 @@ def enumerate_probe_keys(
     german: bool = False,
     max_words: int = MAX_WORDS,
     max_span_words: int | None = None,
+    first_token_ok=None,
 ) -> list[tuple[str, str, int, int]]:
     """Every (variant, probe_key, start_word, n_words) lookup that
     :func:`find_mentions_naive` would issue against the alias set,
@@ -801,7 +802,20 @@ def enumerate_probe_keys(
     start, bigram included).  ``max_span_words`` is the pure
     word-count prune of :func:`find_mentions` (+1 for the stem retry's
     possible 1-char-token collapse); pass
-    :func:`max_alias_word_count`'s value or None."""
+    :func:`max_alias_word_count`'s value or None.
+
+    ``first_token_ok`` (token -> bool, an over-approximation of "some
+    alias starts with this normalized token") prunes executor-side for
+    the shuffle-join path: a probe whose key's first token fails can
+    never survive the alias join, so it is dropped before emission —
+    and for a SAFE first word (normalization compositional, the same
+    invariant :func:`find_mentions` exploits) the whole start is
+    skipped when neither its normalized form nor its single-word stem
+    form can pass, avoiding the span-join/normalize work entirely.
+    Unsafe first words fall back to the exact per-probe check.  Pure
+    pruning either way: may falsely pass (the join then rejects), never
+    falsely rejects — property-tested equal to the unfiltered
+    enumeration joined against any alias set."""
     q = text.translate(_PUNCT)
     words = q.split(" ")
     n = len(words)
@@ -814,6 +828,20 @@ def enumerate_probe_keys(
             continue
         if is_number_token(w0):
             continue  # no-numbers hack kills every hit from this start
+        if first_token_ok is not None:
+            nn0, safe0, ft0, _num = _word_info(w0)
+            if safe0 and nn0:
+                # safe + nonempty norm: every probe from this start has
+                # first token nn0 (== ft0), EXCEPT the single-word stem
+                # retry whose key is norm(w0[:-1])
+                ok0 = first_token_ok(ft0)
+                if not ok0 and (
+                    w0.endswith("s") or (german and w0.endswith("e"))
+                ):
+                    sk = _norm_cached(w0[:-1])
+                    ok0 = bool(sk) and first_token_ok(sk.split(" ", 1)[0])
+                if not ok0:
+                    continue
         slen = -1  # span chars incl. separators
         nct = 0  # nonempty-norm word count (for the word-count prune)
         stop = False
@@ -829,19 +857,30 @@ def enumerate_probe_keys(
             span = " ".join(words[i:j])
             nw = j - i
             pk = _norm_cached(span)
-            if pk:
+            if pk and (
+                first_token_ok is None or first_token_ok(pk.split(" ", 1)[0])
+            ):
                 out.append(("raw", pk, i, nw))
             if span.endswith("s"):
                 sk = _norm_cached(span[:-1])
-                if sk:
+                if sk and (
+                    first_token_ok is None
+                    or first_token_ok(sk.split(" ", 1)[0])
+                ):
                     out.append(("stem_s", sk, i, nw))
             elif german and span.endswith("e"):
                 sk = _norm_cached(span[:-1])
-                if sk:
+                if sk and (
+                    first_token_ok is None
+                    or first_token_ok(sk.split(" ", 1)[0])
+                ):
                     out.append(("stem_e", sk, i, nw))
             if i > 0 and words[i - 1]:
                 bk = _norm_cached(f"{span} {words[i - 1]}")
-                if bk:
+                if bk and (
+                    first_token_ok is None
+                    or first_token_ok(bk.split(" ", 1)[0])
+                ):
                     out.append(("bigram", bk, i, nw))
     return out
 

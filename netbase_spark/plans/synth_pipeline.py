@@ -57,14 +57,19 @@ class ConstructionArtifacts:
     batch — at 10^7-10^8 aliases the rebuild would dominate batch
     latency."""
 
-    __slots__ = ("label_triples", "mapping", "scan_bc", "alias_entity", "blacklist")
+    __slots__ = (
+        "label_triples", "mapping", "scan_bc", "alias_entity", "blacklist",
+        "ft_bc",
+    )
 
-    def __init__(self, label_triples, mapping, scan_bc, alias_entity, blacklist):
+    def __init__(self, label_triples, mapping, scan_bc, alias_entity,
+                 blacklist, ft_bc=None):
         self.label_triples = label_triples
         self.mapping = mapping
         self.scan_bc = scan_bc          # prepared broadcast handle, or None
         self.alias_entity = alias_entity  # DataFrame fallback, or None
         self.blacklist = blacklist
+        self.ft_bc = ft_bc  # prepared first-token filter (shuffle path)
 
 
 def build_artifacts(
@@ -125,9 +130,15 @@ def build_artifacts(
         bc = prepare_triple_scan(spark, amap, blacklist)
         return ConstructionArtifacts(label_triples, mapping, bc, None, blacklist)
     # oversized gazetteer: keep the alias->entity table distributed;
-    # checkpoint so per-batch scans don't re-run the dimension lineage
+    # checkpoint so per-batch scans don't re-run the dimension lineage,
+    # and prepare the first-token probe pre-filter ONCE (mentions.
+    # first_token_hash_filter) so every batch's shuffle scan reuses it
+    ae = ae.localCheckpoint()
+    from netbase_spark.operators.mentions import first_token_hash_filter
+
     return ConstructionArtifacts(
-        label_triples, mapping, None, ae.localCheckpoint(), blacklist
+        label_triples, mapping, None, ae, blacklist,
+        ft_bc=first_token_hash_filter(ae, "alias_key"),
     )
 
 
@@ -152,6 +163,7 @@ def construct_from(
         mention_triples = scan_mention_triples_prepared(docs, artifacts.scan_bc)
     else:
         mention_triples = scan_mention_triples_shuffle(
-            docs, artifacts.alias_entity, artifacts.blacklist
+            docs, artifacts.alias_entity, artifacts.blacklist,
+            ft_bc=artifacts.ft_bc,
         )
     return mention_triples.unionByName(artifacts.label_triples)

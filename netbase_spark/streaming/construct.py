@@ -121,8 +121,11 @@ def apply_merges(
             )
             .localCheckpoint()
         )
+    # the first-token filter survives a merge untouched: alias KEYS are
+    # unchanged, only their entity targets moved
     return ConstructionArtifacts(
-        label_triples, new_map, scan_bc, alias_entity, artifacts.blacklist
+        label_triples, new_map, scan_bc, alias_entity, artifacts.blacklist,
+        ft_bc=artifacts.ft_bc,
     )
 
 
@@ -178,7 +181,8 @@ def start_incremental_construct(
             batch = scan_mention_triples_prepared(docs, artifacts.scan_bc)
         else:
             batch = scan_mention_triples_shuffle(
-                docs, artifacts.alias_entity, artifacts.blacklist
+                docs, artifacts.alias_entity, artifacts.blacklist,
+                ft_bc=artifacts.ft_bc,
             )
         # fresh-keys-only append == the anti-join half of merge_triples
         # (first-writer provenance): idempotent under batch replay; the

@@ -286,3 +286,39 @@ def test_shard_pack_budget_and_determinism(spark):
         for r in shard_pack(docs.repartition(7), 6).collect()
     }
     assert got2 == got
+
+
+def test_dedup_ops_leave_no_session_cache(spark):
+    """The banded/bucketed candidate generators persist their band
+    tables internally; after returning the materialized result the SQL
+    cache manager must be EMPTY again (a batch loop re-running dedup
+    passes must not accumulate session-lifetime caches)."""
+    from netbase_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash,
+        simhash_candidates,
+    )
+
+    shingles = spark.createDataFrame(
+        [(f"d{i:02d}", f"tok{j}") for i in range(30)
+         for j in (i % 7, i % 5, i % 3, 11)],
+        "doc_id string, shingle string",
+    )
+    texts = spark.createDataFrame(
+        [(f"d{i:02d}", " ".join(f"w{(i * k) % 9}" for k in range(12)))
+         for i in range(30)],
+        "doc_id string, text string",
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    mh = minhash_lsh_pairs(minhash_signatures(shingles, n_hashes=8),
+                           bands=4, rows_per_band=2)
+    mh.count()
+    assert cm.isEmpty(), "minhash_lsh_pairs leaked a session cache"
+
+    sc_pairs = simhash_candidates(simhash(texts))
+    sc_pairs.count()
+    assert cm.isEmpty(), "simhash_candidates leaked a session cache"

@@ -69,6 +69,22 @@ def test_probe_decomposition_matches_naive_scan():
         assert got == ref, (text, sorted(aliases), sorted(blacklist), german)
         # and through the longest-match filter (order-preserving)
         assert filter_candidates_naive(got) == filter_candidates_naive(ref)
+        # first_token_ok pruning (the shuffle path's executor-side
+        # pre-filter, incl. its safe-start skip) must not change the
+        # join survivors
+        first_toks = frozenset(a.split(" ", 1)[0] for a in aliases)
+        pruned = [
+            p
+            for p in enumerate_probe_keys(
+                text, german, max_span_words=maxsw,
+                first_token_ok=lambda t: t in first_toks,
+            )
+            if p[1] in aliases
+        ]
+        got_pruned = resolve_probe_hits(pruned, blacklist, german)
+        assert got_pruned == ref, (
+            text, sorted(aliases), sorted(blacklist), german,
+        )
 
 
 def test_trie_automaton_matches_naive_scan():
@@ -266,3 +282,56 @@ def test_broadcast_gate_estimates(spark):
     assert got is not None and len(got) == 100
     assert collect_under_cap(small, cap_bytes=1) is None
     assert collect_under_cap(empty, cap_bytes=10) == []
+
+
+def test_first_token_prefilter_prunes_but_preserves(spark):
+    """The CRC-32 first-token pre-filter drops most probes before the
+    shuffle (pure pruning) while the scan output stays identical to the
+    unfiltered path; JVM crc32 and zlib.crc32 agree (soundness of the
+    two-sided hash)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.mentions import (
+        _max_alias_words,
+        _probe_frame,
+        detect_mentions_shuffle,
+        doc_text,
+        first_token_hash_filter,
+    )
+
+    docs = docs_df(spark, 30, seed=5, partitions=2)
+    texts = doc_text(docs)
+    from netbase_spark.data.fixtures import labels_spark_df
+    from netbase_spark.operators.gazetteer import build_alias_table
+
+    aliases = build_alias_table(labels_spark_df(spark), with_seo=False).select(
+        F.col("name_norm").alias("alias_key")
+    ).distinct()
+    bl = blacklist_fixture()
+
+    ft = first_token_hash_filter(aliases, "alias_key")
+    assert ft is not None
+    # JVM/zlib parity on actual alias first tokens
+    toks = [
+        r["alias_key"].split(" ", 1)[0]
+        for r in aliases.limit(50).collect()
+    ]
+    import numpy as np
+
+    arr = ft.value
+    for t in toks:
+        h = zlib.crc32(t.encode("utf-8"))
+        j = int(np.searchsorted(arr, h))
+        assert j < arr.size and arr[j] == h, t
+
+    maxw = _max_alias_words(aliases, "alias_key")
+    n_all = _probe_frame(texts, False, maxw).count()
+    n_filtered = _probe_frame(texts, False, maxw, ft).count()
+    assert n_filtered < n_all * 0.5, (n_filtered, n_all)
+
+    with_f = detect_mentions_shuffle(texts, aliases, bl)
+    without_f = detect_mentions_shuffle(texts, aliases, bl, ft_bc=None)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(with_f) == rows(without_f)
