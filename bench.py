@@ -408,6 +408,14 @@ def main():
             # separately so the throughput number is honest about what
             # it covers (the doc-side work that scales with the corpus)
             "artifacts_sec": artifacts_sec,
+            # methodology tag (round-3 advice): since round 3 the
+            # headline triples_per_sec times ONLY the doc-side
+            # construction — the dimension build is amortized outside
+            # the timed region (artifacts_sec above) and clear_persisted
+            # is not called between runs.  Records without this flag
+            # (rounds 1-2) timed dimension+doc per run; compare BENCH
+            # history accordingly.
+            "amortized_artifacts": True,
         },
     }
     emit_result(result, save_latest=False)

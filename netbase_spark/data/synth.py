@@ -24,13 +24,34 @@ from netbase_spark.data.fixtures import FILLER_WORDS, mentionable_labels
 
 SPAN_KINDS = ("text", "image", "audio", "video")
 
+# Skewed-corpus mode (the north rule's hub-entity stress: Q5/owl:Thing-
+# style objects that appear in a large fraction of documents, plus one
+# viral boilerplate sentence shared verbatim across the corpus).  The
+# hub label is a fixed gazetteer surface form; the boilerplate embeds a
+# second label so its entity hubs too.  Rates are per-document
+# Bernoulli draws from the doc's own deterministic rng, so corpora stay
+# a pure function of (seed, doc_id, skew).
+SKEW_HUB_RATE = 0.30
+SKEW_BOILERPLATE_RATE = 0.30
+
+
+def _skew_labels(labels: list[str]) -> tuple[str, str]:
+    ordered = sorted(labels)
+    return ordered[0], ordered[-1]
+
 
 def _doc_rng(seed: int, doc_id: int) -> random.Random:
     return random.Random((seed << 40) ^ (doc_id * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFF))
 
 
-def gen_doc(doc_id: int, seed: int = 42, labels: list[str] | None = None) -> dict:
-    """One interleaved document. spans offsets are monotone char offsets."""
+def gen_doc(
+    doc_id: int, seed: int = 42, labels: list[str] | None = None,
+    skew: bool = False,
+) -> dict:
+    """One interleaved document. spans offsets are monotone char offsets.
+    ``skew=True`` appends the hub-entity span to ~30% of docs and the
+    viral boilerplate sentence to ~30% (independently) — the skewed
+    twin corpus for straggler/scaling stress runs."""
     if labels is None:
         labels = mentionable_labels()
     rng = _doc_rng(seed, doc_id)
@@ -61,15 +82,35 @@ def gen_doc(doc_id: int, seed: int = 42, labels: list[str] | None = None) -> dic
                 {"kind": kind, "text": caption, "media_ref": ref, "offset": offset}
             )
             offset += 1
+    if skew:
+        hub, boiler_label = _skew_labels(labels)
+        if rng.random() < SKEW_HUB_RATE:
+            text = f"breaking news about {hub} today"
+            spans.append(
+                {"kind": "text", "text": text, "media_ref": None,
+                 "offset": offset}
+            )
+            offset += len(text) + 1
+        if rng.random() < SKEW_BOILERPLATE_RATE:
+            text = (
+                "subscribe to our newsletter for daily updates about "
+                f"{boiler_label} and more"
+            )
+            spans.append(
+                {"kind": "text", "text": text, "media_ref": None,
+                 "offset": offset}
+            )
+            offset += len(text) + 1
     return {"doc_id": str(doc_id), "spans": spans}
 
 
-def docs_local(n_docs: int, seed: int = 42) -> list[dict]:
+def docs_local(n_docs: int, seed: int = 42, skew: bool = False) -> list[dict]:
     labels = mentionable_labels()
-    return [gen_doc(i, seed, labels) for i in range(n_docs)]
+    return [gen_doc(i, seed, labels, skew=skew) for i in range(n_docs)]
 
 
-def docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None,
+            skew: bool = False):
     """Distributed corpus as a DataFrame of the input_hint shape."""
     import pandas as pd
 
@@ -79,7 +120,7 @@ def docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            docs = [gen_doc(int(i), seed, labels) for i in pdf["id"]]
+            docs = [gen_doc(int(i), seed, labels, skew=skew) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "doc_id": [d["doc_id"] for d in docs],

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 def materialize_corpus(
     spark: SparkSession, n_docs: int, seed: int = 42,
     partitions: int | None = None, path: str | None = None,
+    skew: bool = False,
 ) -> str:
     """Write the synthetic corpus to parquet once (idempotent per
     (n_docs, seed)) and return the path.  The input contract is an
@@ -22,11 +23,14 @@ def materialize_corpus(
 
     # file count is part of the cache key: the fixed layout must not
     # silently come from whichever partitioning wrote the table first
-    path = path or f"/tmp/netbase_corpus/docs_{n_docs}_{seed}_{partitions or 'auto'}"
+    suffix = "_skew" if skew else ""
+    path = path or (
+        f"/tmp/netbase_corpus/docs_{n_docs}_{seed}_{partitions or 'auto'}{suffix}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs_df(spark, n_docs, seed=seed, partitions=partitions).write.mode(
-            "overwrite"
-        ).parquet(path)
+        docs_df(
+            spark, n_docs, seed=seed, partitions=partitions, skew=skew
+        ).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -142,11 +142,18 @@ isolates the corpus-proportional path.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     base = open(path).read() if os.path.exists(path) else "# BENCH/BASELINE\n"
+    # idempotent re-run replaces ONLY this script's section (later
+    # sections — e.g. the skewed-corpus one — survive)
     cut = base.find("\n## spark-submit")
-    if cut != -1:  # idempotent re-run replaces the section
-        base = base[:cut]
-    with open(path, "w") as f:
-        f.write(base.rstrip("\n") + md)
+    if cut != -1:
+        nxt = base.find("\n## ", cut + 1)
+        tail = base[nxt:] if nxt != -1 else ""
+        base = base[:cut] + tail
+        with open(path, "w") as f:
+            f.write(base[:cut].rstrip("\n") + md + tail)
+    else:
+        with open(path, "w") as f:
+            f.write(base.rstrip("\n") + md)
     print(json.dumps({
         "n": args.n, "docs": args.docs,
         "tps_lo": lo["triples_per_sec"], "tps_hi": hi["triples_per_sec"],

@@ -55,6 +55,11 @@ def main():
                          "cluster job amortizes to zero — on a 4-core "
                          "budget they otherwise bill ~15s against the N "
                          "run alone")
+    ap.add_argument("--skew", action="store_true",
+                    help="skewed corpus twin: one hub entity in ~30%% of "
+                         "docs and one viral boilerplate sentence in ~30%% "
+                         "(data/synth SKEW_* rates) — the straggler stress "
+                         "mode for scaling runs")
     ap.add_argument("--no-oracle", action="store_true",
                     help="skip the driver-side P/R check (single-threaded "
                          "pure-Python oracle — scaffolding, not pipeline; "
@@ -88,10 +93,12 @@ def main():
         # fixed 256-file layout so the table does not encode whichever
         # parallelism happened to write it first (see bench.py)
         docs = spark.read.parquet(
-            materialize_corpus(spark, args.docs, seed=42, partitions=256)
+            materialize_corpus(spark, args.docs, seed=42, partitions=256,
+                               skew=args.skew)
         )
     else:
-        docs = docs_df(spark, args.docs, seed=42, partitions=args.cpus)
+        docs = docs_df(spark, args.docs, seed=42, partitions=args.cpus,
+                       skew=args.skew)
 
     if args.warmup:
         wdir = tempfile.mkdtemp(prefix="kg_warm_")
@@ -113,8 +120,8 @@ def main():
         got = {(r.subj, r.rel, r.obj) for r in triples.collect()}
         n_triples = len(got)
         expected = oracle_triples(
-            labels, docs_local(args.docs, seed=42), blacklist_fixture(),
-            synonym_pairs()
+            labels, docs_local(args.docs, seed=42, skew=args.skew),
+            blacklist_fixture(), synonym_pairs()
         )
         tp = len(got & expected)
         p = tp / len(got) if got else 0.0

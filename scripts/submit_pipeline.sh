@@ -22,8 +22,18 @@ trap 'rm -rf "$WORK"' EXIT
 cp "$REPO/scripts/run_pipeline.py" "$WORK/"
 
 cd "$WORK"
+# optional per-stage task evidence: EVLOG_DIR=... enables the Spark
+# event log (parsed by bench_skew_scaling.py for straggler histograms)
+EXTRA_CONF=()
+if [[ -n "${EVLOG_DIR:-}" ]]; then
+  mkdir -p "$EVLOG_DIR"
+  EXTRA_CONF+=(--conf spark.eventLog.enabled=true
+               --conf spark.eventLog.compress=false
+               --conf "spark.eventLog.dir=file://$EVLOG_DIR")
+fi
 spark-submit \
   --master "local[$CORES]" \
   --driver-memory "${DRIVER_MEM:-48g}" \
   --py-files "$REPO/dist/netbase_spark.zip" \
+  "${EXTRA_CONF[@]}" \
   run_pipeline.py --from-submit --cpus "$CORES" --docs "$DOCS" "$@"
