@@ -244,3 +244,96 @@ ORACLE_BGP_GROUP_OPTIONAL = """
 
 EXT6_QUERIES["bgp_group_optional"] = q_bgp_group_optional
 EXT6_ORACLES["bgp_group_optional"] = ORACLE_BGP_GROUP_OPTIONAL
+
+
+def _chain2_triples(spark, sf_dir):
+    """Two alternating chain rels: even part keys emit rel 1 edges, odd
+    emit rel 4 — a chain only an alternation path can walk end to end —
+    plus rel-2 marks every 7th key (as _chain_triples)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    pk = F.col("p_partkey")
+    c1 = part.where((pk % 10 != 9) & (pk % 2 == 0)).select(
+        _p(pk).alias("subj"), F.lit(1).alias("rel"), _p(pk + 1).alias("obj")
+    )
+    c4 = part.where((pk % 10 != 9) & (pk % 2 == 1)).select(
+        _p(pk).alias("subj"), F.lit(4).alias("rel"), _p(pk + 1).alias("obj")
+    )
+    marks = part.where(pk % 7 == 0).select(
+        _p(pk).alias("subj"), F.lit(2).alias("rel"), F.lit("marked").alias("obj")
+    )
+    return c1.unionByName(c4).unionByName(marks)
+
+
+_CHAIN2_SQL = """
+        SELECT 'P' || CAST(p_partkey AS VARCHAR) AS subj, 1 AS rel,
+               'P' || CAST(p_partkey + 1 AS VARCHAR) AS obj
+        FROM part WHERE p_partkey % 10 != 9 AND p_partkey % 2 = 0
+        UNION ALL
+        SELECT 'P' || CAST(p_partkey AS VARCHAR) AS subj, 4 AS rel,
+               'P' || CAST(p_partkey + 1 AS VARCHAR) AS obj
+        FROM part WHERE p_partkey % 10 != 9 AND p_partkey % 2 = 1
+        UNION ALL
+        SELECT 'P' || CAST(p_partkey AS VARCHAR) AS subj, 2 AS rel,
+               'marked' AS obj
+        FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+def q_bgp_path_alt(spark, sf_dir):
+    """Alternation path (1|4)+ bounded at 3 hops over a chain whose
+    edges alternate between the two rels — a single-rel closure stops
+    after one hop, the alternation walks through."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    return bgp_match(
+        _chain2_triples(spark, sf_dir),
+        [("?a", 2, "marked"), ("?a", Path([1, 4], "+", max_hops=3), "?b")],
+    )
+
+
+ORACLE_BGP_PATH_ALT = f"""
+    WITH RECURSIVE t AS ({_CHAIN2_SQL}),
+    e AS (SELECT subj, obj FROM t WHERE rel IN (1, 4)),
+    r(a, b, d) AS (
+        SELECT subj, obj, 1 FROM e
+        UNION
+        SELECT r.a, e.obj, r.d + 1 FROM r JOIN e ON e.subj = r.b
+        WHERE r.d < 3
+    )
+    SELECT DISTINCT r.a AS a, r.b AS b
+    FROM r JOIN t m ON m.rel = 2 AND m.subj = r.a
+"""
+
+
+def q_bgp_path_inverse(spark, sf_dir):
+    """Inverse path ^(1|4)+ bounded at 3 hops: marked nodes and their
+    ANCESTORS along the alternating chain (edges walked obj->subj)."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    return bgp_match(
+        _chain2_triples(spark, sf_dir),
+        [
+            ("?a", 2, "marked"),
+            ("?a", Path([1, 4], "+", max_hops=3, inverse=True), "?b"),
+        ],
+    )
+
+
+ORACLE_BGP_PATH_INVERSE = f"""
+    WITH RECURSIVE t AS ({_CHAIN2_SQL}),
+    e AS (SELECT obj AS subj, subj AS obj FROM t WHERE rel IN (1, 4)),
+    r(a, b, d) AS (
+        SELECT subj, obj, 1 FROM e
+        UNION
+        SELECT r.a, e.obj, r.d + 1 FROM r JOIN e ON e.subj = r.b
+        WHERE r.d < 3
+    )
+    SELECT DISTINCT r.a AS a, r.b AS b
+    FROM r JOIN t m ON m.rel = 2 AND m.subj = r.a
+"""
+
+
+EXT6_QUERIES["bgp_path_alt"] = q_bgp_path_alt
+EXT6_QUERIES["bgp_path_inverse"] = q_bgp_path_inverse
+EXT6_ORACLES["bgp_path_alt"] = ORACLE_BGP_PATH_ALT
+EXT6_ORACLES["bgp_path_inverse"] = ORACLE_BGP_PATH_INVERSE

@@ -52,21 +52,32 @@ class Path:
     ``Path(rel, "+")`` is one-or-more hops, ``Path(rel, "*")`` is
     zero-or-more, both bounded at ``max_hops`` (the reference's
     recursion surface is depth-bounded too: ``all_instances2/3`` carry
-    an explicit depth, src/query.cpp:902-1046).  The zero-hop identity
-    of ``*`` ranges over every node occurring in the triple table
-    (subj or obj side)."""
+    an explicit depth, src/query.cpp:902-1046).  ``rel`` may be a
+    list/tuple of rel constants — SPARQL alternation ``(a|b)+``, hops
+    may mix the alternatives.  ``inverse=True`` walks edges obj->subj
+    (SPARQL ``^rel``).  The zero-hop identity of ``*`` ranges over
+    every node occurring in the triple table (subj or obj side)."""
 
-    __slots__ = ("rel", "op", "max_hops")
+    __slots__ = ("rel", "op", "max_hops", "inverse")
 
-    def __init__(self, rel, op: str = "+", max_hops: int = 10):
+    def __init__(self, rel, op: str = "+", max_hops: int = 10,
+                 inverse: bool = False):
         if op not in ("+", "*"):
             raise ValueError(f"Path op must be '+' or '*', got {op!r}")
         if max_hops < 1:
             raise ValueError("Path max_hops must be >= 1")
+        if isinstance(rel, (list, tuple)):
+            if not rel:
+                raise ValueError("Path alternation needs >= 1 rel")
+            rel = tuple(rel)
         self.rel, self.op, self.max_hops = rel, op, max_hops
+        self.inverse = bool(inverse)
+
+    def _rels(self) -> tuple:
+        return self.rel if isinstance(self.rel, tuple) else (self.rel,)
 
     def _key(self):
-        return (self.rel, self.op, self.max_hops)
+        return (self._rels(), self.op, self.max_hops, self.inverse)
 
 
 def _is_var(term) -> bool:
@@ -106,13 +117,18 @@ def path_closure(
     ``+`` (and every node yields one under ``*``)."""
     from netbase_spark.operators.canonicalize import _pin, _unpin
 
-    edges = (
-        triples.where(F.col("rel") == F.lit(path.rel))
-        .select("subj", "obj")
-        .dropDuplicates()
+    rels = path._rels()
+    cond = (
+        F.col("rel") == F.lit(rels[0]) if len(rels) == 1
+        else F.col("rel").isin(list(rels))
     )
-    st = triples.schema["subj"].dataType.simpleString()
-    ot = triples.schema["obj"].dataType.simpleString()
+    edges = triples.where(cond).select("subj", "obj").dropDuplicates()
+    if path.inverse:
+        edges = edges.select(
+            F.col("obj").alias("subj"), F.col("subj").alias("obj")
+        )
+    st = triples.schema["subj" if not path.inverse else "obj"].dataType.simpleString()
+    ot = triples.schema["obj" if not path.inverse else "subj"].dataType.simpleString()
 
     def _with_identity(closure: DataFrame) -> DataFrame:
         if path.op != "*":
@@ -185,6 +201,14 @@ def _pos_terms(pat) -> list[tuple[str, object]]:
     if isinstance(pat[1], Path):
         return [("subj", pat[0]), ("obj", pat[2])]
     return list(zip(_POS, pat))
+
+
+def _slot_dtype(pat, col, dtype_of):
+    """Domain type of a pattern slot: for an inverse Path the closure
+    table's subj column carries triple-OBJ values and vice versa."""
+    if isinstance(pat[1], Path) and pat[1].inverse:
+        return dtype_of["obj" if col == "subj" else "subj"]
+    return dtype_of[col]
 
 
 def _step_df(triples: DataFrame, pat, closures: dict) -> DataFrame:
@@ -302,7 +326,9 @@ def bgp_match(
         sequence.append(pat)
         rel = pat[1]
         if isinstance(rel, Path):
-            if not _const_compatible(rel.rel, dtype_of["rel"]):
+            if not all(
+                _const_compatible(r, dtype_of["rel"]) for r in rel._rels()
+            ):
                 conflict = True
             if rel.op == "*" and dtype_of["subj"] != dtype_of["obj"]:
                 # the zero-hop identity needs one node domain; disjoint
@@ -310,14 +336,14 @@ def bgp_match(
                 conflict = True
         for col, term in _pos_terms(pat):
             if _is_var(term):
-                dt = dtype_of[col]
+                dt = _slot_dtype(pat, col, dtype_of)
                 if term in var_type:
                     if var_type[term] != dt:
                         conflict = True
                 else:
                     var_type[term] = dt
                 bound_sym.add(term)
-            elif not _const_compatible(term, dtype_of[col]):
+            elif not _const_compatible(term, _slot_dtype(pat, col, dtype_of)):
                 # SPARQL-style: a constant whose type cannot inhabit the
                 # column (string literal in an int rel slot) matches
                 # nothing — same empty short-circuit as a var conflict
@@ -348,13 +374,16 @@ def bgp_match(
             for pat in pats:
                 rel = pat[1]
                 if isinstance(rel, Path):
-                    if not _const_compatible(rel.rel, dtype_of["rel"]):
+                    if not all(
+                        _const_compatible(r, dtype_of["rel"])
+                        for r in rel._rels()
+                    ):
                         possible = False
                     if rel.op == "*" and dtype_of["subj"] != dtype_of["obj"]:
                         possible = False
                 for col, term in _pos_terms(pat):
                     if _is_var(term):
-                        dt = dtype_of[col]
+                        dt = _slot_dtype(pat, col, dtype_of)
                         known = var_type.get(term, local_type.get(term))
                         if known is not None and known != dt:
                             possible = False
@@ -364,7 +393,9 @@ def bgp_match(
                         elif term not in local_type:
                             local_type[term] = dt
                             new.append((term, dt))
-                    elif not _const_compatible(term, dtype_of[col]):
+                    elif not _const_compatible(
+                        term, _slot_dtype(pat, col, dtype_of)
+                    ):
                         possible = False
             if not shared:
                 raise ValueError(

@@ -281,3 +281,29 @@ def test_path_validation(spark, triples):
     # type-incompatible path rel -> empty result, correct schema
     out = bgp_match(triples, [("?a", Path("not-an-int", "+"), "?b")])
     assert out.columns == ["a", "b"] and out.count() == 0
+
+
+def test_path_alternation_and_inverse(spark):
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    rows = [
+        ("a", 1, "b"), ("b", 4, "c"), ("c", 1, "d"),   # alternating rels
+        ("x", 1, "y"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    # single-rel + stops at the rel boundary...
+    one = bgp_match(df, [("a", Path(1, "+", 4), "?v")])
+    assert {r["v"] for r in one.collect()} == {"b"}
+    # ...alternation (1|4)+ walks through
+    alt = bgp_match(df, [("a", Path([1, 4], "+", 4), "?v")])
+    assert {r["v"] for r in alt.collect()} == {"b", "c", "d"}
+    # inverse: ^1+ from b reaches a
+    inv = bgp_match(df, [("b", Path(1, "+", 4, inverse=True), "?v")])
+    assert {r["v"] for r in inv.collect()} == {"a"}
+    # inverse + alternation compose
+    inv_alt = bgp_match(
+        df, [("d", Path([1, 4], "+", 4, inverse=True), "?v")]
+    )
+    assert {r["v"] for r in inv_alt.collect()} == {"a", "b", "c"}
+    with pytest.raises(ValueError):
+        Path([], "+")
