@@ -492,6 +492,15 @@ def cosine_neardup_pairs(
         part = left.mapInPandas(
             make_block(bc), schema=f"a {id_t}, b {id_t}, sim_e4 long"
         )
+        # eager per-tile materialization: the threshold-surviving pairs
+        # are output-sized, and checkpointing them here keeps the final
+        # plan a union of trivial scans instead of n_tiles live
+        # mapInPandas branches (at 100+ tiles the single lazy plan grew
+        # driver-side analysis cost and re-serialized every tile's
+        # broadcast into one job — round-3 advice).  The tile broadcast
+        # is released as soon as its block product lands.
+        part = part.localCheckpoint()
+        bc.unpersist()
         out = part if out is None else out.unionByName(part)
     return out
 
