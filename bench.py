@@ -166,6 +166,12 @@ HEADLINE = [
     "triple_pr_by_rel",
     "bgp_optional",
     "bgp_not_exists",
+    "cc_incremental",
+    "bgp_path",
+    "bgp_path_star",
+    "bgp_path_alt",
+    "bgp_path_inverse",
+    "bgp_group_optional",
 ]
 
 
