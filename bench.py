@@ -172,6 +172,7 @@ HEADLINE = [
     "bgp_path_alt",
     "bgp_path_inverse",
     "bgp_group_optional",
+    "isa_incremental",
 ]
 
 

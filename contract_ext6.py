@@ -337,3 +337,78 @@ EXT6_QUERIES["bgp_path_alt"] = q_bgp_path_alt
 EXT6_QUERIES["bgp_path_inverse"] = q_bgp_path_inverse
 EXT6_ORACLES["bgp_path_alt"] = ORACLE_BGP_PATH_ALT
 EXT6_ORACLES["bgp_path_inverse"] = ORACLE_BGP_PATH_INVERSE
+
+
+# --- incremental transitive-closure maintenance ------------------------------
+
+
+def q_isa_incremental(spark, sf_dir):
+    """operators/query_ops.extend_closure: the materialized subsumption
+    closure (supplier -> nation -> region, as isa_closure) is extended
+    with a batch of NEW upward edges — regions into two zones, zones
+    into a world root (chains needing two new edges), plus a fresh leaf
+    under an existing supplier — without recomputing the closure over
+    the historical edges.  Oracle = full recursive-CTE closure over the
+    edge union."""
+    from netbase_spark.operators.query_ops import extend_closure, isa_closure
+
+    nation = _t(spark, sf_dir, "nation")
+    closure = isa_closure(_supplier_type_triples_local(spark, sf_dir))
+    zones = nation.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("node"),
+        F.concat(
+            F.lit("Z"), (F.col("n_regionkey") % 2).cast("string")
+        ).alias("anc"),
+    ).dropDuplicates()
+    roots = spark.createDataFrame(
+        [("Z0", "WORLD"), ("Z1", "WORLD"), ("X9", "S1")],
+        "node string, anc string",
+    )
+    return extend_closure(closure, zones.unionByName(roots))
+
+
+def _supplier_type_triples_local(spark, sf_dir):
+    from netbase_spark.relations import TYPE
+
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return supplier.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit(TYPE).alias("rel"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("obj"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit(TYPE).alias("rel"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("obj"),
+        )
+    )
+
+
+ORACLE_ISA_INCREMENTAL = """
+    WITH RECURSIVE edges AS (
+        SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node,
+               'N' || CAST(s_nationkey AS VARCHAR) AS anc
+        FROM supplier
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+               'R' || CAST(n_regionkey AS VARCHAR)
+        FROM nation
+        UNION ALL
+        SELECT DISTINCT 'R' || CAST(n_regionkey AS VARCHAR),
+               'Z' || CAST(n_regionkey % 2 AS VARCHAR)
+        FROM nation
+        UNION ALL
+        SELECT 'Z0', 'WORLD' UNION ALL SELECT 'Z1', 'WORLD'
+        UNION ALL SELECT 'X9', 'S1'
+    ), closure AS (
+        SELECT node, anc FROM edges
+        UNION
+        SELECT c.node, e.anc FROM closure c JOIN edges e ON c.anc = e.node
+    )
+    SELECT DISTINCT node, anc FROM closure WHERE node != anc
+"""
+
+
+EXT6_QUERIES["isa_incremental"] = q_isa_incremental
+EXT6_ORACLES["isa_incremental"] = ORACLE_ISA_INCREMENTAL

@@ -153,6 +153,104 @@ def isa_closure(
     return closure
 
 
+def extend_closure(
+    closure: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 10,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Incrementally extend a transitive closure with new upward edges
+    WITHOUT recomputing it over the historical edge set — the taxonomy
+    analog of ``canonicalize.merge_mapping`` (the reference adds
+    statements live and its memoized ``isA4`` just sees them on the
+    next query, src/query.cpp:2457-2470; a materialized closure must
+    splice instead).
+
+    ``closure`` is transitively closed (node, anc); ``new_edges`` is a
+    batch of (node, anc) single steps.  Every NEW reachability pair
+    contains at least one new edge, and consecutive old-closure steps
+    collapse into one (C is closed), so new paths have the shape
+    ``C? (E C?)^k`` for k >= 1.  Semi-naive evaluation on k: the k=1
+    tier is E bracketed by optional closure segments (three delta-keyed
+    joins); each next tier extends the FRONTIER (delta-sized) by one
+    ``E C?`` segment — the big closure is only ever joined against
+    delta-sized sides, never re-iterated.  Below ``driver_threshold``
+    total pairs the whole union solves driver-side (one collect + BFS),
+    same answer — equality of the two paths and with a full recompute
+    is pinned by tests and the ``isa_incremental`` contract oracle."""
+    from netbase_spark.operators.canonicalize import _pin, _unpin
+
+    e = (
+        new_edges.select("node", "anc")
+        .where(F.col("node") != F.col("anc"))
+        .dropDuplicates(["node", "anc"])
+    )
+
+    if driver_threshold:
+        both = (
+            closure.select("node", "anc").unionByName(e)
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(both) <= driver_threshold:
+            adj: dict = {}
+            for n, a in both:
+                adj.setdefault(n, set()).add(a)
+            rows = []
+            for n in adj:
+                seen: set = set()
+                stack = list(adj[n])
+                while stack:
+                    x = stack.pop()
+                    if x in seen:
+                        continue
+                    seen.add(x)
+                    stack.extend(adj.get(x, ()))
+                rows.extend((n, a) for a in seen if a != n)
+            f = closure.schema["node"].dataType.simpleString()
+            return closure.sparkSession.createDataFrame(
+                rows, f"node {f}, anc {f}"
+            )
+
+    c = _pin(closure.select("node", "anc"))
+    e = _pin(e)
+
+    def compose(left: DataFrame, right: DataFrame) -> DataFrame:
+        r = right.select(F.col("node").alias("_m"), F.col("anc").alias("_a"))
+        return (
+            left.join(r, left["anc"] == r["_m"])
+            .select(left["node"].alias("node"), F.col("_a").alias("anc"))
+        )
+
+    def clean(df: DataFrame, acc: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("node") != F.col("anc"))
+            .dropDuplicates(["node", "anc"])
+            .join(acc, ["node", "anc"], "left_anti")
+        )
+
+    # k=1 tier: C? E C?
+    ce = compose(c, e)
+    seed = e.unionByName(ce)
+    seed = seed.unionByName(compose(seed, c))
+    frontier = _pin(clean(seed, c))
+    acc = _pin(c.unionByName(frontier))
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        step = compose(frontier, e)
+        step = step.unionByName(compose(step, c))
+        nf = _pin(clean(step, acc))
+        new_acc = _pin(acc.unionByName(nf))
+        _unpin(frontier)
+        _unpin(acc)
+        frontier, acc = nf, new_acc
+    _unpin(frontier)
+    _unpin(c)
+    _unpin(e)
+    return acc
+
+
 def _semantic_keys(spark, term: str, closure: DataFrame, colname: str) -> DataFrame:
     """{term} ∪ descendants(term) per the closure — the match set for a
     semantic pattern term (isA4 subsumption, src/netbase.cpp:1764-1785)."""

@@ -270,3 +270,36 @@ def test_recanonicalize_delta_rewrites_only_touched(spark):
         for r in got.where(F.col("obj") == "doc2").collect()
     }
     assert row[("a", "doc2")] == "doc2"
+
+
+def test_extend_closure_equals_full_recompute(spark):
+    """extend_closure(closure, E) == full closure over the edge union,
+    on both the driver and the distributed semi-naive paths, including
+    chains that need >= 2 new edges (E C? E segments) and new edges
+    landing between existing closure segments."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.query_ops import extend_closure, isa_closure
+    from netbase_spark.relations import TYPE
+
+    def t(rows):
+        return spark.createDataFrame(
+            [(s, TYPE, o) for s, o in rows], "subj string, rel int, obj string"
+        )
+
+    base = [("s1", "n1"), ("s2", "n1"), ("n1", "r1"), ("n2", "r2")]
+    new = [("r1", "z0"), ("r2", "z0"), ("z0", "top"), ("x9", "s1")]
+    closure = isa_closure(t(base))
+    e_df = spark.createDataFrame(new, "node string, anc string")
+    want = {
+        (r["node"], r["anc"])
+        for r in isa_closure(t(base + new)).collect()
+    }
+    for thr in (200_000, 0):
+        got = {
+            (r["node"], r["anc"])
+            for r in extend_closure(closure, e_df, driver_threshold=thr).collect()
+        }
+        assert got == want, thr
+    # the chain s1 -> n1 -> r1 -> z0 -> top needs two E edges (k=2)
+    assert ("s1", "top") in want and ("x9", "top") in want
