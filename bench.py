@@ -173,6 +173,8 @@ HEADLINE = [
     "bgp_path_inverse",
     "bgp_group_optional",
     "isa_incremental",
+    "bgp_path_not_exists",
+    "count_delta",
 ]
 
 

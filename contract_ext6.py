@@ -412,3 +412,68 @@ ORACLE_ISA_INCREMENTAL = """
 
 EXT6_QUERIES["isa_incremental"] = q_isa_incremental
 EXT6_ORACLES["isa_incremental"] = ORACLE_ISA_INCREMENTAL
+
+
+def q_bgp_path_not_exists(spark, sf_dir):
+    """A property path inside FILTER NOT EXISTS: marked nodes with NO
+    outgoing chain successor within 2 hops (chain tails only) — the
+    closure table feeds the anti join."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    return bgp_match(
+        _chain_triples(spark, sf_dir),
+        [("?a", 2, "marked")],
+        not_exists=[("?a", Path(1, "+", max_hops=2), "?b")],
+    )
+
+
+ORACLE_BGP_PATH_NOT_EXISTS = f"""
+    WITH RECURSIVE t AS ({_CHAIN_SQL}),
+    e AS (SELECT subj, obj FROM t WHERE rel = 1),
+    r(a, b, d) AS (
+        SELECT subj, obj, 1 FROM e
+        UNION
+        SELECT r.a, e.obj, r.d + 1 FROM r JOIN e ON e.subj = r.b
+        WHERE r.d < 2
+    )
+    SELECT DISTINCT m.subj AS a
+    FROM t m
+    WHERE m.rel = 2
+      AND NOT EXISTS (SELECT 1 FROM r WHERE r.a = m.subj)
+"""
+
+
+EXT6_QUERIES["bgp_path_not_exists"] = q_bgp_path_not_exists
+EXT6_ORACLES["bgp_path_not_exists"] = ORACLE_BGP_PATH_NOT_EXISTS
+
+
+# --- remove+add count maintenance --------------------------------------------
+
+
+def q_count_delta(spark, sf_dir):
+    """operators/evaluate.apply_count_delta: a degree table built over
+    events with event_id %% 4 != 3 takes a delta REMOVING the %% 4 == 1
+    slice and ADDING the %% 4 == 3 slice — the move-rows-between-keys
+    maintenance a canonical merge needs — and must equal a full recount
+    over the surviving union (event_id %% 4 != 1), with zero-count keys
+    dropped."""
+    from netbase_spark.operators.evaluate import apply_count_delta
+
+    ev = _t(spark, sf_dir, "events")
+    node = F.col("user_id").cast("string").alias("node")
+    base = ev.where(F.pmod("event_id", F.lit(4)) != 3).select(node)
+    removed = ev.where(F.pmod("event_id", F.lit(4)) == 1).select(node)
+    added = ev.where(F.pmod("event_id", F.lit(4)) == 3).select(node)
+    existing = base.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return apply_count_delta(existing, removed, added, ("node",), "degree")
+
+
+ORACLE_COUNT_DELTA = """
+    SELECT CAST(user_id AS VARCHAR) AS node, COUNT(*) AS degree
+    FROM events WHERE event_id % 4 != 1
+    GROUP BY 1
+"""
+
+
+EXT6_QUERIES["count_delta"] = q_count_delta
+EXT6_ORACLES["count_delta"] = ORACLE_COUNT_DELTA

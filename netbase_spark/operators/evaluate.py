@@ -176,6 +176,60 @@ def merge_counts(
     )
 
 
+def apply_count_delta(
+    existing: DataFrame,
+    removed: DataFrame,
+    added: DataFrame,
+    keys: tuple[str, ...],
+    count_col: str,
+    cap_bytes: int | None = None,
+) -> DataFrame:
+    """Maintain a materialized count table through a REMOVE+ADD delta —
+    the companion of :func:`merge_counts` (append-only) for operations
+    that MOVE rows between keys, e.g. a canonical-map merge rewriting
+    touched triples (``recanonicalize_delta``): the merged-away node's
+    counts must transfer to its representative without re-aggregating
+    the 100-TB fact table.
+
+    ``removed``/``added`` are the raw rows leaving/entering the fact
+    table (delta-sized).  Shape: aggregate both deltas small, FULL-join
+    them into one net delta per key, LEFT-join it onto ``existing`` via
+    a size-gated broadcast — existing is scanned, never shuffled — and
+    append the genuinely-new keys.  Keys whose count reaches zero drop
+    out (the reference frees merged nodes, src/netbase.cpp:2610-2638).
+    Oracle: a full recount over (all - removed + added) — the
+    ``count_delta`` contract query."""
+    from netbase_spark.plans.broadcast_gate import gated_broadcast
+
+    kcols = list(keys)
+    rem = removed.groupBy(*kcols).agg((-F.count(F.lit(1))).alias("_d"))
+    add = added.groupBy(*kcols).agg(F.count(F.lit(1)).alias("_d"))
+    net = (
+        rem.unionByName(add)
+        .groupBy(*kcols)
+        .agg(F.sum("_d").alias("_d"))
+        .where(F.col("_d") != 0)
+    )
+    updated = (
+        existing.join(gated_broadcast(net, cap_bytes), kcols, "left")
+        .select(
+            *kcols,
+            (F.col(count_col) + F.coalesce(F.col("_d"), F.lit(0))).alias(count_col),
+        )
+        .where(F.col(count_col) > 0)
+    )
+    dup_keys = existing.select(*kcols).join(
+        gated_broadcast(net.select(*kcols), cap_bytes), kcols, "left_semi"
+    )
+    new_rows = (
+        net.join(gated_broadcast(dup_keys, cap_bytes), kcols, "left_anti")
+        .where(F.col("_d") > 0)
+    )
+    return updated.unionByName(
+        new_rows.select(*kcols, F.col("_d").alias(count_col))
+    )
+
+
 def construct_incremental(
     spark,
     existing: DataFrame,

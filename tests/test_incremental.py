@@ -303,3 +303,38 @@ def test_extend_closure_equals_full_recompute(spark):
         assert got == want, thr
     # the chain s1 -> n1 -> r1 -> z0 -> top needs two E edges (k=2)
     assert ("s1", "top") in want and ("x9", "top") in want
+
+
+def test_apply_count_delta_matches_full_recount(spark):
+    """apply_count_delta over a remove+add batch == a full recount over
+    (all - removed + added); zero-count keys drop out, new keys append,
+    untouched keys pass through unshuffled."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.evaluate import apply_count_delta
+
+    node = lambda xs: spark.createDataFrame([(x,) for x in xs], "node string")
+    all_rows = ["a", "a", "a", "b", "b", "c", "d"]
+    existing = node(all_rows).groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    removed = node(["b", "b", "c", "a"])     # b: 2->0 (drops), c: 1->0, a: 3->2
+    added = node(["a", "e", "e", "d"])       # a: 2->3, e: new 2, d: 1->2
+    got = {
+        (r["node"], r["degree"])
+        for r in apply_count_delta(
+            existing, removed, added, ("node",), "degree"
+        ).collect()
+    }
+    survivors = [x for x in all_rows if x not in ("b", "b", "c")]
+    # full recount: remove one b... removed is multiset ["b","b","c","a"]
+    import collections
+
+    cnt = collections.Counter(all_rows)
+    for x in ["b", "b", "c", "a"]:
+        cnt[x] -= 1
+    for x in ["a", "e", "e", "d"]:
+        cnt[x] += 1
+    want = {(k, v) for k, v in cnt.items() if v > 0}
+    assert got == want
+    assert ("b", 0) not in got and all(n != "b" and n != "c" for n, _ in got)

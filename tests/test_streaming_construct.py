@@ -207,3 +207,47 @@ def test_late_merge_recanonicalizes_prior_batches(spark, tmp_path: pathlib.Path)
         spark, str(table), late, arts2, versioned=True, batch_id="late-merge-1"
     )
     assert V.current_version(str(table)) == v_now
+
+
+def test_apply_merges_plain_parquet_table(spark, tmp_path: pathlib.Path):
+    """apply_merges on a PLAIN parquet table (versioned=False): the
+    staged-overwrite path rewrites touched rows in place and refreshed
+    artifacts keep working (no-op merge returns artifacts unchanged)."""
+    from netbase_spark.operators.canonicalize import (
+        mapping_delta,
+        merge_mapping,
+        rewrite_triples,
+    )
+    from netbase_spark.plans.synth_pipeline import build_artifacts, construct_from
+    from netbase_spark.data.synth import docs_df
+    from netbase_spark.streaming.construct import apply_merges
+
+    arts = build_artifacts(spark)
+    arts_ref = build_artifacts(spark)
+    table = str(tmp_path / "plain_triples")
+    docs = docs_df(spark, 30, seed=11, partitions=2)
+    construct_from(spark, docs, arts).write.mode("overwrite").parquet(table)
+
+    from netbase_spark.relations import MENTIONED_IN
+
+    subs = sorted(
+        r["subj"]
+        for r in spark.read.parquet(table)
+        .where(F.col("rel") == MENTIONED_IN)
+        .select("subj").distinct().limit(2).collect()
+    )
+    assert len(subs) == 2
+    # no-op merge: self-edge -> artifacts returned untouched
+    noop = spark.createDataFrame([(subs[0], subs[0])], "src string, dst string")
+    assert apply_merges(spark, table, noop, arts) is arts
+
+    late = spark.createDataFrame([(subs[1], subs[0])], "src string, dst string")
+    apply_merges(spark, table, late, arts)
+    got = spark.read.parquet(table)
+    assert got.where(F.col("subj") == subs[1]).count() == 0
+    expected = rewrite_triples(
+        construct_from(spark, docs, arts_ref),
+        mapping_delta(arts_ref.mapping, merge_mapping(arts_ref.mapping, late)),
+    )
+    keyset = lambda df: {(r.subj, r.rel, r.obj) for r in df.collect()}
+    assert keyset(got) == keyset(expected)
