@@ -175,6 +175,8 @@ HEADLINE = [
     "isa_incremental",
     "bgp_path_not_exists",
     "count_delta",
+    "bgp_path_opt",
+    "bgp_notrel",
 ]
 
 

@@ -477,3 +477,52 @@ ORACLE_COUNT_DELTA = """
 
 EXT6_QUERIES["count_delta"] = q_count_delta
 EXT6_ORACLES["count_delta"] = ORACLE_COUNT_DELTA
+
+
+def q_bgp_path_opt(spark, sf_dir):
+    """Zero-or-one path (Path(1, '?')): marked nodes with themselves
+    and their direct chain successor — the SPARQL ``rel?`` term."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    return bgp_match(
+        _chain_triples(spark, sf_dir),
+        [("?a", 2, "marked"), ("?a", Path(1, "?"), "?b")],
+    )
+
+
+ORACLE_BGP_PATH_OPT = f"""
+    WITH t AS ({_CHAIN_SQL}),
+    marked AS (SELECT subj FROM t WHERE rel = 2)
+    SELECT DISTINCT a, b FROM (
+        SELECT m.subj AS a, e.obj AS b
+        FROM marked m JOIN t e ON e.rel = 1 AND e.subj = m.subj
+        UNION ALL
+        SELECT m.subj AS a, m.subj AS b FROM marked m
+    )
+"""
+
+
+def q_bgp_notrel(spark, sf_dir):
+    """Negated property set (NotRel): edges out of marked nodes whose
+    rel is NOT the chain rel — SPARQL ``!(chain)`` (finds only the mark
+    edges themselves here, objects all 'marked')."""
+    from netbase_spark.operators.graph_query import NotRel, bgp_match
+
+    return bgp_match(
+        _chain_triples(spark, sf_dir),
+        [("?a", 2, "marked"), ("?a", NotRel([1]), "?b")],
+    )
+
+
+ORACLE_BGP_NOTREL = f"""
+    WITH t AS ({_CHAIN_SQL}),
+    marked AS (SELECT subj FROM t WHERE rel = 2)
+    SELECT DISTINCT m.subj AS a, e.obj AS b
+    FROM marked m JOIN t e ON e.rel != 1 AND e.subj = m.subj
+"""
+
+
+EXT6_QUERIES["bgp_path_opt"] = q_bgp_path_opt
+EXT6_QUERIES["bgp_notrel"] = q_bgp_notrel
+EXT6_ORACLES["bgp_path_opt"] = ORACLE_BGP_PATH_OPT
+EXT6_ORACLES["bgp_notrel"] = ORACLE_BGP_NOTREL

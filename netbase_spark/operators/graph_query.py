@@ -55,15 +55,16 @@ class Path:
     an explicit depth, src/query.cpp:902-1046).  ``rel`` may be a
     list/tuple of rel constants — SPARQL alternation ``(a|b)+``, hops
     may mix the alternatives.  ``inverse=True`` walks edges obj->subj
-    (SPARQL ``^rel``).  The zero-hop identity of ``*`` ranges over
-    every node occurring in the triple table (subj or obj side)."""
+    (SPARQL ``^rel``).  ``op="?"`` is zero-or-one (max_hops ignored).
+    The zero-hop identity of ``*`` and ``?`` ranges over every node
+    occurring in the triple table (subj or obj side)."""
 
     __slots__ = ("rel", "op", "max_hops", "inverse")
 
     def __init__(self, rel, op: str = "+", max_hops: int = 10,
                  inverse: bool = False):
-        if op not in ("+", "*"):
-            raise ValueError(f"Path op must be '+' or '*', got {op!r}")
+        if op not in ("+", "*", "?"):
+            raise ValueError(f"Path op must be '+', '*' or '?', got {op!r}")
         if max_hops < 1:
             raise ValueError("Path max_hops must be >= 1")
         if isinstance(rel, (list, tuple)):
@@ -78,6 +79,21 @@ class Path:
 
     def _key(self):
         return (self._rels(), self.op, self.max_hops, self.inverse)
+
+
+class NotRel:
+    """Negated property set for the rel slot of a plain (single-hop)
+    pattern: ``NotRel([a, b])`` matches triples whose rel is NOT one of
+    the listed constants — SPARQL ``!(a|b)`` (the predicate is not
+    bound).  ``inverse=True`` walks the matching edges obj->subj."""
+
+    __slots__ = ("rels", "inverse")
+
+    def __init__(self, rels, inverse: bool = False):
+        if not isinstance(rels, (list, tuple)) or not rels:
+            raise ValueError("NotRel needs a non-empty list of rels")
+        self.rels = tuple(rels)
+        self.inverse = bool(inverse)
 
 
 def _is_var(term) -> bool:
@@ -131,7 +147,7 @@ def path_closure(
     ot = triples.schema["obj" if not path.inverse else "subj"].dataType.simpleString()
 
     def _with_identity(closure: DataFrame) -> DataFrame:
-        if path.op != "*":
+        if path.op not in ("*", "?"):
             return closure
         nodes = (
             triples.select(F.col("subj").alias("n"))
@@ -140,6 +156,10 @@ def path_closure(
         )
         ident = nodes.select(F.col("n").alias("subj"), F.col("n").alias("obj"))
         return closure.unionByName(ident).dropDuplicates()
+
+    if path.op == "?":
+        # zero-or-one: the single-hop edge set plus the node identity
+        return _with_identity(edges)
 
     if driver_threshold:
         pairs = edges.limit(driver_threshold + 1).collect()
@@ -196,23 +216,36 @@ def path_closure(
 
 def _pos_terms(pat) -> list[tuple[str, object]]:
     """The (source column, term) pairs a pattern binds: all three slots
-    for a plain pattern, subj/obj only for a Path pattern (the closure
-    table has no rel column)."""
-    if isinstance(pat[1], Path):
+    for a plain pattern, subj/obj only for a Path/NotRel pattern (the
+    closure table has no rel column; a negated set never binds the
+    predicate)."""
+    if isinstance(pat[1], (Path, NotRel)):
         return [("subj", pat[0]), ("obj", pat[2])]
     return list(zip(_POS, pat))
 
 
 def _slot_dtype(pat, col, dtype_of):
-    """Domain type of a pattern slot: for an inverse Path the closure
-    table's subj column carries triple-OBJ values and vice versa."""
-    if isinstance(pat[1], Path) and pat[1].inverse:
+    """Domain type of a pattern slot: for an inverse Path/NotRel the
+    step table's subj column carries triple-OBJ values and vice versa."""
+    if isinstance(pat[1], (Path, NotRel)) and pat[1].inverse:
         return dtype_of["obj" if col == "subj" else "subj"]
     return dtype_of[col]
 
 
 def _step_df(triples: DataFrame, pat, closures: dict) -> DataFrame:
-    return closures[pat[1]._key()] if isinstance(pat[1], Path) else triples
+    rel = pat[1]
+    if isinstance(rel, Path):
+        return closures[rel._key()]
+    if isinstance(rel, NotRel):
+        step = triples.where(~F.col("rel").isin(list(rel.rels))).select(
+            "subj", "obj"
+        )
+        if rel.inverse:
+            step = step.select(
+                F.col("obj").alias("subj"), F.col("subj").alias("obj")
+            )
+        return step
+    return triples
 
 
 def _pattern_step(source: DataFrame, pos_terms) -> tuple[DataFrame, list[str]]:
@@ -240,8 +273,10 @@ def _pattern_step(source: DataFrame, pos_terms) -> tuple[DataFrame, list[str]]:
 def _validate_pattern(p):
     if len(p) != 3:
         raise ValueError(f"pattern must be (subj, rel, obj): {p!r}")
-    if isinstance(p[0], Path) or isinstance(p[2], Path):
-        raise ValueError(f"Path terms are only valid in the rel slot: {p!r}")
+    if isinstance(p[0], (Path, NotRel)) or isinstance(p[2], (Path, NotRel)):
+        raise ValueError(
+            f"Path/NotRel terms are only valid in the rel slot: {p!r}"
+        )
 
 
 def _entry_patterns(entry) -> list[tuple]:
@@ -330,7 +365,7 @@ def bgp_match(
                 _const_compatible(r, dtype_of["rel"]) for r in rel._rels()
             ):
                 conflict = True
-            if rel.op == "*" and dtype_of["subj"] != dtype_of["obj"]:
+            if rel.op in ("*", "?") and dtype_of["subj"] != dtype_of["obj"]:
                 # the zero-hop identity needs one node domain; disjoint
                 # subj/obj types also make multi-hop composition empty
                 conflict = True
@@ -379,7 +414,7 @@ def bgp_match(
                         for r in rel._rels()
                     ):
                         possible = False
-                    if rel.op == "*" and dtype_of["subj"] != dtype_of["obj"]:
+                    if rel.op in ("*", "?") and dtype_of["subj"] != dtype_of["obj"]:
                         possible = False
                 for col, term in _pos_terms(pat):
                     if _is_var(term):

@@ -273,7 +273,7 @@ def test_path_validation(spark, triples):
     from netbase_spark.operators.graph_query import Path, bgp_match
 
     with pytest.raises(ValueError):
-        Path(1, "?")
+        Path(1, "!")
     with pytest.raises(ValueError):
         Path(1, "+", 0)
     with pytest.raises(ValueError):  # Path outside the rel slot
@@ -307,3 +307,23 @@ def test_path_alternation_and_inverse(spark):
     assert {r["v"] for r in inv_alt.collect()} == {"a", "b", "c"}
     with pytest.raises(ValueError):
         Path([], "+")
+
+
+def test_path_zero_or_one_and_negated_set(spark):
+    from netbase_spark.operators.graph_query import NotRel, Path, bgp_match
+
+    rows = [("a", 1, "b"), ("b", 1, "c"), ("a", 2, "m"), ("b", 3, "x")]
+    df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    # zero-or-one: a itself plus its direct rel-1 successor, never c
+    opt = bgp_match(df, [("a", Path(1, "?"), "?v")])
+    assert {r["v"] for r in opt.collect()} == {"a", "b"}
+    # negated property set: edges whose rel is NOT 1
+    neg = bgp_match(df, [("?s", NotRel([1]), "?o")])
+    assert {tuple(r) for r in neg.collect()} == {("a", "m"), ("b", "x")}
+    # inverse negated set
+    negi = bgp_match(df, [("m", NotRel([1, 3], inverse=True), "?o")])
+    assert {r["o"] for r in negi.collect()} == {"a"}
+    with pytest.raises(ValueError):
+        NotRel([])
+    with pytest.raises(ValueError):  # NotRel outside the rel slot
+        bgp_match(df, [(NotRel([1]), 1, "?x")])
