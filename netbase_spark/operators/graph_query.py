@@ -133,12 +133,20 @@ def path_closure(
     ``+`` (and every node yields one under ``*``)."""
     from netbase_spark.operators.canonicalize import _pin, _unpin
 
-    rels = path._rels()
-    cond = (
-        F.col("rel") == F.lit(rels[0]) if len(rels) == 1
-        else F.col("rel").isin(list(rels))
-    )
-    edges = triples.where(cond).select("subj", "obj").dropDuplicates()
+    rels = [
+        r for r in path._rels()
+        if _const_compatible(r, triples.schema["rel"].dataType)
+    ]
+    if not rels:
+        # every alternative is type-incompatible: empty edge set (the
+        # identity of * /? still applies via _with_identity)
+        edges = triples.where(F.lit(False)).select("subj", "obj")
+    else:
+        cond = (
+            F.col("rel") == F.lit(rels[0]) if len(rels) == 1
+            else F.col("rel").isin(list(rels))
+        )
+        edges = triples.where(cond).select("subj", "obj").dropDuplicates()
     if path.inverse:
         edges = edges.select(
             F.col("obj").alias("subj"), F.col("subj").alias("obj")
@@ -361,7 +369,9 @@ def bgp_match(
         sequence.append(pat)
         rel = pat[1]
         if isinstance(rel, Path):
-            if not all(
+            # an incompatible ALTERNATIVE just matches nothing (SPARQL
+            # a|b keeps a); only an all-incompatible '+' can never match
+            if rel.op == "+" and not any(
                 _const_compatible(r, dtype_of["rel"]) for r in rel._rels()
             ):
                 conflict = True
@@ -409,7 +419,7 @@ def bgp_match(
             for pat in pats:
                 rel = pat[1]
                 if isinstance(rel, Path):
-                    if not all(
+                    if rel.op == "+" and not any(
                         _const_compatible(r, dtype_of["rel"])
                         for r in rel._rels()
                     ):

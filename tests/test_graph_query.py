@@ -327,3 +327,20 @@ def test_path_zero_or_one_and_negated_set(spark):
         NotRel([])
     with pytest.raises(ValueError):  # NotRel outside the rel slot
         bgp_match(df, [(NotRel([1]), 1, "?x")])
+
+
+def test_path_alternation_partial_type_mismatch(spark):
+    """An alternation with ONE type-incompatible rel keeps matching the
+    compatible alternatives (SPARQL a|b semantics); an all-incompatible
+    '+' path is the empty short-circuit, while '*' still yields the
+    identity pairs."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    rows = [("a", 1, "b"), ("b", 1, "c")]
+    df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    mixed = bgp_match(df, [("a", Path([1, "nope"], "+", 3), "?v")])
+    assert {r["v"] for r in mixed.collect()} == {"b", "c"}
+    dead = bgp_match(df, [("a", Path(["nope"], "+", 3), "?v")])
+    assert dead.count() == 0 and dead.columns == ["v"]
+    star = bgp_match(df, [("a", Path(["nope"], "*", 3), "?v")])
+    assert {r["v"] for r in star.collect()} == {"a"}
