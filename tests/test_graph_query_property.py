@@ -200,3 +200,52 @@ def test_bgp_path_equals_brute_force_closure(spark):
         }
         assert got_drv == want, (rows, op, hops)
         assert got_dist == want, (rows, op, hops)
+
+
+def test_bgp_with_path_pattern_equals_brute_force(spark):
+    """bgp_match mixing a Path pattern with a plain pattern == brute
+    force: enumerate closure pairs (bounded reachability) and join with
+    the plain pattern's bindings by hand."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    rng = random.Random(90210)
+    nodes = ["a", "b", "c", "d"]
+    for trial in range(12):
+        rows = sorted(
+            {
+                (rng.choice(nodes), rng.choice([1, 2]), rng.choice(nodes))
+                for _ in range(rng.randint(3, 10))
+            }
+        )
+        df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+        op = rng.choice(["+", "*", "?"])
+        hops = rng.randint(1, 3)
+        inverse = rng.random() < 0.3
+        # required: (?x, Path, ?y) joined with (?y, 2, ?z)
+        patterns = [
+            ("?x", Path(1, op, hops, inverse=inverse), "?y"),
+            ("?y", 2, "?z"),
+        ]
+        pairs = brute_closure(
+            [(o, r, s) for s, r, o in rows] if inverse else rows, 1, op, hops
+        )
+        if op == "?":
+            adj = {
+                (s, o)
+                for s, r, o in (
+                    [(o, r, s) for s, r, o in rows] if inverse else rows
+                )
+                if r == 1
+            }
+            allnodes = {s for s, _, _ in rows} | {o for _, _, o in rows}
+            pairs = adj | {(n, n) for n in allnodes}
+        want = {
+            (x, y, z)
+            for (x, y) in pairs
+            for (s2, r2, z) in rows
+            if r2 == 2 and s2 == y
+        }
+        got_df = bgp_match(df, patterns)
+        assert got_df.columns == ["x", "y", "z"]
+        got = {tuple(r) for r in got_df.collect()}
+        assert got == want, (rows, op, hops, inverse, got, want)
