@@ -177,6 +177,7 @@ HEADLINE = [
     "count_delta",
     "bgp_path_opt",
     "bgp_notrel",
+    "bgp_values",
 ]
 
 

@@ -526,3 +526,41 @@ EXT6_QUERIES["bgp_path_opt"] = q_bgp_path_opt
 EXT6_QUERIES["bgp_notrel"] = q_bgp_notrel
 EXT6_ORACLES["bgp_path_opt"] = ORACLE_BGP_PATH_OPT
 EXT6_ORACLES["bgp_notrel"] = ORACLE_BGP_NOTREL
+
+
+def q_bgp_values(spark, sf_dir):
+    """SPARQL VALUES block: a driver-side seed list of users (with a
+    supplied tier tag, one row UNDEF on the tag) inner-joined onto the
+    required click pattern — the parameterized-query surface."""
+    from netbase_spark.operators.graph_query import bgp_match
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit(1).alias("rel"),
+        F.col("event_type").alias("obj"),
+    )
+    seeds = [
+        {"?u": "1", "?tier": "gold"},
+        {"?u": "2", "?tier": "silver"},
+        {"?u": "3"},
+        {"?u": "999999"},  # no such user: contributes nothing
+    ]
+    return bgp_match(triples, [("?u", 1, "click")], values=seeds)
+
+
+ORACLE_BGP_VALUES = """
+    WITH clicks AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS u
+        FROM events WHERE event_type = 'click'
+    ),
+    seeds(u, tier) AS (
+        VALUES ('1', 'gold'), ('2', 'silver'), ('3', NULL), ('999999', NULL)
+    )
+    SELECT DISTINCT c.u AS u, s.tier AS tier
+    FROM clicks c JOIN seeds s ON s.u = c.u
+"""
+
+
+EXT6_QUERIES["bgp_values"] = q_bgp_values
+EXT6_ORACLES["bgp_values"] = ORACLE_BGP_VALUES

@@ -301,6 +301,7 @@ def bgp_match(
     distinct: bool = True,
     optional: list | None = None,
     not_exists: list | None = None,
+    values: list[dict] | None = None,
 ) -> DataFrame:
     """Match a conjunctive BGP; returns bindings for every variable,
     columns ordered by first appearance in the user's ``patterns`` list
@@ -331,7 +332,19 @@ def bgp_match(
     deduplicated on their kept columns before joining, so solution
     multiplicity under ``distinct=False`` treats the graph as a SET of
     triples (the reference's dedup-at-insert invariant,
-    src/netbase.cpp:760-767)."""
+    src/netbase.cpp:760-767).
+
+    ``values`` is a SPARQL VALUES block: a list of ``{"?var": const}``
+    dicts inner-joined onto the required block (driver-side inline
+    bindings — seed lists, parameterized queries).  At least one
+    variable must be shared with the required patterns (scale
+    discipline, as for optional entries); other variables are NEW
+    columns supplied by the block.  ``None`` is UNDEF: that row leaves
+    the variable unconstrained (shared) or null (new) — rows are
+    grouped by their defined-variable signature and each group joins on
+    exactly its defined shared variables.  A value whose type cannot
+    inhabit its shared variable's column matches nothing (the row is
+    dropped), mirroring the constant type rule."""
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
     for p in patterns:
@@ -402,6 +415,60 @@ def bgp_match(
             if _is_var(term) and term[1:] not in var_order:
                 var_order.append(term[1:])
 
+    # --- VALUES block: symbolic plan (before _side_plan so optional/
+    # not_exists entries may share the block's variables) -------------
+    values_plan = None
+    if values:
+        from pyspark.sql import types as T
+
+        vvars: list[str] = []
+        for row in values:
+            if not isinstance(row, dict):
+                raise ValueError("values must be a list of {'?var': const} dicts")
+            for k in row:
+                if not _is_var(k):
+                    raise ValueError(f"values keys must be ?vars, got {k!r}")
+                if k not in vvars:
+                    vvars.append(k)
+        if not vvars:
+            raise ValueError("values rows bind no variables")
+        v_shared = [v for v in vvars if v in bound_sym]
+        v_new = [v for v in vvars if v not in bound_sym]
+        if not v_shared:
+            raise ValueError(
+                "values block shares no variable with the required patterns"
+            )
+        inferred: dict[str, object] = {}
+        for v in v_new:
+            pyvals = [row[v] for row in values if row.get(v) is not None]
+            if not pyvals:
+                raise ValueError(f"values variable {v!r} is UNDEF in every row")
+            kinds = {type(x) for x in pyvals}
+            if kinds == {str}:
+                inferred[v] = T.StringType()
+            elif kinds == {int}:
+                inferred[v] = T.LongType()
+            else:
+                raise ValueError(
+                    f"values variable {v!r} mixes types {sorted(k.__name__ for k in kinds)}"
+                )
+            var_type[v] = inferred[v]
+            bound_sym.add(v)
+            if v[1:] not in var_order:
+                var_order.append(v[1:])
+        # rows grouped by defined-variable signature; type-incompatible
+        # shared values drop the row (it can never match)
+        groups: dict[tuple, list[dict]] = {}
+        for row in values:
+            defined = tuple(v for v in vvars if row.get(v) is not None)
+            if any(
+                v in var_type and not _const_compatible(row[v], var_type[v])
+                for v in defined
+            ):
+                continue
+            groups.setdefault(defined, []).append(row)
+        values_plan = (vvars, v_shared, v_new, inferred, groups)
+
     def _side_plan(entries, kind):
         """Symbolic pass for optional/not_exists entries: per entry
         (patterns, possible?, vars shared with the required block, new
@@ -465,6 +532,8 @@ def bgp_match(
     if conflict:
         from pyspark.sql import types as T
 
+        # var_order already includes values-block new variables (their
+        # types live in var_type via the inference above)
         fields = [
             T.StructField(name, var_type["?" + name]) for name in var_order
         ]
@@ -508,6 +577,44 @@ def bgp_match(
             else:
                 out = out.join(step, on)
         bound.update(pvars)
+
+    if values_plan is not None:
+        from pyspark.sql import types as T
+
+        vvars, v_shared, v_new, inferred, groups = values_plan
+        branches = []
+        for defined, rows in groups.items():
+            sh_def = [v for v in defined if v in v_shared]
+            schema = T.StructType(
+                [
+                    T.StructField(v[1:], var_type[v])
+                    for v in defined
+                ]
+            )
+            vdf = (
+                triples.sparkSession.createDataFrame(
+                    [[row[v] for v in defined] for row in rows], schema
+                ).dropDuplicates()
+            )
+            if sh_def:
+                b = out.join(vdf, [v[1:] for v in sh_def])
+            else:
+                b = out.crossJoin(vdf)
+            for v in v_new:
+                if v not in defined:
+                    b = b.withColumn(v[1:], F.lit(None).cast(inferred[v]))
+            branches.append(b.select(*out.columns, *[v[1:] for v in v_new]))
+        if branches:
+            res = branches[0]
+            for b in branches[1:]:
+                res = res.unionByName(b)
+            out = res
+        else:
+            # every row was type-incompatible: VALUES constrains to empty
+            out = out.where(F.lit(False))
+            for v in v_new:
+                out = out.withColumn(v[1:], F.lit(None).cast(inferred[v]))
+        bound.update(vvars)
 
     def _entry_step(pats, shared, new):
         """One optional/not_exists entry as a DataFrame over its kept

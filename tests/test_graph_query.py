@@ -344,3 +344,51 @@ def test_path_alternation_partial_type_mismatch(spark):
     assert dead.count() == 0 and dead.columns == ["v"]
     star = bgp_match(df, [("a", Path(["nope"], "*", 3), "?v")])
     assert {r["v"] for r in star.collect()} == {"a"}
+
+
+def test_values_block(spark, triples):
+    from netbase_spark.operators.graph_query import bgp_match
+
+    # plain seed list on a shared var
+    out = bgp_match(
+        triples,
+        [("?x", 1, "city"), ("?x", 2, "?c")],
+        values=[{"?x": "berlin"}, {"?x": "rhine"}],
+    )
+    assert {tuple(r) for r in out.collect()} == {("berlin", "germany")}
+    # values supplying a NEW var (tag), incl. an UNDEF row
+    out2 = bgp_match(
+        triples,
+        [("?x", 1, "city")],
+        values=[
+            {"?x": "berlin", "?tag": "capital"},
+            {"?x": "paris"},                      # ?tag UNDEF -> null
+            {"?x": None, "?tag": "wildcard"},     # ?x UNDEF -> every city
+        ],
+    )
+    assert out2.columns == ["x", "tag"]
+    got = {tuple(r) for r in out2.collect()}
+    assert got == {
+        ("berlin", "capital"), ("paris", None),
+        ("berlin", "wildcard"), ("paris", "wildcard"),
+    }
+    # type-incompatible value rows match nothing
+    out3 = bgp_match(
+        triples, [("?x", 1, "city")], values=[{"?x": 42}]
+    )
+    assert out3.count() == 0
+    # values vars are shareable by optional entries
+    out4 = bgp_match(
+        triples,
+        [("?x", 1, "city")],
+        values=[{"?x": "berlin"}],
+        optional=[("?x", 2, "?c")],
+    )
+    assert {tuple(r) for r in out4.collect()} == {("berlin", "germany")}
+    with pytest.raises(ValueError):  # must share a var
+        bgp_match(triples, [("?x", 1, "city")], values=[{"?y": "q"}])
+    with pytest.raises(ValueError):  # all-UNDEF new var
+        bgp_match(
+            triples, [("?x", 1, "city")],
+            values=[{"?x": "berlin", "?t": None}],
+        )
