@@ -190,7 +190,12 @@ def merge_mapping(
     delta = connected_components(rep_edges, **cc_kwargs)
     # delta nodes are current reps or previously-unmapped nodes, so they
     # are disjoint from mapping's node column; the union needs no dedup.
-    d2 = F.broadcast(
+    # Size-gated broadcast: correction batches are tiny, but a mergeAll-
+    # scale edge set must not pin a hard broadcast hint (the gate falls
+    # back to a shuffle join above the cap).
+    from netbase_spark.plans.broadcast_gate import gated_broadcast
+
+    d2 = gated_broadcast(
         delta.select(F.col("node").alias("rep"), F.col("rep").alias("_r2"))
     )
     updated = mapping.join(d2, "rep", "left").select(
@@ -220,11 +225,12 @@ def recanonicalize_delta(table: DataFrame, changed: DataFrame) -> DataFrame:
     side already holds — the reference's dedup-at-insert keeps the
     stored statement, src/netbase.cpp:760-767)."""
     from netbase_spark.operators.evaluate import merge_triples
+    from netbase_spark.plans.broadcast_gate import gated_broadcast
 
-    chs = F.broadcast(
+    chs = gated_broadcast(
         changed.select(F.col("node").alias("subj"), F.lit(1).alias("_ts"))
     )
-    cho = F.broadcast(
+    cho = gated_broadcast(
         changed.select(F.col("node").alias("obj"), F.lit(1).alias("_to"))
     )
     t = table.join(chs, "subj", "left").join(cho, "obj", "left")
