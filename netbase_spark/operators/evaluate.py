@@ -204,23 +204,26 @@ def apply_count_delta(
     kcols = list(keys)
     rem = removed.groupBy(*kcols).agg((-F.count(F.lit(1))).alias("_d"))
     add = added.groupBy(*kcols).agg(F.count(F.lit(1)).alias("_d"))
+    # materialize the net delta ONCE: it feeds three joins below, and
+    # re-running the union+groupBy (plus a broadcast size probe each
+    # time) would triple the delta aggregation
     net = (
         rem.unionByName(add)
         .groupBy(*kcols)
         .agg(F.sum("_d").alias("_d"))
         .where(F.col("_d") != 0)
+        .localCheckpoint()
     )
+    net_b = gated_broadcast(net, cap_bytes)
     updated = (
-        existing.join(gated_broadcast(net, cap_bytes), kcols, "left")
+        existing.join(net_b, kcols, "left")
         .select(
             *kcols,
             (F.col(count_col) + F.coalesce(F.col("_d"), F.lit(0))).alias(count_col),
         )
         .where(F.col(count_col) > 0)
     )
-    dup_keys = existing.select(*kcols).join(
-        gated_broadcast(net.select(*kcols), cap_bytes), kcols, "left_semi"
-    )
+    dup_keys = existing.select(*kcols).join(net_b.select(*kcols), kcols, "left_semi")
     new_rows = (
         net.join(gated_broadcast(dup_keys, cap_bytes), kcols, "left_anti")
         .where(F.col("_d") > 0)

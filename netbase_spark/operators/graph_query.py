@@ -130,7 +130,13 @@ def path_closure(
     anti-joined against the accumulated closure so each pair is found
     at its shortest depth exactly once.  Cyclic edges are fine: a node
     reachable from itself within the bound yields a (n, n) pair under
-    ``+`` (and every node yields one under ``*``)."""
+    ``+`` (and every node yields one under ``*``).
+
+    Lifetime: the distributed branch's result is localCheckpoint-backed;
+    its blocks are context-cleaner managed — freed when the caller drops
+    the query result — the same discipline as the dedup family's
+    materialized candidate tables (loop INTERMEDIATES are unpinned
+    eagerly inside the loop)."""
     from netbase_spark.operators.canonicalize import _pin, _unpin
 
     rels = [
@@ -155,7 +161,9 @@ def path_closure(
     ot = triples.schema["obj" if not path.inverse else "subj"].dataType.simpleString()
 
     def _with_identity(closure: DataFrame) -> DataFrame:
-        if path.op not in ("*", "?"):
+        # disjoint subj/obj domains: no identity pair is representable
+        # (and none could match), so *?/ degrade to their hop tiers
+        if path.op not in ("*", "?") or st != ot:
             return closure
         nodes = (
             triples.select(F.col("subj").alias("n"))
@@ -165,8 +173,10 @@ def path_closure(
         ident = nodes.select(F.col("n").alias("subj"), F.col("n").alias("obj"))
         return closure.unionByName(ident).dropDuplicates()
 
-    if path.op == "?":
-        # zero-or-one: the single-hop edge set plus the node identity
+    if path.op == "?" or st != ot:
+        # zero-or-one: the single-hop edge set plus the node identity.
+        # Disjoint subj/obj domains also land here for '+'/'*': hops
+        # cannot compose across types, so the closure IS the edge set.
         return _with_identity(edges)
 
     if driver_threshold:
@@ -302,6 +312,7 @@ def bgp_match(
     optional: list | None = None,
     not_exists: list | None = None,
     values: list[dict] | None = None,
+    _closures: dict | None = None,
 ) -> DataFrame:
     """Match a conjunctive BGP; returns bindings for every variable,
     columns ordered by first appearance in the user's ``patterns`` list
@@ -388,10 +399,9 @@ def bgp_match(
                 _const_compatible(r, dtype_of["rel"]) for r in rel._rels()
             ):
                 conflict = True
-            if rel.op in ("*", "?") and dtype_of["subj"] != dtype_of["obj"]:
-                # the zero-hop identity needs one node domain; disjoint
-                # subj/obj types also make multi-hop composition empty
-                conflict = True
+            # disjoint subj/obj domains are NOT a conflict for any op:
+            # the closure degrades to the single-hop tier (identity and
+            # multi-hop composition are unrepresentable across types)
         for col, term in _pos_terms(pat):
             if _is_var(term):
                 dt = _slot_dtype(pat, col, dtype_of)
@@ -448,9 +458,12 @@ def bgp_match(
                 inferred[v] = T.StringType()
             elif kinds == {int}:
                 inferred[v] = T.LongType()
+            elif kinds == {float}:
+                inferred[v] = T.DoubleType()
             else:
                 raise ValueError(
-                    f"values variable {v!r} mixes types {sorted(k.__name__ for k in kinds)}"
+                    f"values variable {v!r} has unsupported or mixed "
+                    f"types {sorted(k.__name__ for k in kinds)}"
                 )
             var_type[v] = inferred[v]
             bound_sym.add(v)
@@ -491,8 +504,7 @@ def bgp_match(
                         for r in rel._rels()
                     ):
                         possible = False
-                    if rel.op in ("*", "?") and dtype_of["subj"] != dtype_of["obj"]:
-                        possible = False
+
                 for col, term in _pos_terms(pat):
                     if _is_var(term):
                         dt = _slot_dtype(pat, col, dtype_of)
@@ -543,8 +555,10 @@ def bgp_match(
             fields.extend(T.StructField(v[1:], dt) for v, dt in new)
         return triples.sparkSession.createDataFrame([], T.StructType(fields))
 
-    # build each distinct Path's closure table exactly once
-    closures: dict = {}
+    # build each distinct Path's closure table exactly once (group
+    # sub-BGPs receive the parent's dict so a path inside an optional
+    # group does not rebuild its closure)
+    closures: dict = _closures if _closures is not None else {}
     for entry in (
         list(patterns)
         + [p for e in (optional or []) for p in _entry_patterns(e)]
@@ -628,7 +642,7 @@ def bgp_match(
                 _step_df(triples, pats[0], closures), _pos_terms(pats[0])
             )
         else:
-            step = bgp_match(triples, pats, distinct=True)
+            step = bgp_match(triples, pats, distinct=True, _closures=closures)
         return step.select(*keep).dropDuplicates(keep)
 
     # OPTIONAL: left-join each entry on its required-shared variables;

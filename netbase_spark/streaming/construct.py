@@ -102,16 +102,31 @@ def apply_merges(
         updated.write.mode("overwrite").parquet(table_dir)
 
     # 3. refresh the dimension artifacts through the rep delta
-    rep_of = {r["node"]: r["rep"] for r in changed.collect()}
     label_triples = rewrite_triples(
         artifacts.label_triples, changed
     ).localCheckpoint()
     scan_bc = artifacts.scan_bc
     alias_entity = artifacts.alias_entity
     if scan_bc is not None:
+        # the delta reaches the driver ONLY on the broadcast-gazetteer
+        # path (where the full alias->entity dict already fit it), and
+        # even then behind the collect gate: a mergeAll-scale delta
+        # that outgrows the cap fails loudly instead of OOMing
+        from netbase_spark.plans.broadcast_gate import collect_under_cap
+
+        rows = collect_under_cap(changed.select("node", "rep"))
+        if rows is None:
+            raise ValueError(
+                "mapping delta exceeds the driver-collect cap; rebuild "
+                "artifacts via build_artifacts (shuffle path) instead of "
+                "remapping the broadcast in place"
+            )
+        rep_of = {r["node"]: r["rep"] for r in rows}
         scan_bc = remap_scan_entities(spark, scan_bc, rep_of)
     if alias_entity is not None:
-        d = F.broadcast(
+        from netbase_spark.plans.broadcast_gate import gated_broadcast
+
+        d = gated_broadcast(
             changed.select(F.col("node").alias("entity"), F.col("rep").alias("_r"))
         )
         alias_entity = (

@@ -203,9 +203,13 @@ N={args.n}:
     if cut != -1:
         nxt = base.find("\n## ", cut + 1)
         tail = base[nxt:] if nxt != -1 else ""
-        base = base[:cut] + tail
+        # in-place splice: the refreshed section keeps its position,
+        # later sections keep theirs
+        out_text = base[:cut].rstrip("\n") + md + tail
+    else:
+        out_text = base.rstrip("\n") + md
     with open(path, "w") as f:
-        f.write(base.rstrip("\n") + md)
+        f.write(out_text)
     print(json.dumps({k: rec[k] for k in
                       ("scaling_efficiency", "tps_lo", "tps_hi", "all_sec")}))
 

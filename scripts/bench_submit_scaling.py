@@ -148,12 +148,11 @@ isolates the corpus-proportional path.
     if cut != -1:
         nxt = base.find("\n## ", cut + 1)
         tail = base[nxt:] if nxt != -1 else ""
-        base = base[:cut] + tail
-        with open(path, "w") as f:
-            f.write(base[:cut].rstrip("\n") + md + tail)
+        out_text = base[:cut].rstrip("\n") + md + tail
     else:
-        with open(path, "w") as f:
-            f.write(base.rstrip("\n") + md)
+        out_text = base.rstrip("\n") + md
+    with open(path, "w") as f:
+        f.write(out_text)
     print(json.dumps({
         "n": args.n, "docs": args.docs,
         "tps_lo": lo["triples_per_sec"], "tps_hi": hi["triples_per_sec"],

@@ -392,3 +392,17 @@ def test_values_block(spark, triples):
             triples, [("?x", 1, "city")],
             values=[{"?x": "berlin", "?t": None}],
         )
+
+
+def test_path_star_on_disjoint_subj_obj_domains(spark):
+    """subj and obj columns of different types: '*'/'?'/'+' paths keep
+    their single-hop tier (identity and multi-hop composition are
+    unrepresentable across disjoint domains, NOT a query-wide
+    conflict)."""
+    from netbase_spark.operators.graph_query import Path, bgp_match
+
+    rows = [("a", 5, 10), ("b", 5, 20), ("a", 6, 30)]
+    df = spark.createDataFrame(rows, "subj string, rel int, obj long")
+    for op in ("+", "*", "?"):
+        out = bgp_match(df, [("?x", Path(5, op, 4), "?y")])
+        assert {tuple(r) for r in out.collect()} == {("a", 10), ("b", 20)}, op
