@@ -213,7 +213,9 @@ def mapping_delta(old: DataFrame, new: DataFrame) -> DataFrame:
     return new.join(old, ["node", "rep"], "left_anti")
 
 
-def recanonicalize_delta(table: DataFrame, changed: DataFrame) -> DataFrame:
+def recanonicalize_delta(
+    table: DataFrame, changed: DataFrame, return_delta: bool = False
+):
     """Re-canonicalize an EXISTING triple table after a mapping delta,
     rewriting only the touched rows: a row is touched iff its subj or
     obj is in ``changed`` (the :func:`mapping_delta` output — values in
@@ -223,8 +225,15 @@ def recanonicalize_delta(table: DataFrame, changed: DataFrame) -> DataFrame:
     run the standard three-join rewrite, then merge back with
     first-writer provenance (a rewrite can land on a key the untouched
     side already holds — the reference's dedup-at-insert keeps the
-    stored statement, src/netbase.cpp:760-767)."""
-    from netbase_spark.operators.evaluate import merge_triples
+    stored statement, src/netbase.cpp:760-767).
+
+    ``return_delta=True`` returns ``(updated, removed, added)`` where
+    ``removed`` is the touched rows leaving the table and ``added`` the
+    rewritten rows that actually landed (post first-writer dedup) — the
+    exact inputs ``evaluate.apply_count_delta`` needs to maintain a
+    degree table through the merge without a full recount
+    (composition pinned by test)."""
+    from netbase_spark.operators.evaluate import fresh_triples
     from netbase_spark.plans.broadcast_gate import gated_broadcast
 
     chs = gated_broadcast(
@@ -240,7 +249,11 @@ def recanonicalize_delta(table: DataFrame, changed: DataFrame) -> DataFrame:
     touched = t.where(F.col("_ts").isNotNull() | F.col("_to").isNotNull()).drop(
         "_ts", "_to"
     )
-    return merge_triples(untouched, rewrite_triples(touched, changed))
+    added = fresh_triples(untouched, rewrite_triples(touched, changed))
+    updated = untouched.unionByName(added.select(*untouched.columns))
+    if return_delta:
+        return updated, touched, added
+    return updated
 
 
 def merge_all_edges(aliases: DataFrame, word: str | None = None) -> DataFrame:

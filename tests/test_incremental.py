@@ -338,3 +338,51 @@ def test_apply_count_delta_matches_full_recount(spark):
     want = {(k, v) for k, v in cnt.items() if v > 0}
     assert got == want
     assert ("b", 0) not in got and all(n != "b" and n != "c" for n, _ in got)
+
+
+def test_degree_maintenance_through_recanonicalize(spark):
+    """Composition: recanonicalize_delta(return_delta=True) feeds
+    apply_count_delta so a materialized degree table follows a merge
+    without a full recount — equals node_degrees over the updated
+    table."""
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.canonicalize import (
+        connected_components,
+        mapping_delta,
+        merge_mapping,
+        recanonicalize_delta,
+        rewrite_triples,
+    )
+    from netbase_spark.operators.evaluate import apply_count_delta
+    from netbase_spark.operators.materialize import node_degrees
+
+    raw = spark.createDataFrame(
+        [
+            ("b", 7, "d1", "m", "d1"), ("c", 7, "d1", "m", "d1"),
+            ("a", 7, "d2", "m", "d2"), ("c", 7, "d2", "m", "d2"),
+            ("d", 7, "d3", "m", "d3"), ("c", 8, "a", "m", "d1"),
+        ],
+        "subj string, rel int, obj string, rule string, doc_id string",
+    )
+    m0 = connected_components(
+        spark.createDataFrame([("b", "a")], "src string, dst string")
+    )
+    table = rewrite_triples(raw, m0)
+    degrees = node_degrees(table)
+    late = spark.createDataFrame([("c", "a")], "src string, dst string")
+    m1 = merge_mapping(m0, late)
+    updated, removed, added = recanonicalize_delta(
+        table, mapping_delta(m0, m1), return_delta=True
+    )
+    inc = lambda df: df.select(F.col("subj").alias("node")).unionByName(
+        df.select(F.col("obj").alias("node"))
+    )
+    got = {
+        (r["node"], r["degree"])
+        for r in apply_count_delta(
+            degrees, inc(removed), inc(added), ("node",), "degree"
+        ).collect()
+    }
+    want = {(r["node"], r["degree"]) for r in node_degrees(updated).collect()}
+    assert got == want
