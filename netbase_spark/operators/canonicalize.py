@@ -249,7 +249,13 @@ def recanonicalize_delta(
     touched = t.where(F.col("_ts").isNotNull() | F.col("_to").isNotNull()).drop(
         "_ts", "_to"
     )
-    added = fresh_triples(untouched, rewrite_triples(touched, changed))
+    # materialize the rewritten delta ONCE: fresh_triples consumes it
+    # twice (key aggregation + anti join) and each lazy recompute would
+    # re-scan the full table through the touched filter.  Delta-bounded
+    # in the intended regime (corrections touch few components); the
+    # checkpoint blocks are context-cleaner managed.
+    rewritten = rewrite_triples(touched, changed).localCheckpoint()
+    added = fresh_triples(untouched, rewritten)
     updated = untouched.unionByName(added.select(*untouched.columns))
     if return_delta:
         return updated, touched, added

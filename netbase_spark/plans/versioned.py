@@ -179,6 +179,40 @@ def replace(df: DataFrame, table: str, batch_id: str | int | None = None) -> int
     return _commit(table, new)
 
 
+def replace_files(
+    df: DataFrame,
+    table: str,
+    keep_files: list[str],
+    batch_id: str | int | None = None,
+) -> int:
+    """Surgical rewrite commit: the new version's file list is
+    ``keep_files`` (untouched data files, carried over by NAME — never
+    copied or rewritten) plus ``df``'s freshly-written files — the
+    Iceberg overwrite-files/rewrite-files analog.  This is what makes a
+    delta maintenance pass cheap at scale: a full :func:`replace`
+    re-WRITES the whole table even when only a few rows changed, while
+    this commits O(touched files) new bytes and an O(manifest) swap.
+    Same ``batch_id`` replay idempotence as :func:`append`."""
+    man = read_manifest(table)
+    committed = set(man.get("batch_ids") or [])
+    if batch_id is not None and str(batch_id) in committed:
+        return man["version"]
+    unknown = set(keep_files) - set(man["files"])
+    if unknown:
+        raise ValueError(
+            f"keep_files not in the current version: {sorted(unknown)[:5]}"
+        )
+    files = _write_batch_files(df, table)
+    new = {
+        "version": _next_version(table),
+        "files": sorted(keep_files) + files,
+        "batch_ids": sorted(committed | ({str(batch_id)} if batch_id is not None else set())),
+        "parent": man["version"],
+        "schema": man.get("schema") or _schema_json(df),
+    }
+    return _commit(table, new)
+
+
 def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """DataFrame over the exact file set of ``version`` (default
     CURRENT).  An empty file list (a version committed from a DataFrame

@@ -89,14 +89,18 @@ def apply_merges(
     if changed.limit(1).count() == 0:
         return artifacts
 
-    # 2. delta-rewrite the table
-    existing = (
-        V.read(spark, table_dir) if versioned else spark.read.parquet(table_dir)
-    )
-    updated = recanonicalize_delta(existing, changed)
+    # 2. delta-rewrite the table.  Versioned tables get the SURGICAL
+    # path: only the data FILES containing touched rows are rewritten;
+    # untouched files carry into the new manifest by name (the Iceberg
+    # rewrite-files analog, versioned.replace_files).  A full-table
+    # rewrite commit would re-WRITE 100 TB to change a few components —
+    # the write, not the rewrite join, is the dominant cost at scale
+    # (measured: BENCH/incremental_merge_probe.json).
     if versioned:
-        V.replace(updated, table_dir, batch_id=batch_id)
+        _surgical_recanonicalize(spark, table_dir, changed, batch_id)
     else:
+        existing = spark.read.parquet(table_dir)
+        updated = recanonicalize_delta(existing, changed)
         # materialize before overwriting the directory being read
         updated = updated.localCheckpoint()
         updated.write.mode("overwrite").parquet(table_dir)
@@ -141,6 +145,83 @@ def apply_merges(
     return ConstructionArtifacts(
         label_triples, new_map, scan_bc, alias_entity, artifacts.blacklist,
         ft_bc=artifacts.ft_bc,
+    )
+
+
+def _surgical_recanonicalize(spark, table_dir, changed, batch_id):
+    """File-level delta rewrite of a versioned triple table: one
+    column-pruned scan finds the data files containing touched rows;
+    ONLY those files are re-read, rewritten through the delta map,
+    deduplicated against the untouched files' keys (first-writer, via a
+    key-only scan with the rewritten keys broadcast), and committed as
+    a ``replace_files`` manifest swap.  End-state equality with the
+    full ``recanonicalize_delta`` is pinned by
+    tests/test_streaming_construct.py."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from netbase_spark.operators.canonicalize import rewrite_triples
+    from netbase_spark.operators.evaluate import fresh_triples
+    from netbase_spark.plans import versioned as V
+    from netbase_spark.plans.broadcast_gate import gated_broadcast
+
+    from netbase_spark.plans.broadcast_gate import collect_under_cap
+
+    man = V.read_manifest(table_dir)
+    data_dir = os.path.join(table_dir, "data")
+    full = V.read(spark, table_dir)
+    # touched-file discovery: when the delta fits the driver, use an
+    # isin PREDICATE — it pushes into the parquet scan, so row-group
+    # min/max stats skip untouched files entirely (the whole point of a
+    # key-clustered layout: write_triples_bucketed / repartitionByRange
+    # keeps each node's rows in O(1) files).  Past the cap, fall back
+    # to broadcast-marker joins (full scan, still column-pruned).
+    node_rows = collect_under_cap(changed.select("node"))
+    if node_rows is not None:
+        nodes = [r[0] for r in node_rows]
+        cond = F.col("subj").isin(nodes) | F.col("obj").isin(nodes)
+        touched_q = (
+            full.withColumn("_f", F.input_file_name())
+            .where(cond)
+            .select("_f")
+        )
+    else:
+        ch_s = gated_broadcast(
+            changed.select(F.col("node").alias("subj"), F.lit(1).alias("_ts"))
+        )
+        ch_o = gated_broadcast(
+            changed.select(F.col("node").alias("obj"), F.lit(1).alias("_to"))
+        )
+        touched_q = (
+            full.withColumn("_f", F.input_file_name())
+            .join(ch_s, "subj", "left")
+            .join(ch_o, "obj", "left")
+            .where(F.col("_ts").isNotNull() | F.col("_to").isNotNull())
+            .select("_f")
+        )
+    touched_paths = {
+        os.path.basename(r["_f"]) for r in touched_q.distinct().collect()
+    }
+    if not touched_paths:
+        return
+    keep = [f for f in man["files"] if f not in touched_paths]
+    touched_df = spark.read.parquet(
+        *[os.path.join(data_dir, f) for f in sorted(touched_paths)]
+    )
+    # rewrite the WHOLE touched files (untouched rows in them coalesce
+    # to themselves), then first-writer-dedup against the kept files'
+    # keys — a key-only scan, cheap next to rewriting their bytes
+    rewritten = rewrite_triples(touched_df, changed).localCheckpoint()
+    if keep:
+        kept_keys = spark.read.parquet(
+            *[os.path.join(data_dir, f) for f in keep]
+        )
+        final = fresh_triples(kept_keys, rewritten)
+    else:
+        final = rewritten
+    V.replace_files(
+        final.select(*touched_df.columns), table_dir, keep, batch_id=batch_id
     )
 
 

@@ -251,3 +251,54 @@ def test_apply_merges_plain_parquet_table(spark, tmp_path: pathlib.Path):
     )
     keyset = lambda df: {(r.subj, r.rel, r.obj) for r in df.collect()}
     assert keyset(got) == keyset(expected)
+
+
+def test_surgical_recanonicalize_rewrites_only_touched_files(
+    spark, tmp_path: pathlib.Path
+):
+    """The versioned merge path rewrites only the data FILES containing
+    touched rows: untouched files carry into the new manifest by name,
+    and the end state equals a full rewrite through the delta map."""
+    from netbase_spark.operators.canonicalize import (
+        mapping_delta,
+        merge_mapping,
+        rewrite_triples,
+    )
+    from netbase_spark.plans import versioned as V
+    from netbase_spark.plans.synth_pipeline import ConstructionArtifacts
+    from netbase_spark.streaming.construct import apply_merges
+
+    table = str(tmp_path / "surgical")
+    rows = [
+        (f"E{i}", 7, f"D{j}", "m", f"D{j}")
+        for i in range(40)
+        for j in range(i * 5, i * 5 + 5)
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, rel int, obj string, rule string, doc_id string"
+    ).repartition(8, "subj")  # each subject lives in exactly one file
+    V.create(df, table)
+    files_before = set(V.read_manifest(table)["files"])
+    assert len(files_before) >= 4
+
+    late = spark.createDataFrame(
+        [("E1", "E0"), ("E3", "E2")], "src string, dst string"
+    )
+    empty_map = spark.createDataFrame([], "node string, rep string")
+    arts = ConstructionArtifacts(
+        spark.createDataFrame(
+            [], "subj string, rel int, obj string, rule string, doc_id string"
+        ),
+        empty_map, None, None, frozenset(),
+    )
+    apply_merges(spark, table, late, arts, versioned=True, batch_id="s1")
+
+    files_after = set(V.read_manifest(table)["files"])
+    carried = files_before & files_after
+    assert carried, "surgical replace must carry untouched files by name"
+    assert files_after != files_before  # touched files were replaced
+
+    m1 = merge_mapping(empty_map, late)
+    want = rewrite_triples(df, mapping_delta(empty_map, m1))
+    keyset = lambda d: {(r.subj, r.rel, r.obj) for r in d.collect()}
+    assert keyset(V.read(spark, table)) == keyset(want)
