@@ -47,6 +47,11 @@ from pyspark.sql import functions as F
 _POS = ("subj", "rel", "obj")
 
 
+class PathBoundExceeded(ValueError):
+    """A strict Path's closure was still growing at ``max_hops`` — the
+    bound truncated real reachability instead of covering it."""
+
+
 class Path:
     """Bounded property-path term for the rel slot of a BGP pattern:
     ``Path(rel, "+")`` is one-or-more hops, ``Path(rel, "*")`` is
@@ -57,12 +62,21 @@ class Path:
     may mix the alternatives.  ``inverse=True`` walks edges obj->subj
     (SPARQL ``^rel``).  ``op="?"`` is zero-or-one (max_hops ignored).
     The zero-hop identity of ``*`` and ``?`` ranges over every node
-    occurring in the triple table (subj or obj side)."""
+    occurring in the triple table (subj or obj side).
 
-    __slots__ = ("rel", "op", "max_hops", "inverse")
+    **Bound semantics**: by default pairs deeper than ``max_hops`` are
+    silently absent — the reference's depth-bounded recursion semantics,
+    right when the bound is chosen from known taxonomy depth.  Over a
+    graph whose depth is NOT known (a 100x-deeper taxonomy), pass
+    ``strict=True``: the closure then verifies convergence with one
+    extra expansion step at the bound and raises
+    :class:`PathBoundExceeded` if pairs beyond ``max_hops`` exist, so
+    truncation is loud, never silent."""
+
+    __slots__ = ("rel", "op", "max_hops", "inverse", "strict")
 
     def __init__(self, rel, op: str = "+", max_hops: int = 10,
-                 inverse: bool = False):
+                 inverse: bool = False, strict: bool = False):
         if op not in ("+", "*", "?"):
             raise ValueError(f"Path op must be '+', '*' or '?', got {op!r}")
         if max_hops < 1:
@@ -73,12 +87,14 @@ class Path:
             rel = tuple(rel)
         self.rel, self.op, self.max_hops = rel, op, max_hops
         self.inverse = bool(inverse)
+        self.strict = bool(strict)
 
     def _rels(self) -> tuple:
         return self.rel if isinstance(self.rel, tuple) else (self.rel,)
 
     def _key(self):
-        return (self._rels(), self.op, self.max_hops, self.inverse)
+        return (self._rels(), self.op, self.max_hops, self.inverse,
+                self.strict)
 
 
 class NotRel:
@@ -105,6 +121,64 @@ def _selectivity(pattern) -> int:
     A Path term is a constant for ordering (it fixes the edge set),
     though its closure step is costlier than a plain rel filter."""
     return sum(1 for t in pattern if _is_var(t))
+
+
+def rel_counts(triples: DataFrame) -> dict:
+    """Per-rel row counts for statistics-driven BGP ordering: ONE
+    aggregation over the (dimension-sized) rel domain, collected to a
+    dict the caller passes to :func:`bgp_match` as ``rel_stats`` —
+    compute once per snapshot, reuse across queries (on a
+    rel-partitioned table this is partition metadata)."""
+    return {
+        r["rel"]: r["n"]
+        for r in triples.groupBy("rel").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+#: point-binding selectivity guess: each constant subj/obj divides a
+#: pattern's estimated rows by this (per-rel counts say nothing about
+#: subj/obj constants, but a bound node is far more selective than a
+#: bound predicate — any large constant keeps the ordering stable)
+_CONST_SELECTIVITY = 1e4
+
+
+def _ordered_indices(patterns: list, rel_stats: dict | None) -> list[int]:
+    """Evaluation-order priority of ``patterns`` (lower index = joined
+    earlier, subject to the shared-variable preference downstream).
+
+    Without stats: the static most-constant-first heuristic, user order
+    for ties — fully deterministic, no data dependence.  With
+    ``rel_stats`` (per-rel row counts from :func:`rel_counts`): order by
+    ESTIMATED rows instead — a constant rel costs its partition's count,
+    a variable/negated rel the whole table, a Path the sum of its
+    alternatives' counts (closure lower bound), and each constant
+    subj/obj divides by ``_CONST_SELECTIVITY``.  This fixes the
+    inversion where the constant-count heuristic puts a huge constant
+    partition (e.g. Instance) before a tiny variable-rel pattern."""
+    if rel_stats is None:
+        return sorted(
+            range(len(patterns)), key=lambda i: (_selectivity(patterns[i]), i)
+        )
+    total = float(sum(rel_stats.values())) or 1.0
+
+    def est(p) -> float:
+        rel = p[1]
+        if isinstance(rel, Path):
+            cnt = float(sum(rel_stats.get(r, 0) for r in rel._rels()))
+        elif isinstance(rel, NotRel):
+            cnt = max(
+                0.0, total - sum(rel_stats.get(r, 0) for r in rel.rels)
+            )
+        elif _is_var(rel):
+            cnt = total
+        else:
+            cnt = float(rel_stats.get(rel, 0))
+        for t in (p[0], p[2]):
+            if not _is_var(t):
+                cnt /= _CONST_SELECTIVITY
+        return cnt
+
+    return sorted(range(len(patterns)), key=lambda i: (est(patterns[i]), i))
 
 
 def _const_compatible(term, dtype) -> bool:
@@ -198,6 +272,20 @@ def path_closure(
                     break
                 seen |= nxt
                 frontier = nxt
+            if path.strict:
+                # loud-bound check: one extra expansion step; anything
+                # new means pairs beyond max_hops exist (a converged
+                # frontier expands to a subset of seen, costing nothing)
+                extra: set = set()
+                for x in frontier:
+                    extra |= adj.get(x, set())
+                if extra - seen:
+                    raise PathBoundExceeded(
+                        f"path closure still growing at max_hops="
+                        f"{path.max_hops} (node {n!r} reaches beyond the "
+                        "bound); raise max_hops or drop strict=True for "
+                        "the reference's truncating semantics"
+                    )
             rows.extend((n, b) for b in seen)
         out = triples.sparkSession.createDataFrame(
             rows, f"subj {st}, obj {ot}"
@@ -208,6 +296,7 @@ def path_closure(
     e2 = edges.select(F.col("subj").alias("e_s"), F.col("obj").alias("e_o"))
     closure = edges
     frontier = edges
+    exhausted = True
     for _ in range(path.max_hops - 1):
         nxt = _pin(
             frontier.join(e2, frontier["obj"] == e2["e_s"])
@@ -217,6 +306,7 @@ def path_closure(
         )
         if nxt.isEmpty():
             _unpin(nxt)
+            exhausted = False
             break
         new_closure = _pin(closure.unionByName(nxt))
         if frontier is not closure:
@@ -225,10 +315,28 @@ def path_closure(
             _unpin(closure)
         closure = new_closure
         frontier = nxt
+    truncated = False
+    if path.strict and exhausted:
+        # loud-bound check: the loop used its full budget with a live
+        # frontier — one extra expansion decides whether real pairs lie
+        # beyond the bound (an already-converged frontier adds nothing)
+        truncated = not (
+            frontier.join(e2, frontier["obj"] == e2["e_s"])
+            .select(frontier["subj"].alias("subj"), F.col("e_o").alias("obj"))
+            .join(closure, ["subj", "obj"], "left_anti")
+            .isEmpty()
+        )
     if closure is not edges:
         _unpin(edges)
     if frontier is not closure and frontier is not edges:
         _unpin(frontier)
+    if truncated:
+        _unpin(closure)
+        raise PathBoundExceeded(
+            f"path closure still growing at max_hops={path.max_hops}; "
+            "raise max_hops or drop strict=True for the reference's "
+            "truncating semantics"
+        )
     return _with_identity(closure)
 
 
@@ -255,9 +363,17 @@ def _step_df(triples: DataFrame, pat, closures: dict) -> DataFrame:
     if isinstance(rel, Path):
         return closures[rel._key()]
     if isinstance(rel, NotRel):
-        step = triples.where(~F.col("rel").isin(list(rel.rels))).select(
-            "subj", "obj"
-        )
+        # type-incompatible entries can never match a rel, so they drop
+        # out of the negated set (same constant-type rule as Path._rels
+        # filtering) instead of raising/implicitly casting in the isin
+        rels = [
+            r for r in rel.rels
+            if _const_compatible(r, triples.schema["rel"].dataType)
+        ]
+        step = triples
+        if rels:
+            step = step.where(~F.col("rel").isin(rels))
+        step = step.select("subj", "obj")
         if rel.inverse:
             step = step.select(
                 F.col("obj").alias("subj"), F.col("subj").alias("obj")
@@ -312,6 +428,7 @@ def bgp_match(
     optional: list | None = None,
     not_exists: list | None = None,
     values: list[dict] | None = None,
+    rel_stats: dict | None = None,
     _closures: dict | None = None,
 ) -> DataFrame:
     """Match a conjunctive BGP; returns bindings for every variable,
@@ -355,7 +472,14 @@ def bgp_match(
     grouped by their defined-variable signature and each group joins on
     exactly its defined shared variables.  A value whose type cannot
     inhabit its shared variable's column matches nothing (the row is
-    dropped), mirroring the constant type rule."""
+    dropped), mirroring the constant type rule.
+
+    ``rel_stats`` (optional) is a per-rel row-count dict from
+    :func:`rel_counts`: pattern order then follows ESTIMATED rows
+    instead of the static constant-count heuristic, so a huge constant
+    partition (Instance) no longer evaluates before a tiny variable-rel
+    pattern.  Results are identical either way — only the join order
+    (and so the intermediate sizes) changes."""
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
     for p in patterns:
@@ -364,8 +488,10 @@ def bgp_match(
         for p in _entry_patterns(entry):
             _validate_pattern(p)
 
-    # static selectivity order, stable for ties (user order)
-    ordered = sorted(range(len(patterns)), key=lambda i: (_selectivity(patterns[i]), i))
+    # evaluation order: static most-constant-first by default; with
+    # rel_stats (see rel_counts) estimated-rows order — still
+    # deterministic for a given stats snapshot
+    ordered = _ordered_indices(patterns, rel_stats)
 
     # symbolic pre-pass: fix the execution sequence (shared-variable
     # preference, see below), the output column order, and each

@@ -213,6 +213,54 @@ def replace_files(
     return _commit(table, new)
 
 
+def rewrite_data_files(
+    spark: SparkSession,
+    table: str,
+    cluster_by: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+    batch_id: str | int | None = None,
+) -> int:
+    """Layout maintenance — the Iceberg ``rewrite_data_files`` analog:
+    rewrite the CURRENT version's rows into a fresh, bin-packed,
+    key-clustered file set and commit it as a :func:`replace` snapshot.
+    The row multiset is unchanged (pure maintenance; time travel still
+    reads the old layout); what changes is the LAYOUT:
+
+    - ``cluster_by`` columns drive a ``repartitionByRange`` + in-file
+      sort, so each key's rows land in O(1) files with tight parquet
+      min/max stats — this is what keeps the surgical merge path
+      (streaming/construct._surgical_recanonicalize) touching O(touched)
+      files: its isin predicate prunes on exactly those stats, and
+      streamed appends decay that property over time (every appended
+      batch scatters new rows for old keys into new files);
+    - ``target_file_bytes`` bin-packs: the output file count is
+      ceil(current data bytes / target), so a thousand small appended
+      files compact into a few right-sized ones (small-file compaction,
+      the other half of the Iceberg action).
+
+    Runs as ONE writer (same discipline as every commit here); readers
+    of older versions are unaffected, and ``expire_versions`` later
+    reclaims the scattered layout's files.  Returns the new version."""
+    man = read_manifest(table)
+    committed = set(man.get("batch_ids") or [])
+    if batch_id is not None and str(batch_id) in committed:
+        return man["version"]
+    df = read(spark, table)
+    data_dir = os.path.join(table, "data")
+    total_bytes = sum(
+        os.path.getsize(os.path.join(data_dir, f)) for f in man["files"]
+    )
+    n_files = max(min_files, -(-total_bytes // max(1, target_file_bytes)))
+    if cluster_by:
+        packed = df.repartitionByRange(n_files, *cluster_by)
+        packed = packed.sortWithinPartitions(*cluster_by)
+    else:
+        packed = df.coalesce(n_files) if df.rdd.getNumPartitions() > n_files \
+            else df.repartition(n_files)
+    return replace(packed, table, batch_id=batch_id)
+
+
 def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """DataFrame over the exact file set of ``version`` (default
     CURRENT).  An empty file list (a version committed from a DataFrame
@@ -245,15 +293,23 @@ def rollback(table: str, version: int) -> int:
 
 
 def expire_versions(
-    table: str, keep: int = 2, keep_future: bool = False
+    table: str,
+    keep: int = 2,
+    keep_future: bool = True,
+    staging_grace_secs: float = 3600.0,
 ) -> list[str]:
     """Drop all but the newest ``keep`` manifests at or below CURRENT
     and delete data files no surviving manifest references (orphans from
-    crashed appends included).  Versions ABOVE current — the abandoned
-    branch left behind by a :func:`rollback` — are expired too unless
-    ``keep_future=True``, so repeated rollbacks cannot leak disk; any
-    leftover ``_staging-*`` directory from a crashed append is removed
-    as well.  Returns the deleted data file names."""
+    crashed appends included).  Versions ABOVE current — the branch left
+    behind by a :func:`rollback` — survive by default (``keep_future``;
+    a user may intend to roll FORWARD to them); pass
+    ``keep_future=False`` to reclaim that branch's disk.  A leftover
+    ``_staging-*`` directory is removed only once its mtime is older
+    than ``staging_grace_secs``: a fresh one is the normal state of an
+    IN-FLIGHT append/replace commit (the streaming loop runs expiry
+    between batches), and deleting it mid-write would crash or truncate
+    that commit.  Returns the deleted data file names."""
+    import time
     cur = current_version(table)
     if cur is None:
         return []
@@ -276,7 +332,14 @@ def expire_versions(
     for v in versions:
         if v not in survivors:
             os.remove(_manifest_path(table, v))
+    now = time.time()
     for f in os.listdir(table):
         if f.startswith("_staging-"):
-            shutil.rmtree(os.path.join(table, f), ignore_errors=True)
+            path = os.path.join(table, f)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age >= staging_grace_secs:
+                shutil.rmtree(path, ignore_errors=True)
     return sorted(deleted)

@@ -89,6 +89,24 @@ def apply_merges(
     if changed.limit(1).count() == 0:
         return artifacts
 
+    # failure atomicity: the broadcast-gazetteer remap (step 3) needs
+    # the rep delta on the driver; run its collect gate BEFORE the table
+    # commit so a too-large delta fails with the on-disk state untouched
+    # (raising after the rewrite would leave a merged table with stale
+    # artifacts and no handle to recover)
+    rep_rows = None
+    if artifacts.scan_bc is not None:
+        from netbase_spark.plans.broadcast_gate import collect_under_cap
+
+        rep_rows = collect_under_cap(changed.select("node", "rep"))
+        if rep_rows is None:
+            raise ValueError(
+                "mapping delta exceeds the driver-collect cap; rebuild "
+                "artifacts via build_artifacts (shuffle path) instead of "
+                "remapping the broadcast in place (no table state was "
+                "modified)"
+            )
+
     # 2. delta-rewrite the table.  Versioned tables get the SURGICAL
     # path: only the data FILES containing touched rows are rewritten;
     # untouched files carry into the new manifest by name (the Iceberg
@@ -112,20 +130,8 @@ def apply_merges(
     scan_bc = artifacts.scan_bc
     alias_entity = artifacts.alias_entity
     if scan_bc is not None:
-        # the delta reaches the driver ONLY on the broadcast-gazetteer
-        # path (where the full alias->entity dict already fit it), and
-        # even then behind the collect gate: a mergeAll-scale delta
-        # that outgrows the cap fails loudly instead of OOMing
-        from netbase_spark.plans.broadcast_gate import collect_under_cap
-
-        rows = collect_under_cap(changed.select("node", "rep"))
-        if rows is None:
-            raise ValueError(
-                "mapping delta exceeds the driver-collect cap; rebuild "
-                "artifacts via build_artifacts (shuffle path) instead of "
-                "remapping the broadcast in place"
-            )
-        rep_of = {r["node"]: r["rep"] for r in rows}
+        # rep_rows was collected (and gated) before the table commit
+        rep_of = {r["node"]: r["rep"] for r in rep_rows}
         scan_bc = remap_scan_entities(spark, scan_bc, rep_of)
     if alias_entity is not None:
         from netbase_spark.plans.broadcast_gate import gated_broadcast
@@ -148,12 +154,22 @@ def apply_merges(
     )
 
 
+ISIN_NODE_CAP = 10_000
+"""Max delta nodes for the isin-predicate touched-file discovery: an In
+expression with millions of literals inflates driver memory and analysis
+time, and parquet In-pushdown degrades on huge lists — past this, the
+broadcast-marker join is strictly better."""
+
+
 def _surgical_recanonicalize(spark, table_dir, changed, batch_id):
     """File-level delta rewrite of a versioned triple table: one
     column-pruned scan finds the data files containing touched rows;
-    ONLY those files are re-read, rewritten through the delta map,
-    deduplicated against the untouched files' keys (first-writer, via a
-    key-only scan with the rewritten keys broadcast), and committed as
+    ONLY those files are re-read, their delta-touched ROWS rewritten
+    through the mapping (untouched rows in the same file carry verbatim
+    — identical split to ``recanonicalize_delta``, so sameAs-class rels
+    and self-loops already stored in untouched rows survive exactly as
+    the plain path keeps them), deduplicated against the untouched
+    files' keys (first-writer, via a key-only scan), and committed as
     a ``replace_files`` manifest swap.  End-state equality with the
     full ``recanonicalize_delta`` is pinned by
     tests/test_streaming_construct.py."""
@@ -161,24 +177,22 @@ def _surgical_recanonicalize(spark, table_dir, changed, batch_id):
 
     from pyspark.sql import functions as F
 
-    from netbase_spark.operators.canonicalize import rewrite_triples
+    from netbase_spark.operators.canonicalize import recanonicalize_delta
     from netbase_spark.operators.evaluate import fresh_triples
     from netbase_spark.plans import versioned as V
     from netbase_spark.plans.broadcast_gate import gated_broadcast
 
-    from netbase_spark.plans.broadcast_gate import collect_under_cap
-
     man = V.read_manifest(table_dir)
     data_dir = os.path.join(table_dir, "data")
     full = V.read(spark, table_dir)
-    # touched-file discovery: when the delta fits the driver, use an
-    # isin PREDICATE — it pushes into the parquet scan, so row-group
+    # touched-file discovery: when the delta is small, use an isin
+    # PREDICATE — it pushes into the parquet scan, so row-group
     # min/max stats skip untouched files entirely (the whole point of a
     # key-clustered layout: write_triples_bucketed / repartitionByRange
-    # keeps each node's rows in O(1) files).  Past the cap, fall back
-    # to broadcast-marker joins (full scan, still column-pruned).
-    node_rows = collect_under_cap(changed.select("node"))
-    if node_rows is not None:
+    # keeps each node's rows in O(1) files).  Past ISIN_NODE_CAP, fall
+    # back to broadcast-marker joins (full scan, still column-pruned).
+    node_rows = changed.select("node").limit(ISIN_NODE_CAP + 1).collect()
+    if len(node_rows) <= ISIN_NODE_CAP:
         nodes = [r[0] for r in node_rows]
         cond = F.col("subj").isin(nodes) | F.col("obj").isin(nodes)
         touched_q = (
@@ -209,17 +223,19 @@ def _surgical_recanonicalize(spark, table_dir, changed, batch_id):
     touched_df = spark.read.parquet(
         *[os.path.join(data_dir, f) for f in sorted(touched_paths)]
     )
-    # rewrite the WHOLE touched files (untouched rows in them coalesce
-    # to themselves), then first-writer-dedup against the kept files'
-    # keys — a key-only scan, cheap next to rewriting their bytes
-    rewritten = rewrite_triples(touched_df, changed).localCheckpoint()
+    # split the touched FILES' rows with recanonicalize_delta's own
+    # touched/untouched filter: only delta-touched rows go through the
+    # rewrite (and its sameAs/self-loop drops); the files' other rows
+    # carry verbatim.  Then first-writer-dedup the result against the
+    # kept files' keys — a key-only scan, cheap next to their bytes.
+    updated = recanonicalize_delta(touched_df, changed).localCheckpoint()
     if keep:
         kept_keys = spark.read.parquet(
             *[os.path.join(data_dir, f) for f in keep]
         )
-        final = fresh_triples(kept_keys, rewritten)
+        final = fresh_triples(kept_keys, updated)
     else:
-        final = rewritten
+        final = updated
     V.replace_files(
         final.select(*touched_df.columns), table_dir, keep, batch_id=batch_id
     )

@@ -327,6 +327,13 @@ def test_path_zero_or_one_and_negated_set(spark):
         NotRel([])
     with pytest.raises(ValueError):  # NotRel outside the rel slot
         bgp_match(df, [(NotRel([1]), 1, "?x")])
+    # a type-incompatible entry can never match a rel, so it drops out
+    # of the negated set (same constant-type rule as Path alternatives)
+    neg_mixed = bgp_match(df, [("?s", NotRel([1, "oops"]), "?o")])
+    assert {tuple(r) for r in neg_mixed.collect()} == {("a", "m"), ("b", "x")}
+    # an ALL-incompatible negated set negates nothing: every edge matches
+    neg_none = bgp_match(df, [("?s", NotRel(["oops"]), "?o")])
+    assert neg_none.count() == len(rows)
 
 
 def test_path_alternation_partial_type_mismatch(spark):
@@ -406,3 +413,83 @@ def test_path_star_on_disjoint_subj_obj_domains(spark):
     for op in ("+", "*", "?"):
         out = bgp_match(df, [("?x", Path(5, op, 4), "?y")])
         assert {tuple(r) for r in out.collect()} == {("a", 10), ("b", 20)}, op
+
+
+def test_path_strict_bound_raises_instead_of_truncating(spark):
+    """Path bound honesty (round-4 advice): default max_hops silently
+    truncates (the reference's depth-bounded semantics, documented);
+    strict=True verifies convergence at the bound and raises
+    PathBoundExceeded when deeper pairs exist — on BOTH closure
+    branches (driver BFS and distributed frontier loop)."""
+    from netbase_spark.operators.graph_query import (
+        Path, PathBoundExceeded, bgp_match, path_closure,
+    )
+
+    # a 15-deep chain: n0 -> n1 -> ... -> n15
+    rows = [(f"n{i}", 1, f"n{i+1}") for i in range(15)]
+    df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+
+    # default: silent truncation at max_hops=10 (documented semantics)
+    got = bgp_match(df, [("n0", Path(1, "+", max_hops=10), "?v")])
+    assert got.count() == 10
+
+    # strict + too-small bound: loud, not silent — driver branch
+    with pytest.raises(PathBoundExceeded):
+        path_closure(df, Path(1, "+", max_hops=10, strict=True))
+    # distributed branch (driver_threshold=0 forces the frontier loop)
+    with pytest.raises(PathBoundExceeded):
+        path_closure(
+            df, Path(1, "+", max_hops=10, strict=True), driver_threshold=0
+        ).count()
+
+    # strict + sufficient bound: equal to the unbounded answer, both
+    # branches, and through bgp_match
+    ok = bgp_match(df, [("n0", Path(1, "+", max_hops=15, strict=True), "?v")])
+    assert ok.count() == 15
+    dist = path_closure(
+        df, Path(1, "+", max_hops=15, strict=True), driver_threshold=0
+    )
+    assert dist.where("subj = 'n0'").count() == 15
+
+
+def test_stats_driven_ordering_flips_adversarial_plan(spark):
+    """Round-4 verdict ask #4: with per-rel counts, a huge
+    constant-rel pattern (Instance) evaluates AFTER a tiny
+    variable-rel or small-rel pattern; without stats the static
+    heuristic keeps the old deterministic order.  Results identical
+    either way."""
+    from netbase_spark.operators.graph_query import (
+        NotRel, Path, _ordered_indices, bgp_match, rel_counts,
+    )
+
+    INSTANCE, TINY = 1, 2
+    # adversarial: both patterns have 2 vars -> static order ties on
+    # user order and runs the huge Instance partition first
+    pats = [("?x", INSTANCE, "?y"), ("?y", TINY, "?z")]
+    stats = {INSTANCE: 10_000_000, TINY: 1_000}
+    assert _ordered_indices(pats, None) == [0, 1]
+    assert _ordered_indices(pats, stats) == [1, 0]
+
+    # a variable-rel pattern with a constant obj beats a huge constant
+    # rel (the verdict's exact inversion case)
+    pats2 = [("?a", INSTANCE, "?b"), ("?a", "?r", "rare_const")]
+    assert _ordered_indices(pats2, None) == [0, 1]  # fewer vars first
+    assert _ordered_indices(pats2, stats) == [1, 0]
+
+    # Path = sum of alternatives; NotRel = total minus negated
+    pats3 = [("?a", Path([TINY]), "?b"), ("?a", NotRel([TINY]), "?b")]
+    assert _ordered_indices(pats3, stats) == [0, 1]
+
+    # correctness invariance on real data
+    rows = (
+        [(f"e{i}", INSTANCE, f"c{i % 3}") for i in range(60)]
+        + [("c0", TINY, "k")]
+    )
+    df = spark.createDataFrame(rows, "subj string, rel int, obj string")
+    q = [("?x", INSTANCE, "?y"), ("?y", TINY, "?z")]
+    plain = bgp_match(df, q)
+    statted = bgp_match(df, q, rel_stats=rel_counts(df))
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, statted.collect())
+    )
+    assert plain.columns == statted.columns

@@ -302,3 +302,61 @@ def test_surgical_recanonicalize_rewrites_only_touched_files(
     want = rewrite_triples(df, mapping_delta(empty_map, m1))
     keyset = lambda d: {(r.subj, r.rel, r.obj) for r in d.collect()}
     assert keyset(V.read(spark, table)) == keyset(want)
+
+
+def test_surgical_path_keeps_untouched_sameas_and_self_loops(
+    spark, tmp_path: pathlib.Path
+):
+    """ADVICE r4: the surgical (versioned) merge path must NOT push
+    untouched rows of touched files through rewrite_triples — rows with
+    a sameAs-class rel or a self-loop that the delta did not touch
+    survive verbatim, exactly as the plain recanonicalize_delta path
+    keeps them.  Pins versioned == plain end state on such a table."""
+    from netbase_spark.operators.canonicalize import recanonicalize_delta
+    from netbase_spark.plans import versioned as V
+    from netbase_spark.plans.synth_pipeline import ConstructionArtifacts
+    from netbase_spark.relations import SYNONYM
+    from netbase_spark.streaming.construct import apply_merges
+
+    rows = [
+        # untouched rows that rewrite_triples would DROP if they were
+        # (wrongly) pushed through it: a sameAs-class rel and a self-loop
+        ("K1", SYNONYM, "K2", "m", "d0"),
+        ("K3", 7, "K3", "m", "d0"),
+        # the touched component
+        ("E1", 7, "X", "m", "d1"),
+        ("E0", 7, "Y", "m", "d1"),
+        # plain untouched rows
+        ("Z1", 7, "Z2", "m", "d2"),
+    ]
+    schema = "subj string, rel int, obj string, rule string, doc_id string"
+    # ONE file: every row shares the file with the touched component,
+    # the adversarial case for the file-level split
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+
+    late = spark.createDataFrame([("E1", "E0")], "src string, dst string")
+    empty_map = spark.createDataFrame([], "node string, rep string")
+
+    tv = str(tmp_path / "versioned")
+    V.create(df, tv)
+    arts_v = ConstructionArtifacts(
+        spark.createDataFrame([], schema), empty_map, None, None, frozenset()
+    )
+    apply_merges(spark, tv, late, arts_v, versioned=True, batch_id="adv1")
+
+    tp = str(tmp_path / "plain")
+    df.write.mode("overwrite").parquet(tp)
+    arts_p = ConstructionArtifacts(
+        spark.createDataFrame([], schema), empty_map, None, None, frozenset()
+    )
+    apply_merges(spark, tp, late, arts_p, versioned=False)
+
+    keyset = lambda d: {(r.subj, r.rel, r.obj) for r in d.collect()}
+    got_v = keyset(V.read(spark, tv))
+    got_p = keyset(spark.read.parquet(tp))
+    assert got_v == got_p
+    # the untouched sameAs row and self-loop survived
+    assert ("K1", SYNONYM, "K2") in got_v
+    assert ("K3", 7, "K3") in got_v
+    # and the merge actually happened
+    assert ("E0", 7, "X") in got_v and ("E1", 7, "X") not in got_v
