@@ -703,8 +703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from contract_ext4 import EXT4_QUERIES
     from contract_ext5 import EXT5_QUERIES
     from contract_ext6 import EXT6_QUERIES
+    from contract_ext7 import EXT7_QUERIES
 
-    return EXT_QUERIES | EXT2_QUERIES | EXT3_QUERIES | EXT4_QUERIES | EXT5_QUERIES | EXT6_QUERIES | {
+    return EXT_QUERIES | EXT2_QUERIES | EXT3_QUERIES | EXT4_QUERIES | EXT5_QUERIES | EXT6_QUERIES | EXT7_QUERIES | {
         "alias_table": q_alias_table,
         "best_alias": q_best_alias,
         "dissect_part_names": q_dissect_part_names,
@@ -740,9 +741,10 @@ def oracle_sql() -> dict[str, str]:
     from contract_ext4 import EXT4_ORACLES
     from contract_ext5 import EXT5_ORACLES
     from contract_ext6 import EXT6_ORACLES
+    from contract_ext7 import EXT7_ORACLES
 
     norm_label = NORM_SQL.format(c="label")
-    return EXT_ORACLES | EXT2_ORACLES | EXT3_ORACLES | EXT4_ORACLES | EXT5_ORACLES | EXT6_ORACLES | {
+    return EXT_ORACLES | EXT2_ORACLES | EXT3_ORACLES | EXT4_ORACLES | EXT5_ORACLES | EXT6_ORACLES | EXT7_ORACLES | {
         "alias_table": f"""
             WITH {LABELS_SQL.strip()}
             SELECT {norm_label} AS name_norm, key, label_type AS source,

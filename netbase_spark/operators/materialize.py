@@ -346,3 +346,118 @@ def pagerank(
             ).cast("long").alias("pr"),
         )
     return pr.select("node", F.expr("pr div 1000000").cast("long").alias("pr_e6"))
+
+
+def pagerank_resume(
+    edges: DataFrame,
+    prev_pr_e12: DataFrame,
+    iters: int | None = None,
+    tol_e12: int = 1_000_000,
+    max_iters: int = 50,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> tuple[DataFrame, int]:
+    """Incremental PageRank (round-5): WARM-START the iteration from a
+    previous snapshot's ranks instead of recomputing from uniform.
+    The power iteration's fixed point is start-independent, so after an
+    edge/node delta the old vector is an excellent initial guess and
+    convergence needs a fraction of the cold-start rounds — the same
+    delta-restart trick the incremental closure/count operators use,
+    applied to the one derived table that previously recomputed per
+    snapshot.
+
+    ``prev_pr_e12`` is (node, pr_e12) from a previous run (see below);
+    nodes new to ``edges`` enter at the uniform 1/N share and vanished
+    nodes drop out.  All-integer e12 fixed point
+    throughout — same bit-determinism contract as :func:`pagerank`
+    (each ROUND is deterministic; the round COUNT is data-dependent in
+    tolerance mode, so resume-vs-cold equality is within tolerance, not
+    bitwise — pinned by test).
+
+    ``iters`` set: run exactly that many rounds (the oracle-able form —
+    one warm round from a one-round init IS two cold rounds, which the
+    ``pagerank_warm`` contract query checks against the unrolled SQL).
+    ``iters=None``: iterate until ``max |Δpr_e12| <= tol_e12`` or
+    ``max_iters``.  Returns ``(ranks, rounds_run)`` where ranks is
+    (node, pr_e12, pr_e6).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        node_t = nodes.schema["node"].dataType.simpleString()
+        return (
+            edges.sparkSession.createDataFrame(
+                [], f"node {node_t}, pr_e12 long, pr_e6 long"
+            ),
+            0,
+        )
+    d = int(damping_pct)
+    base = (PAGERANK_E12 * (100 - d) // 100) // n
+    uniform = PAGERANK_E12 // n
+    out_deg = e.groupBy("src").agg(F.count("*").alias("outd"))
+
+    # warm init: carried ranks for surviving nodes, uniform for new
+    # ones.  No renormalization: the damped iteration is a contraction
+    # whose fixed point is init-independent, and skipping it keeps one
+    # warm round from a one-round init BIT-EQUAL to two cold rounds
+    # (the pagerank_warm oracle)
+    pr = (
+        nodes.join(
+            prev_pr_e12.select("node", F.col("pr_e12").alias("_p")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_p", F.lit(uniform)).cast("long").alias("pr"))
+        .localCheckpoint()
+    )
+
+    def step(pr_df: DataFrame) -> DataFrame:
+        contrib = (
+            e.join(pr_df, e["src"] == pr_df["node"])
+            .join(out_deg, "src")
+            .select("dst", F.expr("pr div outd").alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("c"))
+        )
+        return nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base) + F.expr(f"({d} * coalesce(c, 0L)) div 100")
+            ).cast("long").alias("pr"),
+        )
+
+    rounds = 0
+    if iters is not None:
+        for _ in range(iters):
+            pr = step(pr)
+            rounds += 1
+    else:
+        for _ in range(max_iters):
+            nxt = step(pr).localCheckpoint()
+            rounds += 1
+            delta = (
+                nxt.join(
+                    pr.select("node", F.col("pr").alias("_o")), "node", "left"
+                )
+                .agg(
+                    F.max(F.abs(F.col("pr") - F.coalesce("_o", F.lit(0)))).alias("m")
+                )
+                .collect()[0]["m"]
+            )
+            pr = nxt
+            if delta is not None and delta <= tol_e12:
+                break
+    out = pr.select(
+        "node",
+        F.col("pr").alias("pr_e12"),
+        F.expr("pr div 1000000").cast("long").alias("pr_e6"),
+    )
+    return out, rounds

@@ -74,7 +74,7 @@ def main():
         F.lit(TINY).alias("rel"),
         F.concat(F.lit("w"), F.col("id").cast("string")).alias("obj"),
     )
-    table_dir = "/tmp/probe_bgp_stats_table"
+    table_dir = f"/tmp/probe_bgp_stats_table_{args.rows}"
     if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
         big.unionByName(big2).unionByName(tiny).repartition(32).write.mode(
             "overwrite"

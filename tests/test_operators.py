@@ -560,3 +560,48 @@ def test_caption_candidates_nearest_and_tiebreak(spark):
     assert got["m1.jpg"] == ("the caption", 10)
     assert got["m2.jpg"] == ("before", 20)
     assert "m3.jpg" not in got
+
+
+def test_pagerank_resume_warm_start(spark):
+    """Incremental PageRank (round-5): warm-starting from a previous
+    snapshot's ranks converges to the same fixed point in FEWER rounds
+    than a cold start, and one warm round from a one-round init is
+    bit-equal to two cold rounds (the oracle-able composition)."""
+    from netbase_spark.operators.materialize import pagerank, pagerank_resume
+
+    def ring_plus_star(extra):
+        rows = [(f"n{i}", f"n{(i + 1) % 20}") for i in range(20)]
+        rows += [(f"l{i}", "n0") for i in range(extra)]
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    empty_prev = spark.createDataFrame([], "node string, pr_e12 long")
+    e0 = ring_plus_star(5)
+
+    # composition identity: cold(2) == resume(1, init=cold-resume(1))
+    r1, _ = pagerank_resume(e0, empty_prev, iters=1)
+    r2, _ = pagerank_resume(e0, r1, iters=1)
+    want = {r.node: r.pr_e6 for r in pagerank(e0, iters=2).collect()}
+    assert {r.node: r.pr_e6 for r in r2.collect()} == want
+
+    # converge cold on the original graph, then mutate: 3 new leaves.
+    # damping 50% keeps the test fast (delta halves per round -> ~25
+    # rounds to tol 1e4 vs ~95 at 85%); the contraction argument is
+    # damping-independent
+    kw = dict(tol_e12=10_000, max_iters=60, damping_pct=50)
+    cold0, rounds_cold0 = pagerank_resume(e0, empty_prev, **kw)
+    e1 = ring_plus_star(8)
+    cold1, rounds_cold1 = pagerank_resume(e1, empty_prev, **kw)
+    warm1, rounds_warm1 = pagerank_resume(e1, cold0, **kw)
+    # same fixed point within the stopping residual: per-round delta
+    # <= tol leaves each run up to ~tol*d/(1-d) from the true fixed
+    # point, so the two can differ by ~10x tol; 1e6 e12-units = one
+    # pr_e6 output grain
+    c = {r.node: r.pr_e12 for r in cold1.collect()}
+    w = {r.node: r.pr_e12 for r in warm1.collect()}
+    assert set(c) == set(w)
+    assert max(abs(c[k] - w[k]) for k in c) <= 1_000_000
+    # the incremental win: warm restart needs fewer rounds
+    assert rounds_warm1 < rounds_cold1
+    # determinism: identical inputs -> identical output, bitwise
+    again, _ = pagerank_resume(e1, cold0, **kw)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, warm1.collect()))
