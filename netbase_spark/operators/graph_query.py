@@ -292,29 +292,49 @@ def path_closure(
         )
         return _with_identity(out)
 
+    # Semi-naive frontier loop, LEVELS kept as separate pinned frames:
+    # the closure is a lazy union of the per-level checkpoints, never
+    # re-materialized.  The previous shape re-checkpointed the whole
+    # growing closure every level — O(levels x closure) block writes
+    # (~5x the closure size on a depth-7 taxonomy), which became the
+    # bottleneck AND an anti-scaling one (more threads = more memory
+    # pressure on the same heap; measured local[32] SLOWER than
+    # local[8] at 59M pairs).  Now each pair is written exactly once;
+    # the per-level dedup runs BEFORE the anti-join so the anti-join
+    # probe side is frontier-sized.
     edges = _pin(edges)
     e2 = edges.select(F.col("subj").alias("e_s"), F.col("obj").alias("e_o"))
-    closure = edges
+    levels = [edges]
     frontier = edges
     exhausted = True
+
+    def union_levels():
+        u = levels[0]
+        for l in levels[1:]:
+            u = u.unionByName(l)
+        return u
+
+    # per-level guard: anti-join against the PREVIOUS level only (kills
+    # the period-2 oscillation of symmetric rels), not the whole
+    # closure — a pair rediscovered at a later depth re-enters the
+    # frontier (bounded by max_hops, per-level dedup caps each level at
+    # its distinct-pair count) and the single final dropDuplicates
+    # restores set semantics.  This trades 8 closure-sized sort-merge
+    # anti-joins for 1: the per-level shuffles are frontier-sized.
     for _ in range(path.max_hops - 1):
         nxt = _pin(
             frontier.join(e2, frontier["obj"] == e2["e_s"])
             .select(frontier["subj"].alias("subj"), F.col("e_o").alias("obj"))
-            .join(closure, ["subj", "obj"], "left_anti")
             .dropDuplicates(["subj", "obj"])
+            .join(frontier, ["subj", "obj"], "left_anti")
         )
         if nxt.isEmpty():
             _unpin(nxt)
             exhausted = False
             break
-        new_closure = _pin(closure.unionByName(nxt))
-        if frontier is not closure:
-            _unpin(frontier)
-        if closure is not edges:
-            _unpin(closure)
-        closure = new_closure
+        levels.append(nxt)
         frontier = nxt
+    closure = union_levels().dropDuplicates(["subj", "obj"])
     truncated = False
     if path.strict and exhausted:
         # loud-bound check: the loop used its full budget with a live
@@ -326,12 +346,9 @@ def path_closure(
             .join(closure, ["subj", "obj"], "left_anti")
             .isEmpty()
         )
-    if closure is not edges:
-        _unpin(edges)
-    if frontier is not closure and frontier is not edges:
-        _unpin(frontier)
     if truncated:
-        _unpin(closure)
+        for l in levels:
+            _unpin(l)
         raise PathBoundExceeded(
             f"path closure still growing at max_hops={path.max_hops}; "
             "raise max_hops or drop strict=True for the reference's "

@@ -118,6 +118,20 @@ def run_queries(spark, d: str, which: list[str]) -> dict:
                 rel_stats=stats,
             ).count(),
         )
+    if "shuffle_floor" in which:
+        # calibration, not an engine operator: ONE plain full-table
+        # groupBy over all 100M rows.  On a single host, 8 -> 32
+        # threads share one memory subsystem, so shuffle/sort-bound
+        # work has a hardware scaling ceiling that a real N -> 4N
+        # EXECUTOR cluster (4x memory channels, 4x disks) does not.
+        # The closure numbers should be read against this floor.
+        timed(
+            "shuffle_floor",
+            lambda: triples.groupBy("subj")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1000)
+            .count(),
+        )
     if "subtree" in which:
         # all instances under a depth-2 subtree containing the hub:
         # closure (dimension-sized) filtered to the root, broadcast
@@ -184,7 +198,7 @@ def main():
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--classes", type=int, default=10_000_000)
     ap.add_argument("--instances", type=int, default=90_000_000)
-    ap.add_argument("--queries", default="closure,bgp,subtree")
+    ap.add_argument("--queries", default="closure,bgp,subtree,shuffle_floor")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
     if args.worker:
