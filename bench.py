@@ -178,6 +178,9 @@ HEADLINE = [
     "bgp_path_opt",
     "bgp_notrel",
     "bgp_values",
+    "pagerank_warm",
+    "bgp_stats_order",
+    "path_strict",
 ]
 
 
