@@ -250,6 +250,9 @@ def start_incremental_construct(
     available_now: bool = True,
     max_files_per_trigger: int = 8,
     versioned: bool = False,
+    compact_every: int | None = None,
+    compact_cluster_by: tuple = ("subj",),
+    compact_target_file_bytes: int = 128 * 1024 * 1024,
 ) -> StreamingQuery:
     """Start (or resume, via checkpoint) the full-construction stream:
     new doc files under ``landing_dir`` -> canonical triples appended
@@ -261,7 +264,19 @@ def start_incremental_construct(
     tagged with its foreachBatch id — replay after a mid-commit crash
     is a manifest-level no-op (on TOP of the key anti-join, which
     dedups re-ingested documents), any intermediate graph state stays
-    time-travel readable, and rollback is O(1)."""
+    time-travel readable, and rollback is O(1).
+
+    ``compact_every=N`` (versioned only) runs
+    :func:`~netbase_spark.plans.versioned.rewrite_data_files` after
+    every Nth micro-batch, re-clustering on ``compact_cluster_by`` and
+    bin-packing to ``compact_target_file_bytes`` — the automatic layout
+    maintenance that keeps the surgical late-merge path
+    (:func:`apply_merges`) touching O(touched-subject) files no matter
+    how long the stream runs (appends scatter keys across batch files;
+    without periodic compaction the file-level delta rewrite decays to
+    a near-full rewrite — measured, BENCH/compaction_probe.json).  The
+    compaction commit is batch-id-idempotent like every commit here, so
+    a replay after a crash cannot double-compact."""
     from netbase_spark.operators.mentions import (
         scan_mention_triples_prepared,
         scan_mention_triples_shuffle,
@@ -344,6 +359,29 @@ def start_incremental_construct(
         }
         with open(os.path.join(table_dir, "_construct_metrics.jsonl"), "a") as fh:
             fh.write(json.dumps(rec) + "\n")
+        if (
+            versioned and compact_every
+            and batch_id > 0 and batch_id % compact_every == 0
+        ):
+            t0 = time.time()
+            before_files = len(V.read_manifest(table_dir)["files"])
+            V.rewrite_data_files(
+                spark, table_dir,
+                cluster_by=list(compact_cluster_by),
+                target_file_bytes=compact_target_file_bytes,
+                batch_id=f"compact-{batch_id}",
+            )
+            crec = {
+                "batch_id": batch_id,
+                "compaction": True,
+                "files_before": before_files,
+                "files_after": len(V.read_manifest(table_dir)["files"]),
+                "secs": round(time.time() - t0, 3),
+            }
+            with open(
+                os.path.join(table_dir, "_construct_metrics.jsonl"), "a"
+            ) as fh:
+                fh.write(json.dumps(crec) + "\n")
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)

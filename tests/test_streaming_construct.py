@@ -360,3 +360,56 @@ def test_surgical_path_keeps_untouched_sameas_and_self_loops(
     assert ("K3", 7, "K3") in got_v
     # and the merge actually happened
     assert ("E0", 7, "X") in got_v and ("E1", 7, "X") not in got_v
+
+
+def test_streaming_auto_compaction_bounds_layout(spark, tmp_path: pathlib.Path):
+    """compact_every: the stream runs rewrite_data_files after every Nth
+    micro-batch — the final key set still equals a full rebuild, the
+    compaction is recorded in the metrics log, and the file count stays
+    bounded instead of growing one batch-file-set per micro-batch."""
+    import json
+
+    from netbase_spark.plans import versioned as V
+    from netbase_spark.plans.synth_pipeline import build_artifacts, construct_from
+    from netbase_spark.streaming.construct import start_incremental_construct
+
+    arts = build_artifacts(spark)
+    table = tmp_path / "vtable"
+    ckpt = tmp_path / "ckpt"
+
+    # land 8 single-file doc chunks -> 8 micro-batches at
+    # maxFilesPerTrigger=1, so the every-3rd-batch compaction fires
+    from pyspark.sql import functions as F
+
+    from netbase_spark.data.synth import docs_df
+
+    all_docs = docs_df(spark, 48, seed=17)
+    for i in range(8):
+        all_docs.where(
+            F.col("doc_id").cast("long") % 8 == i
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "landing"))
+    q = start_incremental_construct(
+        spark, str(tmp_path / "landing"), str(table), str(ckpt), arts,
+        available_now=True, max_files_per_trigger=1, versioned=True,
+        compact_every=3,
+    )
+    q.awaitTermination(240)
+
+    with open(table / "_construct_metrics.jsonl") as fh:
+        recs = [json.loads(l) for l in fh]
+    appends = [r for r in recs if not r.get("compaction")]
+    compactions = [r for r in recs if r.get("compaction")]
+    assert len(appends) >= 6 and compactions
+    # compaction bin-packs: file count after <= before, and the CURRENT
+    # layout holds fewer files than one-file-set-per-batch growth
+    assert all(c["files_after"] <= c["files_before"] for c in compactions)
+    n_files = len(V.read_manifest(str(table))["files"])
+    assert n_files < sum(len(r["partitions"]) for r in appends) + 1
+
+    # correctness unchanged: equality with a full batch rebuild
+    streamed = V.read(spark, str(table))
+    full = construct_from(
+        spark, spark.read.parquet(str(tmp_path / "landing")), arts
+    )
+    keyset = lambda df: {(r.subj, r.rel, r.obj) for r in df.collect()}
+    assert keyset(streamed) == keyset(full)
