@@ -190,40 +190,68 @@ def main():
         cand = sorted(per_q[j], reverse=True)
         exact_top[qid] = [v for _, v in cand if v != qid][: args.k]
 
-    # probe path: per query, nearest nprobe cells, score only those
+    # probe path, BATCHED: one job scores every query against the union
+    # of its nprobe cells' candidates (a query only scores candidates
+    # in ITS cells), per-query top-k on the driver.  A per-query loop
+    # pays ~20x Spark job overhead for the same arithmetic — at real
+    # scale the per-cell posting lists are partitions and the probe is
+    # partition pruning, but the serving tier batches queries the same
+    # way.
     t0 = time.monotonic()
-    hits = 0
+    probe_cells = {}
     for j, qid in enumerate(qids):
         sims_c = centu @ qmatu[j]
-        probe = [int(c) for c in np.argsort(-sims_c)[: args.nprobe]]
-        cand = (
-            assigned.where(F.col("cell").isin(probe))
-            .where(F.col("vec_id") != qid)
-            .join(emb, "vec_id")
+        probe_cells[j] = set(
+            int(c) for c in np.argsort(-sims_c)[: args.nprobe]
         )
-        qv = spark.sparkContext.broadcast(qmatu[j])
+    all_cells = sorted(set().union(*probe_cells.values()))
+    cell_to_qs = {}
+    for j, cells in probe_cells.items():
+        for c in cells:
+            cell_to_qs.setdefault(c, []).append(j)
+    c2q_bc = spark.sparkContext.broadcast(cell_to_qs)
 
-        def score(batches):
-            import pandas as pd
+    def score_all(batches):
+        import pandas as pd
 
-            q = qv.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-                n = np.sqrt((mat * mat).sum(axis=1))
-                n[n == 0] = 1.0
-                s = (mat / n[:, None]) @ q
-                yield pd.DataFrame({"vec_id": pdf["vec_id"], "sim": s})
+        qm = qb.value
+        c2q = c2q_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n = np.sqrt((mat * mat).sum(axis=1))
+            n[n == 0] = 1.0
+            sims = (mat / n[:, None]) @ qm.T  # batch x Q
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out = []
+            for i in range(len(ids)):
+                for j in c2q.get(int(cells[i]), ()):
+                    out.append((j, int(ids[i]), float(sims[i, j])))
+            yield pd.DataFrame(out, columns=["q", "vec_id", "sim"])
 
-        top = (
-            cand.select("vec_id", "embedding")
-            .mapInPandas(score, schema="vec_id long, sim double")
-            .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-            .limit(args.k)
-            .collect()
-        )
-        got = [r["vec_id"] for r in top]
+    from pyspark.sql import Window
+
+    scored = (
+        assigned.where(F.col("cell").isin(all_cells))
+        .join(emb, "vec_id")
+        .select("vec_id", "cell", "embedding")
+        .mapInPandas(score_all, schema="q int, vec_id long, sim double")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= args.k + 1)
+        .collect()
+    )
+    got_q: dict[int, list] = {}
+    for r in top:
+        got_q.setdefault(r["q"], []).append((r["sim"], r["vec_id"]))
+    hits = 0
+    for j, qid in enumerate(qids):
+        cand = sorted(got_q.get(j, []), reverse=True)
+        got = [v for _, v in cand if v != qid][: args.k]
         hits += len(set(got) & set(exact_top[qid]))
     rec["ivf_probe_sec_total"] = round(time.monotonic() - t0, 2)
     rec["ivf_recall_at_k"] = round(hits / (len(qids) * args.k), 3)
